@@ -1,0 +1,49 @@
+"""caf_cookoff_tpu — a TPU-native cross-ambiguity-function (CAF) engine.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the
+Teque5/caf_cookoff reference (Rust/Go/Python CPU cook-off), redesigned for
+TPU hardware:
+
+* the doppler-bin fan-out (reference: rayon / goroutines / multiprocessing,
+  ``caf_rust/src/caf/mod.rs``, ``caf_go/caf.go:143-173``,
+  ``caf_python/caf.py:36-117``) becomes a single batched XLA program
+  (``vmap`` over the doppler axis) and, across chips, ``shard_map`` over a
+  device mesh;
+* the FFT backends (FFTW / RustFFT / go-dsp / pocketfft) become XLA:TPU FFT
+  HLO plus an MXU-friendly matmul-FFT and fused Pallas kernels;
+* peak extraction is a fused reduction carrying (value, freq-idx, lag-idx)
+  triples through collectives instead of materializing rows on one host.
+
+Public API mirrors the reference's surface: ``caf_surface`` /
+``find_peak`` (``caf_rust/src/caf/mod.rs:23-66``) and ``amb_surf``
+(``caf_python/caf.py:89-117``).
+"""
+
+from caf_cookoff_tpu.config import CafConfig, FreqGrid
+from caf_cookoff_tpu.models.filterbank import (
+    FilterbankCAF,
+    amb_surf,
+    caf_peak,
+    caf_surface,
+    find_peak,
+)
+from caf_cookoff_tpu.ops.shift import apply_fdoa, freq_shift, phasor_bank
+from caf_cookoff_tpu.ops.xcor import xcor, xcor_pair
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CafConfig",
+    "FreqGrid",
+    "FilterbankCAF",
+    "amb_surf",
+    "apply_fdoa",
+    "caf_peak",
+    "caf_surface",
+    "find_peak",
+    "freq_shift",
+    "phasor_bank",
+    "xcor",
+    "xcor_pair",
+    "__version__",
+]

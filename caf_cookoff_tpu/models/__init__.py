@@ -1,0 +1,15 @@
+"""Surface engines (the reference's "strategy" layer, SURVEY §1 L3).
+
+Engine families:
+
+* :mod:`filterbank` — the flagship single-program engine: one jitted XLA
+  program computes the whole delay x doppler surface (subsumes all seven
+  reference CPU strategies, SURVEY §2.3).
+* :mod:`batched` — many (needle, haystack) pairs at once via an outer vmap.
+* :mod:`overlap_save` — wideband/long-haystack segmented correlation.
+* :mod:`streaming` — continuous time-block processing of a long capture.
+"""
+
+from caf_cookoff_tpu.models.filterbank import FilterbankCAF, amb_surf, caf_peak, caf_surface, find_peak
+
+__all__ = ["FilterbankCAF", "amb_surf", "caf_peak", "caf_surface", "find_peak"]

@@ -1,0 +1,170 @@
+"""Filterbank CAF surface engine — the flagship single-chip path.
+
+One jitted XLA program replaces all seven reference parallel strategies
+(SURVEY §2.3): the doppler fan-out that the reference spreads over rayon
+workers (``caf_rust/src/caf/mod.rs:185``), 400 goroutines
+(``caf_go/caf.go:143-160``) or a multiprocessing pool
+(``caf_python/caf.py:63-70``) is a batched (K, M) tensor program here —
+phasor bank -> batched FFT -> spectral product -> batched IFFT -> fused
+magnitude2/argmax — with the haystack FFT hoisted out of the bin loop
+(every reference impl recomputes it per bin).
+
+Pipeline (per `caf_rust/src/caf/mod.rs:67-116` semantics):
+
+    needle (N,), haystack (N,)  --pad-->  (M=2N,)
+    H = fft(haystack_pad)                          # once
+    S_k = fft(needle_pad * exp(j 2 pi f_k n / fs)) # batched over K
+    r_k = ifft(H * conj(S_k))                      # batched over K
+    surface[k, tau] = |r_k[tau]|^2
+    peak = argmax_{k, tau} surface
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from caf_cookoff_tpu.config import CafConfig, FreqGrid, xcor_length
+from caf_cookoff_tpu.ops import fft as fft_ops
+from caf_cookoff_tpu.ops.peak import CafPeak, find_peak_2d, grid_frequency, signed_lag, surface_peak
+from caf_cookoff_tpu.ops.shift import phasor_bank
+from caf_cookoff_tpu.ops.xcor import pad_to
+
+
+def _surface_rows(needle: jax.Array, haystack: jax.Array, freqs_hz: jax.Array,
+                  sample_rate, xcor_len: int, backend: str = "xla") -> jax.Array:
+    """Complex correlation rows (K, M) for one signal pair."""
+    fft_fn, ifft_fn = fft_ops.get_fft(backend)
+    real_dtype = jnp.finfo(needle.dtype).dtype
+    m = xcor_len
+    h_spec = fft_fn(pad_to(haystack, m))
+    shifted = pad_to(needle, m)[None, :] * phasor_bank(
+        freqs_hz, m, sample_rate, real_dtype)
+    s_spec = fft_fn(shifted)
+    return ifft_fn(h_spec[None, :] * jnp.conj(s_spec))
+
+
+@functools.partial(jax.jit, static_argnames=("xcor_len", "backend"))
+def _surface_jit(needle, haystack, freqs_hz, sample_rate, xcor_len, backend):
+    rows = _surface_rows(needle, haystack, freqs_hz, sample_rate, xcor_len, backend)
+    return rows.real * rows.real + rows.imag * rows.imag
+
+
+@functools.partial(jax.jit, static_argnames=("xcor_len", "backend"))
+def _peak_jit(needle, haystack, freqs_hz, sample_rate, xcor_len, backend):
+    rows = _surface_rows(needle, haystack, freqs_hz, sample_rate, xcor_len, backend)
+    return surface_peak(rows)
+
+
+def caf_surface(needle, haystack, freqs_hz, sample_rate, *,
+                backend: str = "xla") -> jax.Array:
+    """Compute the (K, M) magnitude-squared CAF surface.
+
+    Mirrors ``CafSurface::caf_surface`` (``caf_rust/src/caf/mod.rs:26-27``):
+    same operand order, same 2N zero-padding, |.|^2 rows (``mod.rs:96``).
+    """
+    needle = jnp.asarray(needle)
+    haystack = jnp.asarray(haystack)
+    if needle.shape[-1] != haystack.shape[-1]:
+        raise ValueError(
+            f"needle/haystack length mismatch: {needle.shape[-1]} vs "
+            f"{haystack.shape[-1]} (truncate the haystack, or use the "
+            "overlap_save engine for long captures)")
+    freqs_hz = jnp.asarray(freqs_hz)
+    return _surface_jit(needle, haystack, freqs_hz, float(sample_rate),
+                        xcor_length(needle.shape[-1]), backend)
+
+
+def find_peak(surface, freqs_hz) -> Tuple[float, int]:
+    """(frequency_hz, raw lag index) of the surface peak.
+
+    Matches the Rust trait's default ``find_peak``
+    (``caf_rust/src/caf/mod.rs:31-42``): raw peak index IS the lag for the
+    reference's positive-lag workload.
+    """
+    peak = find_peak_2d(jnp.asarray(surface))
+    freq = grid_frequency(peak.freq_idx, jnp.asarray(freqs_hz))
+    return float(freq), int(peak.lag_idx)
+
+
+def caf_peak(needle, haystack, freqs_hz, sample_rate, *,
+             backend: str = "xla") -> Tuple[float, int, float]:
+    """Fused surface+peak: (freq_hz, lag_idx, peak_value).
+
+    Never materializes the surface in HBM — the peak-only mode the
+    reference lacks (it always keeps full rows, ``mod.rs:17-22``).
+    """
+    needle = jnp.asarray(needle)
+    haystack = jnp.asarray(haystack)
+    freqs_hz = jnp.asarray(freqs_hz)
+    peak = _peak_jit(needle, haystack, freqs_hz, float(sample_rate),
+                     xcor_length(needle.shape[-1]), backend)
+    freq = grid_frequency(peak.freq_idx, freqs_hz)
+    return float(freq), int(peak.lag_idx), float(peak.value)
+
+
+@functools.partial(jax.jit, static_argnames=("xcor_len", "out_len"))
+def _amb_surf_jit(needle, haystack, freqs_hz, sample_rate, xcor_len, out_len):
+    # Python convention (`caf_python/caf.py:15-18,114-116`): the xcor is
+    # correlate(shifted_needle, haystack) — conjugation on the haystack
+    # side, opposite of the Rust path — in scipy 'same' layout.
+    real_dtype = jnp.finfo(needle.dtype).dtype
+    m, n = xcor_len, out_len
+    shifted = pad_to(needle, m)[None, :] * phasor_bank(
+        freqs_hz, m, sample_rate, real_dtype)
+    h_spec = jnp.fft.fft(pad_to(haystack, m))
+    rows = jnp.fft.ifft(jnp.fft.fft(shifted, axis=-1) * jnp.conj(h_spec)[None, :],
+                        axis=-1)
+    lags = (np.arange(n) - n // 2) % m  # 'same' window covers lags i - N//2
+    return jnp.abs(rows[..., lags])
+
+
+def amb_surf(needle, haystack, freqs_hz, samp_rate) -> jax.Array:
+    """Python-reference-compatible surface (``caf_python/caf.py:89-117``).
+
+    Returns (K, N) |xcor| rows in scipy ``mode='same'`` layout, so
+    ``tau = N//2 - argmax(axis=-1)`` recovers the lag exactly as the Python
+    reference's ``__main__`` does (``caf_python/caf.py:144-146``).
+    """
+    needle = jnp.asarray(needle)
+    haystack = jnp.asarray(haystack)
+    freqs_hz = jnp.asarray(freqs_hz)
+    n = needle.shape[-1]
+    return _amb_surf_jit(needle, haystack, freqs_hz, float(samp_rate),
+                         xcor_length(n), n)
+
+
+class FilterbankCAF:
+    """Config-bound engine object (the Rust trait-impl analog).
+
+    >>> engine = FilterbankCAF(CafConfig())
+    >>> surface = engine.surface(needle, haystack)
+    >>> freq, lag = engine.peak(needle, haystack)
+    """
+
+    def __init__(self, config: Optional[CafConfig] = None):
+        self.config = config or CafConfig()
+        self._freqs = jnp.asarray(
+            self.config.grid.frequencies(self.config.real_dtype))
+
+    @property
+    def frequencies(self) -> jax.Array:
+        return self._freqs
+
+    def _cast(self, x) -> jax.Array:
+        return jnp.asarray(x, dtype=self.config.complex_dtype)
+
+    def surface(self, needle, haystack) -> jax.Array:
+        return caf_surface(self._cast(needle), self._cast(haystack),
+                           self._freqs, self.config.sample_rate,
+                           backend=self.config.backend)
+
+    def peak(self, needle, haystack) -> Tuple[float, int]:
+        freq, lag, _ = caf_peak(self._cast(needle), self._cast(haystack),
+                                self._freqs, self.config.sample_rate,
+                                backend=self.config.backend)
+        return freq, lag

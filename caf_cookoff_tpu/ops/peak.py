@@ -1,0 +1,65 @@
+"""Peak extraction over the delay x doppler surface.
+
+The reference computes a per-row (argmax, max) fused into the surface build
+(``caf_rust/src/caf/mod.rs:91-102``) and then a linear scan over rows for
+the global peak (``find_peak``, ``mod.rs:31-42``). Here both levels are one
+XLA reduction; a signed-lag helper handles the 2N circular wrap that the
+reference never hits (its haystack is truncated to needle length, so all
+true lags are positive).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class CafPeak(NamedTuple):
+    """Result triple: surface value, frequency-bin index, lag index."""
+
+    value: jax.Array      # f32/f64 peak magnitude-squared
+    freq_idx: jax.Array   # i32 row (doppler bin)
+    lag_idx: jax.Array    # i32 raw column (circular lag index)
+
+
+def find_peak_2d(surface: jax.Array) -> CafPeak:
+    """Global argmax over a (K, M) real surface → (value, k, tau)."""
+    k, m = surface.shape[-2], surface.shape[-1]
+    flat_idx = jnp.argmax(surface.reshape(*surface.shape[:-2], k * m), axis=-1)
+    value = jnp.max(surface, axis=(-2, -1))
+    return CafPeak(
+        value=value,
+        freq_idx=(flat_idx // m).astype(jnp.int32),
+        lag_idx=(flat_idx % m).astype(jnp.int32),
+    )
+
+
+def surface_peak(rows_complex: jax.Array) -> CafPeak:
+    """Fused |.|^2 + argmax over complex xcor rows without storing |.|^2.
+
+    XLA fuses the magnitude-squared into the reduction, so the f32 surface
+    is never written to HBM — the analog of the reference's fused
+    mag2+argmax inner loop (``caf_rust/src/caf/mod.rs:94-102``) but across
+    the whole surface at once.
+    """
+    mag2 = (rows_complex.real * rows_complex.real
+            + rows_complex.imag * rows_complex.imag)
+    return find_peak_2d(mag2)
+
+
+def signed_lag(lag_idx: jax.Array, xcor_len: int, needle_len: int) -> jax.Array:
+    """Convert a raw circular lag index into a signed sample lag.
+
+    Indices in ``[0, needle_len)`` are positive lags (the reference's only
+    regime, ``caf_rust/tests/test.rs:29-30`` asserts raw index == lag);
+    indices near ``xcor_len`` wrap to negative lags.
+    """
+    lag = lag_idx.astype(jnp.int32)
+    return jnp.where(lag >= xcor_len - needle_len, lag - xcor_len, lag)
+
+
+def grid_frequency(freq_idx: jax.Array, freqs_hz: jax.Array) -> jax.Array:
+    """Look up the physical frequency of a doppler-bin index."""
+    return jnp.take(freqs_hz, freq_idx, axis=-1)
