@@ -11,5 +11,17 @@ Engine families:
 """
 
 from caf_cookoff_tpu.models.filterbank import FilterbankCAF, amb_surf, caf_peak, caf_surface, find_peak
+from caf_cookoff_tpu.models.overlap_save import (
+    overlap_save_peak,
+    overlap_save_surface,
+)
 
-__all__ = ["FilterbankCAF", "amb_surf", "caf_peak", "caf_surface", "find_peak"]
+__all__ = [
+    "FilterbankCAF",
+    "amb_surf",
+    "caf_peak",
+    "caf_surface",
+    "find_peak",
+    "overlap_save_peak",
+    "overlap_save_surface",
+]

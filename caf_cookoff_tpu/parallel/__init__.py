@@ -1,0 +1,38 @@
+"""Multi-chip parallelism: meshes, collectives, sharded CAF engines.
+
+The TPU-native replacement for the reference's thread/process fan-out
+(rayon / goroutines / multiprocessing — SURVEY §2.3) and its in-process
+channel "communication backend" (SURVEY §2.4): named mesh axes
+(``pair``, ``doppler``, ``time``), ``shard_map`` engines, ``ppermute``
+halo exchange and pmax/pmin peak reduction over ICI.
+"""
+
+from caf_cookoff_tpu.parallel.collectives import global_peak
+from caf_cookoff_tpu.parallel.mesh import (
+    AXIS_DOPPLER,
+    AXIS_PAIR,
+    AXIS_TIME,
+    default_mesh,
+    factor_devices,
+    make_mesh,
+)
+from caf_cookoff_tpu.parallel.sharded import (
+    batched_caf_peak,
+    sharded_caf_peak,
+    sharded_caf_surface,
+    sharded_overlap_save_peak,
+)
+
+__all__ = [
+    "AXIS_DOPPLER",
+    "AXIS_PAIR",
+    "AXIS_TIME",
+    "batched_caf_peak",
+    "default_mesh",
+    "factor_devices",
+    "global_peak",
+    "make_mesh",
+    "sharded_caf_peak",
+    "sharded_caf_surface",
+    "sharded_overlap_save_peak",
+]

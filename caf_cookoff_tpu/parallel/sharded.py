@@ -1,0 +1,271 @@
+"""Multi-chip CAF engines: ``shard_map`` over a named device mesh.
+
+The TPU replacement for the reference's seven CPU fan-out strategies
+(SURVEY §2.3): instead of rayon work-stealing (``caf_rust/src/caf/
+mod.rs:185``), 400 goroutines (``caf_go/caf.go:143-160``) or a pickling
+process pool (``caf_python/caf.py:63-70``), the doppler/pair/time axes of
+the problem are laid out over mesh axes and XLA inserts ICI collectives:
+
+* ``doppler``  — frequency bins sharded; peak reduced via pmax/pmin
+  (:mod:`caf_cookoff_tpu.parallel.collectives`);
+* ``pair``     — independent signal pairs, purely data parallel;
+* ``time``     — long-haystack lag blocks with ``ppermute`` halo
+  exchange of the ``N-1`` boundary samples (overlap-save, the
+  ring-attention-style neighbor pattern over ICI).
+
+All engines are pure functions of replicated/sharded device arrays and
+compile to a single XLA program per mesh shape.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from caf_cookoff_tpu.config import xcor_length
+from caf_cookoff_tpu.models.filterbank import _surface_rows
+from caf_cookoff_tpu.models.overlap_save import (
+    needle_spectra_conj,
+    plan_blocks,
+    streaming_peak,
+)
+from caf_cookoff_tpu.ops.peak import CafPeak, surface_peak
+from caf_cookoff_tpu.parallel.collectives import global_peak
+from caf_cookoff_tpu.parallel.mesh import AXIS_DOPPLER, AXIS_PAIR, AXIS_TIME
+
+shard_map = jax.shard_map
+
+
+def pad_axis_to(x: jnp.ndarray, multiple: int, axis: int = 0) -> jnp.ndarray:
+    """Pad ``x`` along ``axis`` to a multiple by repeating the last slice.
+
+    Used on the doppler grid: duplicated frequencies produce duplicate
+    surface rows, and the lowest-index tie-break in the peak reduction
+    guarantees the original row wins, so padding never changes results.
+    """
+    size = x.shape[axis]
+    target = -(-size // multiple) * multiple
+    if target == size:
+        return x
+    last = jnp.take(x, jnp.asarray([size - 1] * (target - size)), axis=axis)
+    return jnp.concatenate([x, last], axis=axis)
+
+
+def _right_halo(chunk: jax.Array, halo: int, axis_name: str) -> jax.Array:
+    """First ``halo`` samples of the right neighbor's chunk (zeros at edge).
+
+    The overlap-save neighbor exchange: device ``i`` receives from
+    ``i+1`` over ICI via ``ppermute``; the last device, having no right
+    neighbor, receives zeros (``ppermute``'s defined fill), which matches
+    the zero-padded haystack tail.
+    """
+    n_dev = jax.lax.axis_size(axis_name)
+    perm = [(i + 1, i) for i in range(n_dev - 1)]
+    return jax.lax.ppermute(chunk[..., :halo], axis_name, perm)
+
+
+# ---------------------------------------------------------------------------
+# Doppler-sharded filterbank surface / peak (truncated-haystack workload)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "xcor_len", "num_bins", "backend"))
+def _sharded_surface_jit(needle, haystack, freqs_padded, sample_rate, mesh,
+                         xcor_len, num_bins, backend):
+    def body(needle, haystack, freqs_loc):
+        return _surface_rows(needle, haystack, freqs_loc, sample_rate,
+                             xcor_len, backend)
+
+    rows = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(AXIS_DOPPLER)),
+        out_specs=P(AXIS_DOPPLER, None),
+    )(needle, haystack, freqs_padded)
+    mag2 = rows.real * rows.real + rows.imag * rows.imag
+    return mag2[:num_bins]
+
+
+def sharded_caf_surface(needle, haystack, freqs_hz, sample_rate, mesh: Mesh,
+                        *, backend: str = "xla") -> jax.Array:
+    """(K, M) mag^2 surface with doppler bins sharded over the mesh.
+
+    Same contract as :func:`caf_cookoff_tpu.caf_surface`; the output is a
+    global array laid out shard-by-shard over the ``doppler`` mesh axis.
+    """
+    needle = jnp.asarray(needle)
+    haystack = jnp.asarray(haystack)
+    freqs = pad_axis_to(jnp.asarray(freqs_hz), mesh.shape[AXIS_DOPPLER])
+    return _sharded_surface_jit(
+        needle, haystack, freqs, float(sample_rate), mesh,
+        xcor_length(needle.shape[-1]), int(np.shape(freqs_hz)[0]), backend)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "xcor_len", "backend"))
+def _sharded_peak_jit(needle, haystack, freqs_padded, sample_rate, mesh,
+                      xcor_len, backend):
+    k_loc = freqs_padded.shape[0] // mesh.shape[AXIS_DOPPLER]
+
+    def body(needle, haystack, freqs_loc):
+        rows = _surface_rows(needle, haystack, freqs_loc, sample_rate,
+                             xcor_len, backend)
+        local = surface_peak(rows)
+        local = CafPeak(
+            local.value,
+            local.freq_idx + jax.lax.axis_index(AXIS_DOPPLER) * k_loc,
+            local.lag_idx)
+        return global_peak(local, AXIS_DOPPLER)
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(AXIS_DOPPLER)),
+        out_specs=CafPeak(P(), P(), P()),
+    )(needle, haystack, freqs_padded)
+
+
+def sharded_caf_peak(needle, haystack, freqs_hz, sample_rate, mesh: Mesh,
+                     *, backend: str = "xla") -> Tuple[float, int, float]:
+    """(freq_hz, lag_idx, value): doppler-sharded fused surface+peak.
+
+    The surface never materializes anywhere — each chip reduces its bin
+    block and the triples meet in a pmax/pmin lattice over ICI.
+    """
+    needle = jnp.asarray(needle)
+    haystack = jnp.asarray(haystack)
+    freqs = jnp.asarray(freqs_hz)
+    freqs_p = pad_axis_to(freqs, mesh.shape[AXIS_DOPPLER])
+    peak = _sharded_peak_jit(needle, haystack, freqs_p, float(sample_rate),
+                             mesh, xcor_length(needle.shape[-1]), backend)
+    return (float(freqs_p[int(peak.freq_idx)]), int(peak.lag_idx),
+            float(peak.value))
+
+
+# ---------------------------------------------------------------------------
+# Pair + doppler sharded batch engine (many signal pairs at once)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "xcor_len", "backend"))
+def _batched_peak_jit(needles, haystacks, freqs_padded, sample_rate, mesh,
+                      xcor_len, backend):
+    k_loc = freqs_padded.shape[0] // mesh.shape[AXIS_DOPPLER]
+
+    def body(needles_loc, haystacks_loc, freqs_loc):
+        rows = jax.vmap(
+            lambda nd, hy: _surface_rows(nd, hy, freqs_loc, sample_rate,
+                                         xcor_len, backend)
+        )(needles_loc, haystacks_loc)                  # (B_loc, K_loc, M)
+        local = surface_peak(rows)                     # each field (B_loc,)
+        local = CafPeak(
+            local.value,
+            local.freq_idx + jax.lax.axis_index(AXIS_DOPPLER) * k_loc,
+            local.lag_idx)
+        return global_peak(local, AXIS_DOPPLER)
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(AXIS_PAIR), P(AXIS_PAIR), P(AXIS_DOPPLER)),
+        out_specs=CafPeak(P(AXIS_PAIR), P(AXIS_PAIR), P(AXIS_PAIR)),
+    )(needles, haystacks, freqs_padded)
+
+
+def batched_caf_peak(needles, haystacks, freqs_hz, sample_rate, mesh: Mesh,
+                     *, backend: str = "xla"):
+    """Peaks for a batch of pairs: (freqs (B,), lags (B,), values (B,)).
+
+    Batch is data-parallel over the ``pair`` mesh axis, bins over
+    ``doppler`` — the two-axis generalization the reference's
+    one-pair-at-a-time mains never reach (``caf_python/caf.py:89-108``
+    defines the single-pair unit of work).
+    """
+    needles = jnp.asarray(needles)
+    haystacks = jnp.asarray(haystacks)
+    if needles.ndim != 2 or haystacks.shape != needles.shape:
+        raise ValueError(
+            f"need matching (B, N) batches, got {needles.shape} vs "
+            f"{haystacks.shape}")
+    pair_shards = mesh.shape[AXIS_PAIR]
+    if needles.shape[0] % pair_shards:
+        raise ValueError(
+            f"batch {needles.shape[0]} not divisible by pair axis "
+            f"{pair_shards}")
+    freqs_p = pad_axis_to(jnp.asarray(freqs_hz), mesh.shape[AXIS_DOPPLER])
+    peak = _batched_peak_jit(needles, haystacks, freqs_p,
+                             float(sample_rate), mesh,
+                             xcor_length(needles.shape[-1]), backend)
+    freqs_np = np.asarray(freqs_p)
+    return (freqs_np[np.asarray(peak.freq_idx)], np.asarray(peak.lag_idx),
+            np.asarray(peak.value))
+
+
+# ---------------------------------------------------------------------------
+# Time-sharded overlap-save engine (long haystacks over the mesh)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "needle_len", "chunk", "total_lags"))
+def _os_sharded_peak_jit(needle, haystack_padded, freqs_padded, sample_rate,
+                         mesh, needle_len, chunk, total_lags):
+    k_loc = freqs_padded.shape[0] // mesh.shape[AXIS_DOPPLER]
+    m, _, _ = plan_blocks(needle_len, chunk)
+    halo = needle_len - 1
+
+    def body(needle, hay_loc, freqs_loc):
+        s_conj = needle_spectra_conj(needle, freqs_loc, sample_rate, m)
+        hay_ext = jnp.concatenate(
+            [hay_loc, _right_halo(hay_loc, halo, AXIS_TIME)], axis=-1)
+        offset = jax.lax.axis_index(AXIS_TIME) * chunk
+        local = streaming_peak(s_conj, hay_ext, needle_len, chunk,
+                               lag_offset=offset, total_lags=total_lags)
+        local = CafPeak(
+            local.value,
+            local.freq_idx + jax.lax.axis_index(AXIS_DOPPLER) * k_loc,
+            local.lag_idx)
+        return global_peak(local, (AXIS_DOPPLER, AXIS_TIME))
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(AXIS_TIME), P(AXIS_DOPPLER)),
+        out_specs=CafPeak(P(), P(), P()),
+    )(needle, haystack_padded, freqs_padded)
+
+
+def sharded_overlap_save_peak(needle, haystack, freqs_hz, sample_rate,
+                              mesh: Mesh,
+                              num_lags: Optional[int] = None
+                              ) -> Tuple[float, int, float]:
+    """(freq_hz, lag, value) for a long haystack sharded over ``time``.
+
+    Each chip owns a contiguous lag chunk, fetches its ``N-1``-sample
+    halo from the right neighbor via ``ppermute`` (zeros past the edge),
+    streams its overlap-save blocks locally, and the peak triples reduce
+    over ``(doppler, time)`` — BASELINE configs 3–5's compute pattern.
+    """
+    needle = jnp.asarray(needle)
+    haystack = jnp.asarray(haystack)
+    freqs = jnp.asarray(freqs_hz)
+    n = needle.shape[-1]
+    if haystack.shape[-1] < n:
+        raise ValueError("haystack shorter than needle")
+    total_lags = num_lags or haystack.shape[-1] - n + 1
+    t_shards = mesh.shape[AXIS_TIME]
+    # Each chunk must be at least the halo length so the ppermute
+    # neighbor exchange (chunk[:N-1]) is well-defined.
+    chunk = max(-(-total_lags // t_shards), n - 1)
+    hay_p = jnp.pad(haystack, (0, t_shards * chunk - haystack.shape[-1])) \
+        if t_shards * chunk > haystack.shape[-1] \
+        else haystack[: t_shards * chunk]
+    freqs_p = pad_axis_to(freqs, mesh.shape[AXIS_DOPPLER])
+    peak = _os_sharded_peak_jit(needle, hay_p, freqs_p, float(sample_rate),
+                                mesh, n, chunk, total_lags)
+    return (float(freqs_p[int(peak.freq_idx)]), int(peak.lag_idx),
+            float(peak.value))
