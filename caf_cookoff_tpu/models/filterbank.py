@@ -30,6 +30,7 @@ import numpy as np
 
 from caf_cookoff_tpu.config import CafConfig, FreqGrid, xcor_length
 from caf_cookoff_tpu.ops import fft as fft_ops
+from caf_cookoff_tpu.ops import splitfft
 from caf_cookoff_tpu.ops.peak import CafPeak, find_peak_2d, grid_frequency, signed_lag, surface_peak
 from caf_cookoff_tpu.ops.shift import phasor_bank
 from caf_cookoff_tpu.ops.xcor import pad_to
@@ -48,6 +49,46 @@ def _surface_rows(needle: jax.Array, haystack: jax.Array, freqs_hz: jax.Array,
     return ifft_fn(h_spec[None, :] * jnp.conj(s_spec))
 
 
+def _surface_rows_split(needle, haystack, freqs_hz, sample_rate,
+                        xcor_len: int):
+    """Split-complex correlation rows — the complex-free TPU path.
+
+    Same pipeline as :func:`_surface_rows` (haystack FFT hoisted,
+    ``mod.rs:67-116`` operand conventions) but every complex value is a
+    (re, im) f32 pair and the FFTs are stacked real MXU matmuls
+    (:mod:`caf_cookoff_tpu.ops.splitfft`).  ``needle``/``haystack`` are
+    (re, im) tuples; returns (rows_re, rows_im), each (K, M).
+    """
+    m = xcor_len
+    real_dtype = needle[0].dtype
+    h_spec = splitfft.fft_split(splitfft.pad_split(haystack, m))
+    n_re, n_im = splitfft.pad_split(needle, m)
+    rate = (2.0 * jnp.pi) * (freqs_hz.astype(real_dtype)
+                             / jnp.asarray(sample_rate, real_dtype))
+    phase = rate[:, None] * jnp.arange(m, dtype=real_dtype)
+    cos, sin = jnp.cos(phase), jnp.sin(phase)
+    shifted = (n_re[None, :] * cos - n_im[None, :] * sin,
+               n_re[None, :] * sin + n_im[None, :] * cos)
+    s_spec = splitfft.fft_split(shifted)
+    prod = splitfft.cmul_conj((h_spec[0][None, :], h_spec[1][None, :]), s_spec)
+    return splitfft.ifft_split(prod)
+
+
+@functools.partial(jax.jit, static_argnames=("xcor_len",))
+def _surface_split_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate,
+                       xcor_len):
+    rows = _surface_rows_split((n_re, n_im), (h_re, h_im), freqs_hz,
+                               sample_rate, xcor_len)
+    return splitfft.mag2(rows)
+
+
+@functools.partial(jax.jit, static_argnames=("xcor_len",))
+def _peak_split_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate, xcor_len):
+    rows = _surface_rows_split((n_re, n_im), (h_re, h_im), freqs_hz,
+                               sample_rate, xcor_len)
+    return find_peak_2d(splitfft.mag2(rows))
+
+
 @functools.partial(jax.jit, static_argnames=("xcor_len", "backend"))
 def _surface_jit(needle, haystack, freqs_hz, sample_rate, xcor_len, backend):
     rows = _surface_rows(needle, haystack, freqs_hz, sample_rate, xcor_len, backend)
@@ -60,20 +101,39 @@ def _peak_jit(needle, haystack, freqs_hz, sample_rate, xcor_len, backend):
     return surface_peak(rows)
 
 
-def caf_surface(needle, haystack, freqs_hz, sample_rate, *,
-                backend: str = "xla") -> jax.Array:
-    """Compute the (K, M) magnitude-squared CAF surface.
+def default_backend() -> str:
+    """'xla' (complex + XLA FFT HLO) on CPU; 'matmul' (split-complex MXU
+    four-step DFT) on TPU, where complex buffers are unsupported."""
+    return "xla" if jax.default_backend() == "cpu" else "matmul"
 
-    Mirrors ``CafSurface::caf_surface`` (``caf_rust/src/caf/mod.rs:26-27``):
-    same operand order, same 2N zero-padding, |.|^2 rows (``mod.rs:96``).
-    """
-    needle = jnp.asarray(needle)
-    haystack = jnp.asarray(haystack)
+
+def _check_pair(needle, haystack):
     if needle.shape[-1] != haystack.shape[-1]:
         raise ValueError(
             f"needle/haystack length mismatch: {needle.shape[-1]} vs "
             f"{haystack.shape[-1]} (truncate the haystack, or use the "
             "overlap_save engine for long captures)")
+
+
+def caf_surface(needle, haystack, freqs_hz, sample_rate, *,
+                backend: Optional[str] = None) -> jax.Array:
+    """Compute the (K, M) magnitude-squared CAF surface.
+
+    Mirrors ``CafSurface::caf_surface`` (``caf_rust/src/caf/mod.rs:26-27``):
+    same operand order, same 2N zero-padding, |.|^2 rows (``mod.rs:96``).
+    """
+    backend = backend or default_backend()
+    if backend == "matmul":
+        n_re, n_im = splitfft.split_array(needle)
+        h_re, h_im = splitfft.split_array(haystack)
+        _check_pair(n_re, h_re)
+        return _surface_split_jit(
+            n_re, n_im, h_re, h_im,
+            jnp.asarray(np.asarray(freqs_hz, dtype=n_re.dtype)),
+            float(sample_rate), xcor_length(n_re.shape[-1]))
+    needle = jnp.asarray(needle)
+    haystack = jnp.asarray(haystack)
+    _check_pair(needle, haystack)
     freqs_hz = jnp.asarray(freqs_hz)
     return _surface_jit(needle, haystack, freqs_hz, float(sample_rate),
                         xcor_length(needle.shape[-1]), backend)
@@ -92,12 +152,22 @@ def find_peak(surface, freqs_hz) -> Tuple[float, int]:
 
 
 def caf_peak(needle, haystack, freqs_hz, sample_rate, *,
-             backend: str = "xla") -> Tuple[float, int, float]:
+             backend: Optional[str] = None) -> Tuple[float, int, float]:
     """Fused surface+peak: (freq_hz, lag_idx, peak_value).
 
     Never materializes the surface in HBM — the peak-only mode the
     reference lacks (it always keeps full rows, ``mod.rs:17-22``).
     """
+    backend = backend or default_backend()
+    if backend == "matmul":
+        n_re, n_im = splitfft.split_array(needle)
+        h_re, h_im = splitfft.split_array(haystack)
+        _check_pair(n_re, h_re)
+        freqs_np = np.asarray(freqs_hz, dtype=n_re.dtype)
+        peak = _peak_split_jit(n_re, n_im, h_re, h_im, jnp.asarray(freqs_np),
+                               float(sample_rate), xcor_length(n_re.shape[-1]))
+        return (float(freqs_np[int(peak.freq_idx)]), int(peak.lag_idx),
+                float(peak.value))
     needle = jnp.asarray(needle)
     haystack = jnp.asarray(haystack)
     freqs_hz = jnp.asarray(freqs_hz)
@@ -155,16 +225,22 @@ class FilterbankCAF:
     def frequencies(self) -> jax.Array:
         return self._freqs
 
-    def _cast(self, x) -> jax.Array:
-        return jnp.asarray(x, dtype=self.config.complex_dtype)
+    def _cast(self, x) -> np.ndarray:
+        # Host-side cast: device placement (and complex→split conversion
+        # on TPU) happens inside the dispatchers.
+        return np.asarray(x, dtype=self.config.complex_dtype)
+
+    def _backend(self) -> str:
+        b = self.config.backend
+        return default_backend() if b == "auto" else b
 
     def surface(self, needle, haystack) -> jax.Array:
         return caf_surface(self._cast(needle), self._cast(haystack),
                            self._freqs, self.config.sample_rate,
-                           backend=self.config.backend)
+                           backend=self._backend())
 
     def peak(self, needle, haystack) -> Tuple[float, int]:
         freq, lag, _ = caf_peak(self._cast(needle), self._cast(haystack),
                                 self._freqs, self.config.sample_rate,
-                                backend=self.config.backend)
+                                backend=self._backend())
         return freq, lag

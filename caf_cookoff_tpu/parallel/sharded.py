@@ -41,19 +41,23 @@ from caf_cookoff_tpu.parallel.mesh import AXIS_DOPPLER, AXIS_PAIR, AXIS_TIME
 shard_map = jax.shard_map
 
 
-def pad_axis_to(x: jnp.ndarray, multiple: int, axis: int = 0) -> jnp.ndarray:
+def pad_axis_to(x: np.ndarray, multiple: int, axis: int = 0) -> np.ndarray:
     """Pad ``x`` along ``axis`` to a multiple by repeating the last slice.
 
     Used on the doppler grid: duplicated frequencies produce duplicate
     surface rows, and the lowest-index tie-break in the peak reduction
     guarantees the original row wins, so padding never changes results.
+    Host-side (numpy): sharded-engine inputs stay on host until the
+    jitted program places them onto the mesh devices — eager placement
+    would pin them to the default device, which may not be in the mesh.
     """
+    x = np.asarray(x)
     size = x.shape[axis]
     target = -(-size // multiple) * multiple
     if target == size:
         return x
-    last = jnp.take(x, jnp.asarray([size - 1] * (target - size)), axis=axis)
-    return jnp.concatenate([x, last], axis=axis)
+    last = np.take(x, [size - 1] * (target - size), axis=axis)
+    return np.concatenate([x, last], axis=axis)
 
 
 def _right_halo(chunk: jax.Array, halo: int, axis_name: str) -> jax.Array:
@@ -98,9 +102,9 @@ def sharded_caf_surface(needle, haystack, freqs_hz, sample_rate, mesh: Mesh,
     Same contract as :func:`caf_cookoff_tpu.caf_surface`; the output is a
     global array laid out shard-by-shard over the ``doppler`` mesh axis.
     """
-    needle = jnp.asarray(needle)
-    haystack = jnp.asarray(haystack)
-    freqs = pad_axis_to(jnp.asarray(freqs_hz), mesh.shape[AXIS_DOPPLER])
+    needle = np.asarray(needle)
+    haystack = np.asarray(haystack)
+    freqs = pad_axis_to(freqs_hz, mesh.shape[AXIS_DOPPLER])
     return _sharded_surface_jit(
         needle, haystack, freqs, float(sample_rate), mesh,
         xcor_length(needle.shape[-1]), int(np.shape(freqs_hz)[0]), backend)
@@ -136,10 +140,9 @@ def sharded_caf_peak(needle, haystack, freqs_hz, sample_rate, mesh: Mesh,
     The surface never materializes anywhere — each chip reduces its bin
     block and the triples meet in a pmax/pmin lattice over ICI.
     """
-    needle = jnp.asarray(needle)
-    haystack = jnp.asarray(haystack)
-    freqs = jnp.asarray(freqs_hz)
-    freqs_p = pad_axis_to(freqs, mesh.shape[AXIS_DOPPLER])
+    needle = np.asarray(needle)
+    haystack = np.asarray(haystack)
+    freqs_p = pad_axis_to(freqs_hz, mesh.shape[AXIS_DOPPLER])
     peak = _sharded_peak_jit(needle, haystack, freqs_p, float(sample_rate),
                              mesh, xcor_length(needle.shape[-1]), backend)
     return (float(freqs_p[int(peak.freq_idx)]), int(peak.lag_idx),
@@ -185,8 +188,8 @@ def batched_caf_peak(needles, haystacks, freqs_hz, sample_rate, mesh: Mesh,
     one-pair-at-a-time mains never reach (``caf_python/caf.py:89-108``
     defines the single-pair unit of work).
     """
-    needles = jnp.asarray(needles)
-    haystacks = jnp.asarray(haystacks)
+    needles = np.asarray(needles)
+    haystacks = np.asarray(haystacks)
     if needles.ndim != 2 or haystacks.shape != needles.shape:
         raise ValueError(
             f"need matching (B, N) batches, got {needles.shape} vs "
@@ -196,7 +199,7 @@ def batched_caf_peak(needles, haystacks, freqs_hz, sample_rate, mesh: Mesh,
         raise ValueError(
             f"batch {needles.shape[0]} not divisible by pair axis "
             f"{pair_shards}")
-    freqs_p = pad_axis_to(jnp.asarray(freqs_hz), mesh.shape[AXIS_DOPPLER])
+    freqs_p = pad_axis_to(freqs_hz, mesh.shape[AXIS_DOPPLER])
     peak = _batched_peak_jit(needles, haystacks, freqs_p,
                              float(sample_rate), mesh,
                              xcor_length(needles.shape[-1]), backend)
@@ -250,9 +253,8 @@ def sharded_overlap_save_peak(needle, haystack, freqs_hz, sample_rate,
     streams its overlap-save blocks locally, and the peak triples reduce
     over ``(doppler, time)`` — BASELINE configs 3–5's compute pattern.
     """
-    needle = jnp.asarray(needle)
-    haystack = jnp.asarray(haystack)
-    freqs = jnp.asarray(freqs_hz)
+    needle = np.asarray(needle)
+    haystack = np.asarray(haystack)
     n = needle.shape[-1]
     if haystack.shape[-1] < n:
         raise ValueError("haystack shorter than needle")
@@ -261,10 +263,10 @@ def sharded_overlap_save_peak(needle, haystack, freqs_hz, sample_rate,
     # Each chunk must be at least the halo length so the ppermute
     # neighbor exchange (chunk[:N-1]) is well-defined.
     chunk = max(-(-total_lags // t_shards), n - 1)
-    hay_p = jnp.pad(haystack, (0, t_shards * chunk - haystack.shape[-1])) \
+    hay_p = np.pad(haystack, (0, t_shards * chunk - haystack.shape[-1])) \
         if t_shards * chunk > haystack.shape[-1] \
         else haystack[: t_shards * chunk]
-    freqs_p = pad_axis_to(freqs, mesh.shape[AXIS_DOPPLER])
+    freqs_p = pad_axis_to(freqs_hz, mesh.shape[AXIS_DOPPLER])
     peak = _os_sharded_peak_jit(needle, hay_p, freqs_p, float(sample_rate),
                                 mesh, n, chunk, total_lags)
     return (float(freqs_p[int(peak.freq_idx)]), int(peak.lag_idx),

@@ -1,0 +1,89 @@
+"""Split-complex MXU DFT unit tests vs the numpy FFT oracle.
+
+The TPU compute path never touches a complex dtype (axon rejects complex
+buffers); these pin the stacked-real-matmul four-step DFT
+(:mod:`caf_cookoff_tpu.ops.splitfft`) and the complex façade
+(:func:`caf_cookoff_tpu.ops.fft.fft_matmul`) against ``np.fft``.
+"""
+
+import numpy as np
+import pytest
+
+from caf_cookoff_tpu.ops import splitfft
+from caf_cookoff_tpu.ops.fft import fft_matmul
+
+
+def _rand_c64(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(shape)
+            + 1j * rng.standard_normal(shape)).astype(np.complex64)
+
+
+@pytest.mark.parametrize("n", [8, 64, 128, 512, 8192])
+def test_fft_split_matches_numpy(n):
+    x = _rand_c64((n,), seed=n)
+    got = splitfft.merge_split(
+        splitfft.fft_split((x.real.copy(), x.imag.copy())))
+    want = np.fft.fft(x)
+    np.testing.assert_allclose(got, want.astype(np.complex64),
+                               rtol=1e-4, atol=1e-3 * np.sqrt(n))
+
+
+@pytest.mark.parametrize("n", [64, 8192])
+def test_ifft_split_roundtrip(n):
+    x = _rand_c64((3, n), seed=n + 1)
+    fwd = splitfft.fft_split((x.real.copy(), x.imag.copy()))
+    back = splitfft.merge_split(splitfft.ifft_split(fwd))
+    np.testing.assert_allclose(back, x, rtol=1e-4, atol=1e-4 * np.sqrt(n))
+
+
+def test_fft_split_batched_equals_rowwise():
+    x = _rand_c64((5, 256), seed=9)
+    batched = splitfft.merge_split(
+        splitfft.fft_split((x.real.copy(), x.imag.copy())))
+    for i in range(5):
+        row = splitfft.merge_split(
+            splitfft.fft_split((x[i].real.copy(), x[i].imag.copy())))
+        np.testing.assert_allclose(batched[i], row, rtol=1e-5, atol=1e-3)
+
+
+def test_fft_matmul_facade():
+    x = _rand_c64((1024,), seed=4)
+    got = np.asarray(fft_matmul(x))
+    np.testing.assert_allclose(got, np.fft.fft(x).astype(np.complex64),
+                               rtol=1e-4, atol=3e-2)
+
+
+def test_cmul_conventions():
+    a = _rand_c64((16,), 1)
+    b = _rand_c64((16,), 2)
+    got = splitfft.merge_split(
+        splitfft.cmul((a.real, a.imag), (b.real, b.imag)))
+    np.testing.assert_allclose(got, a * b, rtol=1e-5, atol=1e-5)
+    got = splitfft.merge_split(
+        splitfft.cmul_conj((a.real, a.imag), (b.real, b.imag)))
+    np.testing.assert_allclose(got, a * np.conj(b), rtol=1e-5, atol=1e-5)
+
+
+def test_non_pow2_length():
+    x = _rand_c64((96,), seed=6)  # 96 = 8 * 12, non-pow2 factorization
+    got = splitfft.merge_split(splitfft.fft_split((x.real, x.imag)))
+    np.testing.assert_allclose(got, np.fft.fft(x).astype(np.complex64),
+                               rtol=1e-4, atol=1e-2)
+
+
+def test_split_surface_matches_xla_backend():
+    """The split (TPU) filterbank path lands on the same surface as the
+    complex XLA-FFT path — cross-strategy consistency across
+    representations."""
+    from caf_cookoff_tpu.models.filterbank import caf_surface
+
+    rng = np.random.default_rng(12)
+    n = 256
+    needle = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = np.roll(needle, 30) * np.exp(
+        2j * np.pi * 40.0 * np.arange(n) / 48e3).astype(np.complex64)
+    freqs = np.arange(-100.0, 100.0, 10.0, dtype=np.float32)
+    a = np.asarray(caf_surface(needle, hay, freqs, 48e3, backend="xla"))
+    b = np.asarray(caf_surface(needle, hay, freqs, 48e3, backend="matmul"))
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-1)
