@@ -1,0 +1,210 @@
+"""Command-line interface.
+
+The reference hardcodes every parameter in three separate ``main``s and
+left Rust CLI support as a TODO that never landed
+(``caf_rust/src/main.rs:1-2``); its only runtime knob is ``GOMAXPROCS``
+(``README.md:48-49``).  This CLI exposes the whole framework:
+
+  caf-tpu generate  — synthesize the deterministic chirp fixtures
+                      (``utils/generate.py`` parity)
+  caf-tpu run       — CAF a (needle, haystack) pair: peak + optional
+                      surface dump/plot (the three reference mains)
+  caf-tpu bench     — strategy table over backends, README-style
+  caf-tpu info      — devices, mesh, backend resolution
+
+Usage: ``python -m caf_cookoff_tpu <cmd> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+from caf_cookoff_tpu.config import (
+    DEFAULT_SAMPLE_RATE,
+    BENCH_GRID,
+    FreqGrid,
+    default_backend,
+)
+
+
+def _add_grid_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--freq-start", type=float, default=BENCH_GRID.start_hz,
+                   help="doppler grid start (Hz)")
+    p.add_argument("--freq-stop", type=float, default=BENCH_GRID.stop_hz,
+                   help="doppler grid stop, exclusive (Hz)")
+    p.add_argument("--freq-step", type=float, default=BENCH_GRID.step_hz,
+                   help="doppler grid step (Hz)")
+    p.add_argument("--fs", type=float, default=DEFAULT_SAMPLE_RATE,
+                   help="sample rate (Hz)")
+    p.add_argument("--backend", choices=("auto", "xla", "matmul"),
+                   default="auto", help="FFT backend (auto: xla on CPU, "
+                   "matmul on TPU)")
+
+
+def _resolve_backend(name: str) -> str:
+    return default_backend() if name == "auto" else name
+
+
+def _grid(args) -> FreqGrid:
+    return FreqGrid(args.freq_start, args.freq_stop, args.freq_step)
+
+
+def cmd_generate(args) -> int:
+    from caf_cookoff_tpu.utils.generate import synthesize_fixtures
+
+    pairs = synthesize_fixtures(args.out, count=args.count, seed=args.seed)
+    for needle, haystack in pairs:
+        print(f"{needle}  +  {haystack}")
+    return 0
+
+
+def cmd_run(args) -> int:
+    from caf_cookoff_tpu.models.filterbank import caf_peak, caf_surface
+    from caf_cookoff_tpu.models.overlap_save import overlap_save_peak
+    from caf_cookoff_tpu.utils.io import dump_surf, load_c64, save_npy
+
+    backend = _resolve_backend(args.backend)
+    needle = load_c64(args.needle)
+    haystack = load_c64(args.haystack)
+    freqs = _grid(args).frequencies(np.float32)
+
+    t0 = time.perf_counter()
+    if args.full_haystack and len(haystack) > len(needle):
+        freq, lag, value = overlap_save_peak(
+            needle, haystack, freqs, args.fs, backend=backend)
+    else:
+        haystack = haystack[: len(needle)]
+        freq, lag, value = caf_peak(needle, haystack, freqs, args.fs,
+                                    backend=backend)
+    elapsed_ms = (time.perf_counter() - t0) * 1e3
+
+    # The reference's result line: freq offset + lag in samples (+ms at
+    # 48 kHz), `caf_rust/src/main.rs:29-31`, `caf_go/main.go:35`.
+    print(f"Frequency offset: {freq:.3f} Hz")
+    print(f"Time offset: {lag} samples ({lag / args.fs * 1e3:.4f} ms)")
+    print(f"Peak value: {value:.6g}   [{backend}, {elapsed_ms:.1f} ms "
+          "incl. compile]")
+
+    if args.dump_surface or args.plot:
+        surface = np.asarray(caf_surface(
+            needle, haystack[: len(needle)], freqs, args.fs,
+            backend=backend))
+        if args.dump_surface:
+            if args.dump_surface.endswith(".npy"):
+                save_npy(args.dump_surface, surface)
+            else:
+                # Go parity: raw little-endian f64 rows
+                # (`caf_go/caf.go:14-29`, main.go:37 dumps to /tmp/derp).
+                dump_surf(args.dump_surface, surface.astype(np.float64))
+            print(f"surface ({surface.shape[0]}x{surface.shape[1]}) -> "
+                  f"{args.dump_surface}")
+        if args.plot:
+            _plot_surface(surface, freqs, args.plot)
+    return 0
+
+
+def _plot_surface(surface: np.ndarray, freqs: np.ndarray,
+                  out_path: str) -> None:
+    """imshow of the delay-doppler surface (caf_python/caf.py:150-163
+    parity, minus its left-right mirror quirk noted at :120)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    kmax, tmax = np.unravel_index(surface.argmax(), surface.shape)
+    fig, ax = plt.subplots(figsize=(8, 6))
+    extent = (0, surface.shape[1], float(freqs[-1]), float(freqs[0]))
+    ax.imshow(10 * np.log10(surface + 1e-20), aspect="auto", extent=extent,
+              cmap="viridis")
+    ax.plot(tmax + 0.5, freqs[kmax], "rx", markersize=12)
+    ax.set_xlabel("lag (samples)")
+    ax.set_ylabel("doppler (Hz)")
+    ax.set_title(f"CAF surface — peak {freqs[kmax]:+.2f} Hz @ {tmax} samp")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    print(f"plot -> {out_path}")
+
+
+def cmd_bench(args) -> int:
+    from caf_cookoff_tpu.utils.bench import run_benchmarks
+
+    results = run_benchmarks(
+        grid=_grid(args), sample_rate=args.fs, rounds=args.rounds,
+        backends=args.backends.split(","), data_dir=args.data)
+    if args.json:
+        print(json.dumps(results, indent=2))
+    else:
+        print(f"{'strategy':<28}{'ms/surface':>12}{'surfaces/s':>12}")
+        for row in results:
+            print(f"{row['strategy']:<28}{row['ms']:>12.3f}"
+                  f"{1e3 / row['ms']:>12.1f}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    print(f"jax {jax.__version__}")
+    print(f"default backend: {jax.default_backend()}")
+    print(f"devices: {jax.devices()}")
+    print(f"resolved FFT backend: {default_backend()}")
+    try:
+        cpus = jax.devices("cpu")
+        print(f"cpu devices (virtual mesh capacity): {len(cpus)}")
+    except RuntimeError:
+        pass
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="caf-tpu",
+        description="TPU-native cross-ambiguity-function engine")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="synthesize chirp fixtures")
+    g.add_argument("--out", default="data", help="output directory")
+    g.add_argument("--count", type=int, default=10)
+    g.add_argument("--seed", type=int, default=0)
+    g.set_defaults(fn=cmd_generate)
+
+    r = sub.add_parser("run", help="CAF one (needle, haystack) pair")
+    r.add_argument("needle", help=".c64 needle (signal of interest)")
+    r.add_argument("haystack", help=".c64 haystack (capture)")
+    _add_grid_args(r)
+    r.add_argument("--full-haystack", action="store_true",
+                   help="search the whole capture via overlap-save "
+                   "(reference truncates to needle length)")
+    r.add_argument("--dump-surface", metavar="PATH",
+                   help="write the surface (.npy, or raw f64 Go-parity)")
+    r.add_argument("--plot", metavar="PNG", help="save an imshow plot")
+    r.set_defaults(fn=cmd_run)
+
+    b = sub.add_parser("bench", help="README-style strategy table")
+    _add_grid_args(b)
+    b.add_argument("--rounds", type=int, default=3,
+                   help="timing rounds (reference uses 3, caf.py:137)")
+    b.add_argument("--backends", default="xla,matmul")
+    b.add_argument("--data", default="data")
+    b.add_argument("--json", action="store_true")
+    b.set_defaults(fn=cmd_bench)
+
+    i = sub.add_parser("info", help="devices and backend resolution")
+    i.set_defaults(fn=cmd_info)
+    return p
+
+
+def main(argv: Optional[list] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

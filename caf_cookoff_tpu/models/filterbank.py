@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from caf_cookoff_tpu.config import CafConfig, FreqGrid, xcor_length
+from caf_cookoff_tpu.config import CafConfig, FreqGrid, default_backend, xcor_length
 from caf_cookoff_tpu.ops import fft as fft_ops
 from caf_cookoff_tpu.ops import splitfft
 from caf_cookoff_tpu.ops.peak import CafPeak, find_peak_2d, grid_frequency, signed_lag, surface_peak
@@ -38,7 +38,12 @@ from caf_cookoff_tpu.ops.xcor import pad_to
 
 def _surface_rows(needle: jax.Array, haystack: jax.Array, freqs_hz: jax.Array,
                   sample_rate, xcor_len: int, backend: str = "xla") -> jax.Array:
-    """Complex correlation rows (K, M) for one signal pair."""
+    """Complex correlation rows (K, M) for one signal pair.
+
+    Complex-dtype convenience over :func:`_surface_rows_split` semantics;
+    CPU-side use only (kept for notebook/oracle work — the engines run
+    the split path).
+    """
     fft_fn, ifft_fn = fft_ops.get_fft(backend)
     real_dtype = jnp.finfo(needle.dtype).dtype
     m = xcor_len
@@ -50,61 +55,50 @@ def _surface_rows(needle: jax.Array, haystack: jax.Array, freqs_hz: jax.Array,
 
 
 def _surface_rows_split(needle, haystack, freqs_hz, sample_rate,
-                        xcor_len: int):
-    """Split-complex correlation rows — the complex-free TPU path.
+                        xcor_len: int, backend: str = "matmul"):
+    """Split-complex correlation rows — the native (complex-free) path.
 
     Same pipeline as :func:`_surface_rows` (haystack FFT hoisted,
     ``mod.rs:67-116`` operand conventions) but every complex value is a
-    (re, im) f32 pair and the FFTs are stacked real MXU matmuls
-    (:mod:`caf_cookoff_tpu.ops.splitfft`).  ``needle``/``haystack`` are
-    (re, im) tuples; returns (rows_re, rows_im), each (K, M).
+    (re, im) real pair; the FFT backend is either stacked real MXU
+    matmuls ('matmul', TPU-native) or a complex-HLO facade ('xla',
+    CPU-fast) — :mod:`caf_cookoff_tpu.ops.splitfft`.  The phasor bank is
+    evaluated only over the N needle samples (the padding region is
+    zeros, so shifting it is wasted transcendentals).
+    ``needle``/``haystack`` are (re, im) tuples; returns
+    (rows_re, rows_im), each (K, M).
     """
     m = xcor_len
-    real_dtype = needle[0].dtype
-    h_spec = splitfft.fft_split(splitfft.pad_split(haystack, m))
-    n_re, n_im = splitfft.pad_split(needle, m)
+    fft_fn, ifft_fn = splitfft.get_split_fft(backend)
+    n_re, n_im = needle
+    real_dtype = n_re.dtype
+    h_spec = fft_fn(splitfft.pad_split(haystack, m))
     rate = (2.0 * jnp.pi) * (freqs_hz.astype(real_dtype)
                              / jnp.asarray(sample_rate, real_dtype))
-    phase = rate[:, None] * jnp.arange(m, dtype=real_dtype)
+    phase = rate[:, None] * jnp.arange(n_re.shape[-1], dtype=real_dtype)
     cos, sin = jnp.cos(phase), jnp.sin(phase)
-    shifted = (n_re[None, :] * cos - n_im[None, :] * sin,
-               n_re[None, :] * sin + n_im[None, :] * cos)
-    s_spec = splitfft.fft_split(shifted)
+    shifted = splitfft.pad_split(
+        (n_re[None, :] * cos - n_im[None, :] * sin,
+         n_re[None, :] * sin + n_im[None, :] * cos), m)
+    s_spec = fft_fn(shifted)
     prod = splitfft.cmul_conj((h_spec[0][None, :], h_spec[1][None, :]), s_spec)
-    return splitfft.ifft_split(prod)
+    return ifft_fn(prod)
 
 
-@functools.partial(jax.jit, static_argnames=("xcor_len",))
+@functools.partial(jax.jit, static_argnames=("xcor_len", "backend"))
 def _surface_split_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate,
-                       xcor_len):
+                       xcor_len, backend="matmul"):
     rows = _surface_rows_split((n_re, n_im), (h_re, h_im), freqs_hz,
-                               sample_rate, xcor_len)
+                               sample_rate, xcor_len, backend)
     return splitfft.mag2(rows)
 
 
-@functools.partial(jax.jit, static_argnames=("xcor_len",))
-def _peak_split_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate, xcor_len):
+@functools.partial(jax.jit, static_argnames=("xcor_len", "backend"))
+def _peak_split_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate, xcor_len,
+                    backend="matmul"):
     rows = _surface_rows_split((n_re, n_im), (h_re, h_im), freqs_hz,
-                               sample_rate, xcor_len)
+                               sample_rate, xcor_len, backend)
     return find_peak_2d(splitfft.mag2(rows))
-
-
-@functools.partial(jax.jit, static_argnames=("xcor_len", "backend"))
-def _surface_jit(needle, haystack, freqs_hz, sample_rate, xcor_len, backend):
-    rows = _surface_rows(needle, haystack, freqs_hz, sample_rate, xcor_len, backend)
-    return rows.real * rows.real + rows.imag * rows.imag
-
-
-@functools.partial(jax.jit, static_argnames=("xcor_len", "backend"))
-def _peak_jit(needle, haystack, freqs_hz, sample_rate, xcor_len, backend):
-    rows = _surface_rows(needle, haystack, freqs_hz, sample_rate, xcor_len, backend)
-    return surface_peak(rows)
-
-
-def default_backend() -> str:
-    """'xla' (complex + XLA FFT HLO) on CPU; 'matmul' (split-complex MXU
-    four-step DFT) on TPU, where complex buffers are unsupported."""
-    return "xla" if jax.default_backend() == "cpu" else "matmul"
 
 
 def _check_pair(needle, haystack):
@@ -115,28 +109,28 @@ def _check_pair(needle, haystack):
             "overlap_save engine for long captures)")
 
 
+def _split_inputs(needle, haystack, freqs_hz):
+    n_re, n_im = splitfft.split_array(needle)
+    h_re, h_im = splitfft.split_array(haystack)
+    _check_pair(n_re, h_re)
+    return (n_re, n_im, h_re, h_im,
+            np.asarray(freqs_hz, dtype=n_re.dtype))
+
+
 def caf_surface(needle, haystack, freqs_hz, sample_rate, *,
                 backend: Optional[str] = None) -> jax.Array:
     """Compute the (K, M) magnitude-squared CAF surface.
 
     Mirrors ``CafSurface::caf_surface`` (``caf_rust/src/caf/mod.rs:26-27``):
     same operand order, same 2N zero-padding, |.|^2 rows (``mod.rs:96``).
+    Inputs may be complex (split at this boundary) — device math is
+    always split-complex.
     """
     backend = backend or default_backend()
-    if backend == "matmul":
-        n_re, n_im = splitfft.split_array(needle)
-        h_re, h_im = splitfft.split_array(haystack)
-        _check_pair(n_re, h_re)
-        return _surface_split_jit(
-            n_re, n_im, h_re, h_im,
-            jnp.asarray(np.asarray(freqs_hz, dtype=n_re.dtype)),
-            float(sample_rate), xcor_length(n_re.shape[-1]))
-    needle = jnp.asarray(needle)
-    haystack = jnp.asarray(haystack)
-    _check_pair(needle, haystack)
-    freqs_hz = jnp.asarray(freqs_hz)
-    return _surface_jit(needle, haystack, freqs_hz, float(sample_rate),
-                        xcor_length(needle.shape[-1]), backend)
+    n_re, n_im, h_re, h_im, freqs = _split_inputs(needle, haystack, freqs_hz)
+    return _surface_split_jit(n_re, n_im, h_re, h_im, jnp.asarray(freqs),
+                              float(sample_rate),
+                              xcor_length(n_re.shape[-1]), backend)
 
 
 def find_peak(surface, freqs_hz) -> Tuple[float, int]:
@@ -159,22 +153,12 @@ def caf_peak(needle, haystack, freqs_hz, sample_rate, *,
     reference lacks (it always keeps full rows, ``mod.rs:17-22``).
     """
     backend = backend or default_backend()
-    if backend == "matmul":
-        n_re, n_im = splitfft.split_array(needle)
-        h_re, h_im = splitfft.split_array(haystack)
-        _check_pair(n_re, h_re)
-        freqs_np = np.asarray(freqs_hz, dtype=n_re.dtype)
-        peak = _peak_split_jit(n_re, n_im, h_re, h_im, jnp.asarray(freqs_np),
-                               float(sample_rate), xcor_length(n_re.shape[-1]))
-        return (float(freqs_np[int(peak.freq_idx)]), int(peak.lag_idx),
-                float(peak.value))
-    needle = jnp.asarray(needle)
-    haystack = jnp.asarray(haystack)
-    freqs_hz = jnp.asarray(freqs_hz)
-    peak = _peak_jit(needle, haystack, freqs_hz, float(sample_rate),
-                     xcor_length(needle.shape[-1]), backend)
-    freq = grid_frequency(peak.freq_idx, freqs_hz)
-    return float(freq), int(peak.lag_idx), float(peak.value)
+    n_re, n_im, h_re, h_im, freqs = _split_inputs(needle, haystack, freqs_hz)
+    peak = _peak_split_jit(n_re, n_im, h_re, h_im, jnp.asarray(freqs),
+                           float(sample_rate), xcor_length(n_re.shape[-1]),
+                           backend)
+    return (float(freqs[int(peak.freq_idx)]), int(peak.lag_idx),
+            float(peak.value))
 
 
 @functools.partial(jax.jit, static_argnames=("xcor_len", "out_len"))

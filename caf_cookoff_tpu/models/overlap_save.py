@@ -14,12 +14,15 @@ per block, block ``b`` reads haystack samples ``[bV, bV + V + N - 1)``
 (zero-padded at the tail), so circular lag ``i < V`` of the block equals
 linear lag ``bV + i`` of the full correlation — no wrap contamination.
 
-The doppler-shifted needle spectra are computed once and reused across
-all blocks (the same hoisting the reference misses even for its single
-haystack FFT, SURVEY §3.1).  The peak path streams blocks through a
-``lax.scan`` so the surface never touches HBM; the time-sharded
-multi-chip variant lives in ``parallel/sharded.py`` and reuses
-:func:`streaming_peak` per shard after a ``ppermute`` halo exchange.
+All device math is split-complex (re, im real pairs — TPU runtimes have
+no complex support, :mod:`caf_cookoff_tpu.ops.splitfft`); complex dtypes
+appear only at the public API boundary.  The doppler-shifted needle
+spectra are computed once and reused across all blocks (the hoisting the
+reference misses even for its single haystack FFT, SURVEY §3.1).  The
+peak path streams blocks through a ``lax.scan`` so the surface never
+touches HBM; the time-sharded multi-chip variant lives in
+``parallel/sharded.py`` and reuses :func:`streaming_peak` per shard
+after a ``ppermute`` halo exchange.
 """
 
 from __future__ import annotations
@@ -29,11 +32,12 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from caf_cookoff_tpu.config import xcor_length
+from caf_cookoff_tpu.config import default_backend, xcor_length
+from caf_cookoff_tpu.ops import splitfft
 from caf_cookoff_tpu.ops.peak import CafPeak, find_peak_2d
-from caf_cookoff_tpu.ops.shift import shift_bank
-from caf_cookoff_tpu.ops.xcor import pad_to
+from caf_cookoff_tpu.ops.splitfft import SplitComplex
 
 
 def plan_blocks(needle_len: int, num_lags: int) -> Tuple[int, int, int]:
@@ -44,25 +48,41 @@ def plan_blocks(needle_len: int, num_lags: int) -> Tuple[int, int, int]:
     return m, v, b
 
 
-def needle_spectra_conj(needle: jax.Array, freqs_hz: jax.Array,
-                        sample_rate, fft_len: int) -> jax.Array:
-    """conj(FFT(padded shifted needle bank)) — (K, M), computed once."""
-    shifted = pad_to(shift_bank(needle, freqs_hz, sample_rate), fft_len)
-    return jnp.conj(jnp.fft.fft(shifted, axis=-1))
+def needle_spectra_conj(needle: SplitComplex, freqs_hz: jax.Array,
+                        sample_rate, fft_len: int,
+                        backend: str = "matmul") -> SplitComplex:
+    """conj(FFT(padded shifted needle bank)) — split (K, M), computed once."""
+    fft_fn, _ = splitfft.get_split_fft(backend)
+    n_re, n_im = needle
+    real_dtype = n_re.dtype
+    rate = (2.0 * jnp.pi) * (freqs_hz.astype(real_dtype)
+                             / jnp.asarray(sample_rate, real_dtype))
+    phase = rate[:, None] * jnp.arange(n_re.shape[-1], dtype=real_dtype)
+    cos, sin = jnp.cos(phase), jnp.sin(phase)
+    shifted = splitfft.pad_split(
+        (n_re[None, :] * cos - n_im[None, :] * sin,
+         n_re[None, :] * sin + n_im[None, :] * cos), fft_len)
+    s_re, s_im = fft_fn(shifted)
+    return s_re, -s_im
 
 
-def _block_rows(hay_padded: jax.Array, s_conj: jax.Array, b: jax.Array,
-                v: int, d: int, m: int) -> jax.Array:
+def _block_rows(hay: SplitComplex, s_conj: SplitComplex, b: jax.Array,
+                v: int, d: int, m: int, backend: str) -> jax.Array:
     """(K, V) mag^2 rows of block ``b``: local lags [b*V, b*V + V)."""
-    blk = jax.lax.dynamic_slice(hay_padded, (b * v,), (d,))
-    spec = jnp.fft.fft(pad_to(blk, m))
-    rows = jnp.fft.ifft(spec[None, :] * s_conj, axis=-1)[..., :v]
-    return rows.real * rows.real + rows.imag * rows.imag
+    fft_fn, ifft_fn = splitfft.get_split_fft(backend)
+    blk = tuple(jax.lax.dynamic_slice(p, (b * v,), (d,)) for p in hay)
+    spec = fft_fn(splitfft.pad_split(blk, m))
+    sp_re = spec[0][None, :]
+    sp_im = spec[1][None, :]
+    # spec * s_conj (conjugation pre-folded into s_conj)
+    rows = ifft_fn(splitfft.cmul((sp_re, sp_im), s_conj))
+    return splitfft.mag2((rows[0][..., :v], rows[1][..., :v]))
 
 
-def streaming_peak(s_conj: jax.Array, haystack: jax.Array, needle_len: int,
-                   num_lags: int, lag_offset=0,
-                   total_lags: Optional[int] = None) -> CafPeak:
+def streaming_peak(s_conj: SplitComplex, haystack: SplitComplex,
+                   needle_len: int, num_lags: int, lag_offset=0,
+                   total_lags: Optional[int] = None,
+                   backend: str = "matmul") -> CafPeak:
     """Scan-over-blocks peak of ``num_lags`` local lags (traceable core).
 
     ``lag_offset`` (may be traced, e.g. ``axis_index * chunk``) shifts
@@ -72,12 +92,12 @@ def streaming_peak(s_conj: jax.Array, haystack: jax.Array, needle_len: int,
     """
     m, v, nblocks = plan_blocks(needle_len, num_lags)
     d = v + needle_len - 1
-    hay = pad_to(haystack, nblocks * v + needle_len - 1)
-    real_dtype = jnp.finfo(s_conj.dtype).dtype
+    hay = splitfft.pad_split(haystack, nblocks * v + needle_len - 1)
+    real_dtype = s_conj[0].dtype
     total = total_lags if total_lags is not None else num_lags
 
     def step(best: CafPeak, b):
-        mag2 = _block_rows(hay, s_conj, b, v, d, m)
+        mag2 = _block_rows(hay, s_conj, b, v, d, m, backend)
         tau_global = (jax.lax.broadcasted_iota(jnp.int32, (1, v), 1)
                       + b * v + lag_offset)
         local_ok = jax.lax.broadcasted_iota(jnp.int32, (1, v), 1) + b * v
@@ -97,8 +117,8 @@ def streaming_peak(s_conj: jax.Array, haystack: jax.Array, needle_len: int,
     # when traced inside shard_map; deriving the init from the traced
     # operands (value * 0) inherits the right VMA both in and out of
     # shard_map without naming mesh axes here.
-    zero = (jnp.sum(s_conj.real[..., :1, :1]) * 0
-            + jnp.sum(hay.real[..., :1]) * 0
+    zero = (jnp.sum(s_conj[0][..., :1, :1]) * 0
+            + jnp.sum(hay[0][..., :1]) * 0
             + jnp.asarray(lag_offset, real_dtype) * 0)
     init = CafPeak(value=zero - jnp.inf,
                    freq_idx=zero.astype(jnp.int32),
@@ -108,16 +128,18 @@ def streaming_peak(s_conj: jax.Array, haystack: jax.Array, needle_len: int,
                    best.lag_idx + jnp.asarray(lag_offset, jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("num_lags", "needle_len"))
-def _os_surface_jit(needle, haystack, freqs_hz, sample_rate, num_lags,
-                    needle_len):
+@functools.partial(
+    jax.jit, static_argnames=("num_lags", "needle_len", "backend"))
+def _os_surface_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate, num_lags,
+                    needle_len, backend="matmul"):
     m, v, nblocks = plan_blocks(needle_len, num_lags)
     d = v + needle_len - 1
-    s_conj = needle_spectra_conj(needle, freqs_hz, sample_rate, m)
-    hay = pad_to(haystack, nblocks * v + needle_len - 1)
+    s_conj = needle_spectra_conj((n_re, n_im), freqs_hz, sample_rate, m,
+                                 backend)
+    hay = splitfft.pad_split((h_re, h_im), nblocks * v + needle_len - 1)
 
     def step(_, b):
-        return None, _block_rows(hay, s_conj, b, v, d, m)
+        return None, _block_rows(hay, s_conj, b, v, d, m, backend)
 
     _, blocks = jax.lax.scan(step, None, jnp.arange(nblocks))  # (B, K, V)
     surf = jnp.moveaxis(blocks, 0, 1).reshape(freqs_hz.shape[0],
@@ -125,52 +147,55 @@ def _os_surface_jit(needle, haystack, freqs_hz, sample_rate, num_lags,
     return surf[:, :num_lags]
 
 
-@functools.partial(jax.jit, static_argnames=("num_lags", "needle_len"))
-def _os_peak_jit(needle, haystack, freqs_hz, sample_rate, num_lags,
-                 needle_len):
+@functools.partial(
+    jax.jit, static_argnames=("num_lags", "needle_len", "backend"))
+def _os_peak_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate, num_lags,
+                 needle_len, backend="matmul"):
     m, _, _ = plan_blocks(needle_len, num_lags)
-    s_conj = needle_spectra_conj(needle, freqs_hz, sample_rate, m)
-    return streaming_peak(s_conj, haystack, needle_len, num_lags)
+    s_conj = needle_spectra_conj((n_re, n_im), freqs_hz, sample_rate, m,
+                                 backend)
+    return streaming_peak(s_conj, (h_re, h_im), needle_len, num_lags,
+                          backend=backend)
 
 
-def _check_lengths(needle, haystack):
-    if haystack.shape[-1] < needle.shape[-1]:
+def _prep(needle, haystack, freqs_hz):
+    needle = splitfft.split_array(needle)
+    haystack = splitfft.split_array(haystack)
+    if haystack[0].shape[-1] < needle[0].shape[-1]:
         raise ValueError(
-            f"haystack ({haystack.shape[-1]}) shorter than needle "
-            f"({needle.shape[-1]})")
+            f"haystack ({haystack[0].shape[-1]}) shorter than needle "
+            f"({needle[0].shape[-1]})")
+    return needle, haystack, np.asarray(freqs_hz, dtype=needle[0].dtype)
 
 
 def overlap_save_surface(needle, haystack, freqs_hz, sample_rate,
-                         num_lags: Optional[int] = None) -> jax.Array:
+                         num_lags: Optional[int] = None, *,
+                         backend: Optional[str] = None) -> jax.Array:
     """(K, num_lags) linear-correlation CAF surface for a long haystack.
 
     ``num_lags`` defaults to the full-overlap range ``L - N + 1``.
     """
-    needle = jnp.asarray(needle)
-    haystack = jnp.asarray(haystack)
-    freqs_hz = jnp.asarray(freqs_hz)
-    _check_lengths(needle, haystack)
-    n = needle.shape[-1]
-    lags = num_lags or haystack.shape[-1] - n + 1
-    return _os_surface_jit(needle, haystack, freqs_hz, float(sample_rate),
-                           lags, n)
+    backend = backend or default_backend()
+    (n_re, n_im), (h_re, h_im), freqs = _prep(needle, haystack, freqs_hz)
+    n = n_re.shape[-1]
+    lags = num_lags or h_re.shape[-1] - n + 1
+    return _os_surface_jit(n_re, n_im, h_re, h_im, jnp.asarray(freqs),
+                           float(sample_rate), lags, n, backend)
 
 
 def overlap_save_peak(needle, haystack, freqs_hz, sample_rate,
-                      num_lags: Optional[int] = None
-                      ) -> Tuple[float, int, float]:
+                      num_lags: Optional[int] = None, *,
+                      backend: Optional[str] = None) -> Tuple[float, int, float]:
     """(freq_hz, lag, value) peak of the long-haystack CAF.
 
     Streams blocks through a ``lax.scan`` — the full surface never
     touches HBM, so arbitrarily long captures run in O(K*M) memory.
     """
-    needle = jnp.asarray(needle)
-    haystack = jnp.asarray(haystack)
-    freqs_hz = jnp.asarray(freqs_hz)
-    _check_lengths(needle, haystack)
-    n = needle.shape[-1]
-    lags = num_lags or haystack.shape[-1] - n + 1
-    peak = _os_peak_jit(needle, haystack, freqs_hz, float(sample_rate),
-                        lags, n)
-    return (float(freqs_hz[int(peak.freq_idx)]), int(peak.lag_idx),
+    backend = backend or default_backend()
+    (n_re, n_im), (h_re, h_im), freqs = _prep(needle, haystack, freqs_hz)
+    n = n_re.shape[-1]
+    lags = num_lags or h_re.shape[-1] - n + 1
+    peak = _os_peak_jit(n_re, n_im, h_re, h_im, jnp.asarray(freqs),
+                        float(sample_rate), lags, n, backend)
+    return (float(freqs[int(peak.freq_idx)]), int(peak.lag_idx),
             float(peak.value))

@@ -146,6 +146,33 @@ def ifft_split(x: SplitComplex) -> SplitComplex:
     return fft_split(x, forward=False)
 
 
+def _fft_split_xla(x: SplitComplex, *, forward: bool = True) -> SplitComplex:
+    """Split-pair facade over the complex XLA FFT HLO.
+
+    The fast path on CPU (pocketfft-class O(N log N)); unusable on TPU
+    runtimes that reject complex buffers, where the matmul DFT is the
+    native path.
+    """
+    c = jax.lax.complex(x[0], x[1])
+    r = jnp.fft.fft(c, axis=-1) if forward else jnp.fft.ifft(c, axis=-1)
+    return jnp.real(r), jnp.imag(r)
+
+
+def get_split_fft(backend: str):
+    """(fft, ifft) over split pairs for a backend name.
+
+    'matmul' — stacked-real-matmul four-step DFT (MXU; works everywhere);
+    'xla'    — complex XLA FFT HLO behind a split facade (CPU-fast).
+    """
+    if backend == "matmul":
+        return (functools.partial(fft_split, forward=True),
+                functools.partial(fft_split, forward=False))
+    if backend == "xla":
+        return (functools.partial(_fft_split_xla, forward=True),
+                functools.partial(_fft_split_xla, forward=False))
+    raise ValueError(f"unknown split-FFT backend {backend!r}")
+
+
 def pad_split(x: SplitComplex, length: int) -> SplitComplex:
     """Zero-pad both planes along the last axis."""
     xr, xi = x

@@ -13,8 +13,12 @@ the problem are laid out over mesh axes and XLA inserts ICI collectives:
   exchange of the ``N-1`` boundary samples (overlap-save, the
   ring-attention-style neighbor pattern over ICI).
 
-All engines are pure functions of replicated/sharded device arrays and
-compile to a single XLA program per mesh shape.
+All device math is split-complex (re, im real planes — TPU runtimes have
+no complex support); complex dtypes appear only at the host boundary,
+where inputs are split before entering the jitted programs.  Inputs stay
+host-side (numpy) until jit places them onto the mesh devices — eager
+placement would pin them to the default device, which may not be in the
+mesh.
 """
 
 from __future__ import annotations
@@ -27,14 +31,15 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from caf_cookoff_tpu.config import xcor_length
-from caf_cookoff_tpu.models.filterbank import _surface_rows
+from caf_cookoff_tpu.config import default_backend, xcor_length
+from caf_cookoff_tpu.models.filterbank import _surface_rows_split
 from caf_cookoff_tpu.models.overlap_save import (
     needle_spectra_conj,
     plan_blocks,
     streaming_peak,
 )
-from caf_cookoff_tpu.ops.peak import CafPeak, surface_peak
+from caf_cookoff_tpu.ops import splitfft
+from caf_cookoff_tpu.ops.peak import CafPeak, find_peak_2d
 from caf_cookoff_tpu.parallel.collectives import global_peak
 from caf_cookoff_tpu.parallel.mesh import AXIS_DOPPLER, AXIS_PAIR, AXIS_TIME
 
@@ -47,9 +52,6 @@ def pad_axis_to(x: np.ndarray, multiple: int, axis: int = 0) -> np.ndarray:
     Used on the doppler grid: duplicated frequencies produce duplicate
     surface rows, and the lowest-index tie-break in the peak reduction
     guarantees the original row wins, so padding never changes results.
-    Host-side (numpy): sharded-engine inputs stay on host until the
-    jitted program places them onto the mesh devices — eager placement
-    would pin them to the default device, which may not be in the mesh.
     """
     x = np.asarray(x)
     size = x.shape[axis]
@@ -73,6 +75,10 @@ def _right_halo(chunk: jax.Array, halo: int, axis_name: str) -> jax.Array:
     return jax.lax.ppermute(chunk[..., :halo], axis_name, perm)
 
 
+def _split_host(x) -> Tuple[np.ndarray, np.ndarray]:
+    return splitfft.split_array(np.asarray(x))
+
+
 # ---------------------------------------------------------------------------
 # Doppler-sharded filterbank surface / peak (truncated-haystack workload)
 # ---------------------------------------------------------------------------
@@ -80,46 +86,48 @@ def _right_halo(chunk: jax.Array, halo: int, axis_name: str) -> jax.Array:
 
 @functools.partial(
     jax.jit, static_argnames=("mesh", "xcor_len", "num_bins", "backend"))
-def _sharded_surface_jit(needle, haystack, freqs_padded, sample_rate, mesh,
-                         xcor_len, num_bins, backend):
-    def body(needle, haystack, freqs_loc):
-        return _surface_rows(needle, haystack, freqs_loc, sample_rate,
-                             xcor_len, backend)
+def _sharded_surface_jit(n_re, n_im, h_re, h_im, freqs_padded, sample_rate,
+                         mesh, xcor_len, num_bins, backend):
+    def body(n_re, n_im, h_re, h_im, freqs_loc):
+        rows = _surface_rows_split((n_re, n_im), (h_re, h_im), freqs_loc,
+                                   sample_rate, xcor_len, backend)
+        return splitfft.mag2(rows)
 
-    rows = shard_map(
+    mag2 = shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(), P(AXIS_DOPPLER)),
+        in_specs=(P(), P(), P(), P(), P(AXIS_DOPPLER)),
         out_specs=P(AXIS_DOPPLER, None),
-    )(needle, haystack, freqs_padded)
-    mag2 = rows.real * rows.real + rows.imag * rows.imag
+    )(n_re, n_im, h_re, h_im, freqs_padded)
     return mag2[:num_bins]
 
 
 def sharded_caf_surface(needle, haystack, freqs_hz, sample_rate, mesh: Mesh,
-                        *, backend: str = "xla") -> jax.Array:
+                        *, backend: Optional[str] = None) -> jax.Array:
     """(K, M) mag^2 surface with doppler bins sharded over the mesh.
 
     Same contract as :func:`caf_cookoff_tpu.caf_surface`; the output is a
     global array laid out shard-by-shard over the ``doppler`` mesh axis.
     """
-    needle = np.asarray(needle)
-    haystack = np.asarray(haystack)
-    freqs = pad_axis_to(freqs_hz, mesh.shape[AXIS_DOPPLER])
+    backend = backend or default_backend()
+    n_re, n_im = _split_host(needle)
+    h_re, h_im = _split_host(haystack)
+    freqs = pad_axis_to(np.asarray(freqs_hz, dtype=n_re.dtype),
+                        mesh.shape[AXIS_DOPPLER])
     return _sharded_surface_jit(
-        needle, haystack, freqs, float(sample_rate), mesh,
-        xcor_length(needle.shape[-1]), int(np.shape(freqs_hz)[0]), backend)
+        n_re, n_im, h_re, h_im, freqs, float(sample_rate), mesh,
+        xcor_length(n_re.shape[-1]), int(np.shape(freqs_hz)[0]), backend)
 
 
 @functools.partial(
     jax.jit, static_argnames=("mesh", "xcor_len", "backend"))
-def _sharded_peak_jit(needle, haystack, freqs_padded, sample_rate, mesh,
-                      xcor_len, backend):
+def _sharded_peak_jit(n_re, n_im, h_re, h_im, freqs_padded, sample_rate,
+                      mesh, xcor_len, backend):
     k_loc = freqs_padded.shape[0] // mesh.shape[AXIS_DOPPLER]
 
-    def body(needle, haystack, freqs_loc):
-        rows = _surface_rows(needle, haystack, freqs_loc, sample_rate,
-                             xcor_len, backend)
-        local = surface_peak(rows)
+    def body(n_re, n_im, h_re, h_im, freqs_loc):
+        rows = _surface_rows_split((n_re, n_im), (h_re, h_im), freqs_loc,
+                                   sample_rate, xcor_len, backend)
+        local = find_peak_2d(splitfft.mag2(rows))
         local = CafPeak(
             local.value,
             local.freq_idx + jax.lax.axis_index(AXIS_DOPPLER) * k_loc,
@@ -128,23 +136,26 @@ def _sharded_peak_jit(needle, haystack, freqs_padded, sample_rate, mesh,
 
     return shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(), P(AXIS_DOPPLER)),
+        in_specs=(P(), P(), P(), P(), P(AXIS_DOPPLER)),
         out_specs=CafPeak(P(), P(), P()),
-    )(needle, haystack, freqs_padded)
+    )(n_re, n_im, h_re, h_im, freqs_padded)
 
 
 def sharded_caf_peak(needle, haystack, freqs_hz, sample_rate, mesh: Mesh,
-                     *, backend: str = "xla") -> Tuple[float, int, float]:
+                     *, backend: Optional[str] = None) -> Tuple[float, int, float]:
     """(freq_hz, lag_idx, value): doppler-sharded fused surface+peak.
 
     The surface never materializes anywhere — each chip reduces its bin
     block and the triples meet in a pmax/pmin lattice over ICI.
     """
-    needle = np.asarray(needle)
-    haystack = np.asarray(haystack)
-    freqs_p = pad_axis_to(freqs_hz, mesh.shape[AXIS_DOPPLER])
-    peak = _sharded_peak_jit(needle, haystack, freqs_p, float(sample_rate),
-                             mesh, xcor_length(needle.shape[-1]), backend)
+    backend = backend or default_backend()
+    n_re, n_im = _split_host(needle)
+    h_re, h_im = _split_host(haystack)
+    freqs_p = pad_axis_to(np.asarray(freqs_hz, dtype=n_re.dtype),
+                          mesh.shape[AXIS_DOPPLER])
+    peak = _sharded_peak_jit(n_re, n_im, h_re, h_im, freqs_p,
+                             float(sample_rate), mesh,
+                             xcor_length(n_re.shape[-1]), backend)
     return (float(freqs_p[int(peak.freq_idx)]), int(peak.lag_idx),
             float(peak.value))
 
@@ -156,16 +167,17 @@ def sharded_caf_peak(needle, haystack, freqs_hz, sample_rate, mesh: Mesh,
 
 @functools.partial(
     jax.jit, static_argnames=("mesh", "xcor_len", "backend"))
-def _batched_peak_jit(needles, haystacks, freqs_padded, sample_rate, mesh,
-                      xcor_len, backend):
+def _batched_peak_jit(ns_re, ns_im, hs_re, hs_im, freqs_padded, sample_rate,
+                      mesh, xcor_len, backend):
     k_loc = freqs_padded.shape[0] // mesh.shape[AXIS_DOPPLER]
 
-    def body(needles_loc, haystacks_loc, freqs_loc):
-        rows = jax.vmap(
-            lambda nd, hy: _surface_rows(nd, hy, freqs_loc, sample_rate,
-                                         xcor_len, backend)
-        )(needles_loc, haystacks_loc)                  # (B_loc, K_loc, M)
-        local = surface_peak(rows)                     # each field (B_loc,)
+    def body(ns_re, ns_im, hs_re, hs_im, freqs_loc):
+        mag2 = jax.vmap(
+            lambda nr, ni, hr, hi: splitfft.mag2(_surface_rows_split(
+                (nr, ni), (hr, hi), freqs_loc, sample_rate, xcor_len,
+                backend))
+        )(ns_re, ns_im, hs_re, hs_im)                  # (B_loc, K_loc, M)
+        local = find_peak_2d(mag2)                     # each field (B_loc,)
         local = CafPeak(
             local.value,
             local.freq_idx + jax.lax.axis_index(AXIS_DOPPLER) * k_loc,
@@ -174,13 +186,14 @@ def _batched_peak_jit(needles, haystacks, freqs_padded, sample_rate, mesh,
 
     return shard_map(
         body, mesh=mesh,
-        in_specs=(P(AXIS_PAIR), P(AXIS_PAIR), P(AXIS_DOPPLER)),
+        in_specs=(P(AXIS_PAIR), P(AXIS_PAIR), P(AXIS_PAIR), P(AXIS_PAIR),
+                  P(AXIS_DOPPLER)),
         out_specs=CafPeak(P(AXIS_PAIR), P(AXIS_PAIR), P(AXIS_PAIR)),
-    )(needles, haystacks, freqs_padded)
+    )(ns_re, ns_im, hs_re, hs_im, freqs_padded)
 
 
 def batched_caf_peak(needles, haystacks, freqs_hz, sample_rate, mesh: Mesh,
-                     *, backend: str = "xla"):
+                     *, backend: Optional[str] = None):
     """Peaks for a batch of pairs: (freqs (B,), lags (B,), values (B,)).
 
     Batch is data-parallel over the ``pair`` mesh axis, bins over
@@ -199,12 +212,15 @@ def batched_caf_peak(needles, haystacks, freqs_hz, sample_rate, mesh: Mesh,
         raise ValueError(
             f"batch {needles.shape[0]} not divisible by pair axis "
             f"{pair_shards}")
-    freqs_p = pad_axis_to(freqs_hz, mesh.shape[AXIS_DOPPLER])
-    peak = _batched_peak_jit(needles, haystacks, freqs_p,
+    backend = backend or default_backend()
+    ns_re, ns_im = _split_host(needles)
+    hs_re, hs_im = _split_host(haystacks)
+    freqs_p = pad_axis_to(np.asarray(freqs_hz, dtype=ns_re.dtype),
+                          mesh.shape[AXIS_DOPPLER])
+    peak = _batched_peak_jit(ns_re, ns_im, hs_re, hs_im, freqs_p,
                              float(sample_rate), mesh,
                              xcor_length(needles.shape[-1]), backend)
-    freqs_np = np.asarray(freqs_p)
-    return (freqs_np[np.asarray(peak.freq_idx)], np.asarray(peak.lag_idx),
+    return (freqs_p[np.asarray(peak.freq_idx)], np.asarray(peak.lag_idx),
             np.asarray(peak.value))
 
 
@@ -215,20 +231,23 @@ def batched_caf_peak(needles, haystacks, freqs_hz, sample_rate, mesh: Mesh,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "needle_len", "chunk", "total_lags"))
-def _os_sharded_peak_jit(needle, haystack_padded, freqs_padded, sample_rate,
-                         mesh, needle_len, chunk, total_lags):
+    static_argnames=("mesh", "needle_len", "chunk", "total_lags", "backend"))
+def _os_sharded_peak_jit(n_re, n_im, h_re, h_im, freqs_padded, sample_rate,
+                         mesh, needle_len, chunk, total_lags, backend):
     k_loc = freqs_padded.shape[0] // mesh.shape[AXIS_DOPPLER]
     m, _, _ = plan_blocks(needle_len, chunk)
     halo = needle_len - 1
 
-    def body(needle, hay_loc, freqs_loc):
-        s_conj = needle_spectra_conj(needle, freqs_loc, sample_rate, m)
-        hay_ext = jnp.concatenate(
-            [hay_loc, _right_halo(hay_loc, halo, AXIS_TIME)], axis=-1)
+    def body(n_re, n_im, h_re, h_im, freqs_loc):
+        s_conj = needle_spectra_conj((n_re, n_im), freqs_loc, sample_rate,
+                                     m, backend)
+        hay_ext = tuple(
+            jnp.concatenate([p, _right_halo(p, halo, AXIS_TIME)], axis=-1)
+            for p in (h_re, h_im))
         offset = jax.lax.axis_index(AXIS_TIME) * chunk
         local = streaming_peak(s_conj, hay_ext, needle_len, chunk,
-                               lag_offset=offset, total_lags=total_lags)
+                               lag_offset=offset, total_lags=total_lags,
+                               backend=backend)
         local = CafPeak(
             local.value,
             local.freq_idx + jax.lax.axis_index(AXIS_DOPPLER) * k_loc,
@@ -237,14 +256,15 @@ def _os_sharded_peak_jit(needle, haystack_padded, freqs_padded, sample_rate,
 
     return shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(AXIS_TIME), P(AXIS_DOPPLER)),
+        in_specs=(P(), P(), P(AXIS_TIME), P(AXIS_TIME), P(AXIS_DOPPLER)),
         out_specs=CafPeak(P(), P(), P()),
-    )(needle, haystack_padded, freqs_padded)
+    )(n_re, n_im, h_re, h_im, freqs_padded)
 
 
 def sharded_overlap_save_peak(needle, haystack, freqs_hz, sample_rate,
                               mesh: Mesh,
-                              num_lags: Optional[int] = None
+                              num_lags: Optional[int] = None, *,
+                              backend: str = "matmul"
                               ) -> Tuple[float, int, float]:
     """(freq_hz, lag, value) for a long haystack sharded over ``time``.
 
@@ -253,6 +273,7 @@ def sharded_overlap_save_peak(needle, haystack, freqs_hz, sample_rate,
     streams its overlap-save blocks locally, and the peak triples reduce
     over ``(doppler, time)`` — BASELINE configs 3–5's compute pattern.
     """
+    backend = backend or default_backend()
     needle = np.asarray(needle)
     haystack = np.asarray(haystack)
     n = needle.shape[-1]
@@ -266,8 +287,12 @@ def sharded_overlap_save_peak(needle, haystack, freqs_hz, sample_rate,
     hay_p = np.pad(haystack, (0, t_shards * chunk - haystack.shape[-1])) \
         if t_shards * chunk > haystack.shape[-1] \
         else haystack[: t_shards * chunk]
-    freqs_p = pad_axis_to(freqs_hz, mesh.shape[AXIS_DOPPLER])
-    peak = _os_sharded_peak_jit(needle, hay_p, freqs_p, float(sample_rate),
-                                mesh, n, chunk, total_lags)
+    n_re, n_im = _split_host(needle)
+    h_re, h_im = _split_host(hay_p)
+    freqs_p = pad_axis_to(np.asarray(freqs_hz, dtype=n_re.dtype),
+                          mesh.shape[AXIS_DOPPLER])
+    peak = _os_sharded_peak_jit(n_re, n_im, h_re, h_im, freqs_p,
+                                float(sample_rate), mesh, n, chunk,
+                                total_lags, backend)
     return (float(freqs_p[int(peak.freq_idx)]), int(peak.lag_idx),
             float(peak.value))
