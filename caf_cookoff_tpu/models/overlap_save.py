@@ -94,15 +94,17 @@ def streaming_peak(s_conj: SplitComplex, haystack: SplitComplex,
     d = v + needle_len - 1
     hay = splitfft.pad_split(haystack, nblocks * v + needle_len - 1)
     real_dtype = s_conj[0].dtype
-    total = total_lags if total_lags is not None else num_lags
 
     def step(best: CafPeak, b):
         mag2 = _block_rows(hay, s_conj, b, v, d, m, backend)
-        tau_global = (jax.lax.broadcasted_iota(jnp.int32, (1, v), 1)
-                      + b * v + lag_offset)
         local_ok = jax.lax.broadcasted_iota(jnp.int32, (1, v), 1) + b * v
-        mag2 = jnp.where((local_ok < num_lags) & (tau_global < total),
-                         mag2, -1.0)
+        keep = local_ok < num_lags
+        if total_lags is not None:
+            # Global mask: only meaningful when the caller owns a shard
+            # of a known-length lag axis (time-sharded overlap-save).
+            tau_global = local_ok + lag_offset
+            keep = keep & (tau_global < total_lags)
+        mag2 = jnp.where(keep, mag2, -1.0)
         cand = find_peak_2d(mag2)
         cand = CafPeak(cand.value, cand.freq_idx, cand.lag_idx + b * v)
         take = cand.value > best.value  # strict: earlier block wins ties

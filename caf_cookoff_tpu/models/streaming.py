@@ -1,0 +1,128 @@
+"""Streaming CAF — continuous capture processing with carry-over state.
+
+BASELINE config 4's shape: a long (or unbounded) capture arrives in
+fixed-size chunks; the engine keeps the ``N-1`` tail samples of each
+chunk so correlations spanning chunk boundaries are never lost, and
+maintains the running global peak with absolute lag indexing.  The
+reference has no streaming mode at all (batch files only; its GNU Radio
+flowgraph ``grc/capture.grc`` records streams to disk for offline
+CAF-ing — this engine is what closes that loop).
+
+Each ``process`` call is one jitted program (fixed chunk length =>
+one cached executable); state lives on-device as split planes, so
+sustained throughput has no host round-trips besides the chunk feed.
+Multi-emitter streaming = a vmap of this over pairs
+(:func:`caf_cookoff_tpu.models.batched`), or pair-sharded over a mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from caf_cookoff_tpu.config import default_backend, xcor_length
+from caf_cookoff_tpu.models.overlap_save import (
+    needle_spectra_conj,
+    streaming_peak,
+)
+from caf_cookoff_tpu.ops import splitfft
+from caf_cookoff_tpu.ops.peak import CafPeak
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("needle_len", "chunk_len", "backend"))
+def _stream_step_jit(sc_re, sc_im, tail_re, tail_im, ch_re, ch_im,
+                     best_value, best_freq, best_lag, base_lag,
+                     needle_len, chunk_len, backend):
+    """One streaming step: correlate [tail | chunk], update global best.
+
+    The window covers lags [base_lag, base_lag + chunk_len): each new
+    sample admits exactly one new lag, so consecutive windows tile the
+    capture's lag axis with no gaps or overlaps.
+    """
+    window = (jnp.concatenate([tail_re, ch_re]),
+              jnp.concatenate([tail_im, ch_im]))
+    local = streaming_peak((sc_re, sc_im), window, needle_len, chunk_len,
+                           lag_offset=base_lag, backend=backend)
+    take = local.value > best_value
+    new_best = CafPeak(
+        value=jnp.where(take, local.value, best_value),
+        freq_idx=jnp.where(take, local.freq_idx, best_freq),
+        lag_idx=jnp.where(take, local.lag_idx, best_lag),
+    )
+    halo = needle_len - 1
+    new_tail = (window[0][chunk_len:chunk_len + halo],
+                window[1][chunk_len:chunk_len + halo])
+    return new_best, local, new_tail
+
+
+class StreamingCAF:
+    """Stateful chunk-at-a-time CAF over one (needle, capture) pair.
+
+    >>> s = StreamingCAF(needle, freqs_hz, sample_rate)
+    >>> for chunk in capture_chunks:          # equal-length c64 chunks
+    ...     chunk_peak = s.process(chunk)     # this chunk's local peak
+    >>> freq, lag, value = s.best()           # global running peak
+    """
+
+    def __init__(self, needle, freqs_hz, sample_rate, *,
+                 backend: Optional[str] = None):
+        self.backend = backend or default_backend()
+        n_re, n_im = splitfft.split_array(needle)
+        self.needle_len = int(n_re.shape[-1])
+        self.sample_rate = float(sample_rate)
+        self._freqs = np.asarray(freqs_hz, dtype=n_re.dtype)
+        m = xcor_length(self.needle_len)
+        sc = jax.jit(
+            needle_spectra_conj, static_argnames=("fft_len", "backend")
+        )((jnp.asarray(n_re), jnp.asarray(n_im)), jnp.asarray(self._freqs),
+          self.sample_rate, fft_len=m, backend=self.backend)
+        self._sc_re, self._sc_im = sc
+        halo = self.needle_len - 1
+        rdt = n_re.dtype
+        self._tail = (jnp.zeros(halo, rdt), jnp.zeros(halo, rdt))
+        self._best = CafPeak(jnp.asarray(-np.inf, rdt),
+                             jnp.asarray(0, jnp.int32),
+                             jnp.asarray(0, jnp.int32))
+        self._samples_seen = 0
+        # Lag t needs samples [t, t + N); the first (N-1)-sample tail is
+        # synthetic zeros, so window lags start at -(N-1).
+        self._base_lag = -(self.needle_len - 1)
+
+    @property
+    def samples_seen(self) -> int:
+        return self._samples_seen
+
+    def process(self, chunk) -> Tuple[float, int, float]:
+        """Consume one chunk; returns this chunk's (freq, lag, value).
+
+        Lags are absolute sample indices into the capture; a chunk's
+        window also covers correlations that straddle the previous
+        chunk boundary (negative early lags are clipped by the caller's
+        interpretation — sample index 0 is the capture start).
+        """
+        ch_re, ch_im = splitfft.split_array(chunk)
+        chunk_len = int(ch_re.shape[-1])
+        if chunk_len < 1:
+            raise ValueError("empty chunk")
+        best, local, tail = _stream_step_jit(
+            self._sc_re, self._sc_im, self._tail[0], self._tail[1],
+            jnp.asarray(ch_re), jnp.asarray(ch_im),
+            self._best.value, self._best.freq_idx, self._best.lag_idx,
+            self._base_lag, self.needle_len, chunk_len, self.backend)
+        self._best = best
+        self._tail = tail
+        self._samples_seen += chunk_len
+        self._base_lag += chunk_len
+        return (float(self._freqs[int(local.freq_idx)]),
+                int(local.lag_idx), float(local.value))
+
+    def best(self) -> Tuple[float, int, float]:
+        """Global running (freq_hz, lag, value) over everything seen."""
+        return (float(self._freqs[int(self._best.freq_idx)]),
+                int(self._best.lag_idx), float(self._best.value))

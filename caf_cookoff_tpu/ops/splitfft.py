@@ -36,10 +36,18 @@ from caf_cookoff_tpu.config import is_pow2
 
 SplitComplex = Tuple[jax.Array, jax.Array]
 
-# MXU f32 matmuls honor the requested precision; HIGHEST keeps the
-# golden-answer bin-exactness (bf16 passes cost ~1e-3 rel error, still
-# far below the fixtures' SNR, but exactness is the default contract).
-_PRECISION = jax.lax.Precision.HIGHEST
+# MXU precision tiers for the DFT matmuls (measured on TPU v5e, 400x8192
+# surface+peak chain): HIGHEST 503 us, HIGH 326 us, DEFAULT (bf16) even
+# faster.  HIGH (3-pass bf16, ~f32-grade error) recovers every golden
+# fixture peak exactly and is the default; 'matmul-highest' /
+# 'matmul-bf16' backend suffixes select the other tiers.
+_PRECISIONS = {
+    "": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "bf16": jax.lax.Precision.DEFAULT,
+}
+_PRECISION = jax.lax.Precision.HIGH
 
 
 def factor_two(n: int) -> Tuple[int, int]:
@@ -106,13 +114,15 @@ def mag2(a: SplitComplex) -> jax.Array:
     return ar * ar + ai * ai
 
 
-def fft_split(x: SplitComplex, *, forward: bool = True) -> SplitComplex:
+def fft_split(x: SplitComplex, *, forward: bool = True,
+              precision=None) -> SplitComplex:
     """Batched DFT over the last axis of a split-complex array.
 
     Accepts any leading batch dims; the three hot contractions lower to
     MXU matmuls (stage 1 stacked (2n1, 2n1), stage 2 stacked (2n2, 2n2))
     plus a VPU twiddle multiply.
     """
+    precision = _PRECISION if precision is None else precision
     xr, xi = x
     n = xr.shape[-1]
     dtype = xr.dtype
@@ -126,11 +136,11 @@ def fft_split(x: SplitComplex, *, forward: bool = True) -> SplitComplex:
     # [m1, m2] layout; stack re over im along m1 for the left matmul.
     xs = jnp.concatenate(
         [xr.reshape(*lead, n1, n2), xi.reshape(*lead, n1, n2)], axis=-2)
-    ys = jnp.einsum("ab,...bc->...ac", f1, xs, precision=_PRECISION)
+    ys = jnp.einsum("ab,...bc->...ac", f1, xs, precision=precision)
     y = cmul((ys[..., :n1, :], ys[..., n1:, :]), tw)   # twiddle, VPU
     # Stack re beside im along m2 for the right matmul.
     zs = jnp.einsum("...ab,bc->...ac",
-                    jnp.concatenate(y, axis=-1), f2, precision=_PRECISION)
+                    jnp.concatenate(y, axis=-1), f2, precision=precision)
     zr, zi = zs[..., :n2], zs[..., n2:]
     # Output index k = k1 + N1*k2 → transpose (k1, k2) → (k2, k1), flatten.
     zr = jnp.swapaxes(zr, -1, -2).reshape(*lead, n)
@@ -161,15 +171,19 @@ def _fft_split_xla(x: SplitComplex, *, forward: bool = True) -> SplitComplex:
 def get_split_fft(backend: str):
     """(fft, ifft) over split pairs for a backend name.
 
-    'matmul' — stacked-real-matmul four-step DFT (MXU; works everywhere);
-    'xla'    — complex XLA FFT HLO behind a split facade (CPU-fast).
+    'matmul[-highest|-high|-bf16]' — stacked-real-matmul four-step DFT
+    (MXU; works everywhere) at the given MXU precision tier (default
+    HIGH);
+    'xla' — complex XLA FFT HLO behind a split facade (CPU-fast).
     """
-    if backend == "matmul":
-        return (functools.partial(fft_split, forward=True),
-                functools.partial(fft_split, forward=False))
     if backend == "xla":
         return (functools.partial(_fft_split_xla, forward=True),
                 functools.partial(_fft_split_xla, forward=False))
+    base, _, tier = backend.partition("-")
+    if base == "matmul" and tier in _PRECISIONS:
+        prec = _PRECISIONS[tier]
+        return (functools.partial(fft_split, forward=True, precision=prec),
+                functools.partial(fft_split, forward=False, precision=prec))
     raise ValueError(f"unknown split-FFT backend {backend!r}")
 
 
@@ -186,8 +200,17 @@ def pad_split(x: SplitComplex, length: int) -> SplitComplex:
 
 
 def split_array(x) -> Tuple[np.ndarray, np.ndarray]:
-    """Host-side complex → (re, im) float pair (pre-device_put)."""
+    """Host-side complex → (re, im) float pair (pre-device_put).
+
+    complex64 goes through the native threaded deinterleaver
+    (``native/cafio.cpp``) when libcafio is built; other dtypes use
+    numpy.
+    """
     x = np.asarray(x)
+    if x.dtype == np.complex64:
+        from caf_cookoff_tpu.utils import native
+
+        return native.deinterleave(x)
     if np.iscomplexobj(x):
         rdtype = np.float64 if x.dtype == np.complex128 else np.float32
         return (np.ascontiguousarray(x.real, dtype=rdtype),
