@@ -7,17 +7,24 @@ needle, 400 doppler bins (-100..+100 Hz step 0.5), fs = 48 kHz, 8192-point
 zero-padded cross-correlation -> magnitude-squared surface -> 2-D argmax
 peak (surface + ``find_peak``, the full reference pipeline).
 
+Configuration measured: the fused Pallas kernel with two-stage bf16
+coarse + f32-grade top-k refinement ('pallas-refine'), which recovers
+every golden fixture peak bin-exactly (tests/test_golden.py asserts).
+
 Baseline to beat: 28 ms/surface — the reference's best published parallel
 number (RustFFT + threadpool on a Ryzen9-3900X, ``README.md:36,38``).
 ``vs_baseline`` is the speedup factor (baseline_ms / our_ms).
 
 Timing methodology: host<->device round-trips through the TPU tunnel cost
-~30 ms and async dispatch makes single-call wall timing meaningless, so
-the measured region is a ``lax.scan`` chain of ITERS dependency-serialized
-surface+peak steps inside ONE jitted program, with the 1-iteration chain
-time subtracted to cancel dispatch/fetch overhead:
+~30 ms with several-ms jitter and async dispatch defeats single-call
+timing, so the measured region is a ``lax.scan`` chain of ITERS
+dependency-serialized surface+peak steps inside ONE jitted program (the
+carry feeds the next step's input, scaled by 1e-30 so XLA cannot fold
+the dependency away), with the 1-iteration chain time subtracted:
 
     per_surface_ms = (T(1 + ITERS) - T(1)) / ITERS
+
+ITERS=400 puts the subtraction noise (~+-8 ms) at ~+-20 us/surface.
 
 Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
 """
@@ -32,8 +39,8 @@ import numpy as np
 
 BASELINE_MS = 28.0
 FS = 48_000.0
-ITERS = 50
-REPS = 5
+ITERS = 400
+REPS = 6
 
 
 def main() -> None:
@@ -42,16 +49,14 @@ def main() -> None:
     from jax import lax
 
     from caf_cookoff_tpu.config import BENCH_GRID, xcor_length
-    from caf_cookoff_tpu.models.filterbank import (
-        _surface_rows_split,
-        caf_peak,
-    )
+    from caf_cookoff_tpu.models.filterbank import caf_peak
     from caf_cookoff_tpu.ops import splitfft
-    from caf_cookoff_tpu.ops.peak import find_peak_2d
+    from caf_cookoff_tpu.ops.pallas_caf import _refined_peak
     from caf_cookoff_tpu.utils.generate import ensure_fixtures
     from caf_cookoff_tpu.utils.io import load_c64
 
     device = jax.devices()[0]
+    on_tpu = device.platform != "cpu"
     print(f"backend: {device.platform} ({device.device_kind})",
           file=sys.stderr)
 
@@ -60,7 +65,8 @@ def main() -> None:
     needle_np = load_c64(needle_path)
     haystack_np = load_c64(haystack_path, count=len(needle_np))
     freqs_np = BENCH_GRID.frequencies(np.float32)
-    xcor_len = xcor_length(len(needle_np))
+    needle_len = len(needle_np)
+    fft_len = xcor_length(needle_len)
 
     # Split-complex planes resident in HBM (TPU runtimes reject complex
     # buffers); one-time setup, like the reference benches' pre-timer
@@ -69,40 +75,43 @@ def main() -> None:
                   for p in splitfft.split_array(needle_np))
     h_re, h_im = (jax.device_put(p, device)
                   for p in splitfft.split_array(haystack_np))
-    freqs = jax.device_put(freqs_np, device)
+    rates = jax.device_put(
+        ((2.0 * np.pi) * freqs_np / FS).astype(np.float32), device)
 
     @functools.partial(jax.jit, static_argnames=("iters",))
-    def chain(n_re, n_im, h_re, h_im, freqs, iters):
+    def chain(n_re, n_im, h_re, h_im, rates, iters):
         def step(carry, _):
-            rows = _surface_rows_split((n_re + carry, n_im), (h_re, h_im),
-                                       freqs, FS, xcor_len)
-            pk = find_peak_2d(splitfft.mag2(rows))
-            return pk.value * 0.0, None
+            pk = _refined_peak.__wrapped__(
+                n_re + carry, n_im, h_re, h_im, rates, needle_len,
+                fft_len, not on_tpu)
+            return pk.value * 1e-30, None
 
         carry, _ = lax.scan(step, jnp.float32(0), None, length=iters)
         return carry
 
     def timed_ms(iters: int) -> float:
-        float(chain(n_re, n_im, h_re, h_im, freqs, iters))  # compile+warm
+        float(chain(n_re, n_im, h_re, h_im, rates, iters))  # compile+warm
         best = float("inf")
         for _ in range(REPS):
             t0 = time.perf_counter()
-            float(chain(n_re, n_im, h_re, h_im, freqs, iters))
+            float(chain(n_re, n_im, h_re, h_im, rates, iters))
             best = min(best, time.perf_counter() - t0)
         return best * 1e3
 
+    iters = ITERS if on_tpu else 10  # CPU interpret mode is slow
     t_base = timed_ms(1)
-    t_full = timed_ms(1 + ITERS)
-    ms = (t_full - t_base) / ITERS
+    t_full = timed_ms(1 + iters)
+    ms = (t_full - t_base) / iters
 
     # Sanity: the golden chirp_0 answer must hold on whatever chip ran.
-    freq, lag, _ = caf_peak(needle_np, haystack_np, freqs_np, FS)
+    freq, lag, _ = caf_peak(needle_np, haystack_np, freqs_np, FS,
+                            backend="pallas-refine")
     assert abs(freq - 69.25) <= 0.5, freq  # nearest 0.5 Hz bin to +69.25
     assert lag == 202, lag
 
-    print(f"chain(1) {t_base:.1f} ms  chain({1 + ITERS}) {t_full:.1f} ms  "
-          f"per-surface {ms:.4f} ms  surfaces/s/chip {1e3 / ms:.0f}",
-          file=sys.stderr)
+    print(f"chain(1) {t_base:.1f} ms  chain({1 + iters}) {t_full:.1f} ms  "
+          f"per-surface {ms:.4f} ms  surfaces/s/chip {1e3 / ms:.0f}  "
+          f"[pallas-refine, golden-exact]", file=sys.stderr)
 
     print(json.dumps({
         "metric": "caf_surface_peak_400x8192_ms",

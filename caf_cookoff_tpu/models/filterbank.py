@@ -154,9 +154,18 @@ def caf_peak(needle, haystack, freqs_hz, sample_rate, *,
     """
     backend = backend or default_backend()
     n_re, n_im, h_re, h_im, freqs = _split_inputs(needle, haystack, freqs_hz)
-    peak = _peak_split_jit(n_re, n_im, h_re, h_im, jnp.asarray(freqs),
-                           float(sample_rate), xcor_length(n_re.shape[-1]),
-                           backend)
+    if backend.startswith("pallas"):
+        from caf_cookoff_tpu.ops.pallas_caf import pallas_caf_peak
+
+        _, _, tier = backend.partition("-")
+        peak = pallas_caf_peak(
+            jnp.asarray(n_re), jnp.asarray(n_im), jnp.asarray(h_re),
+            jnp.asarray(h_im), freqs, float(sample_rate),
+            xcor_length(n_re.shape[-1]), precision=tier or "high")
+    else:
+        peak = _peak_split_jit(n_re, n_im, h_re, h_im, jnp.asarray(freqs),
+                               float(sample_rate),
+                               xcor_length(n_re.shape[-1]), backend)
     return (float(freqs[int(peak.freq_idx)]), int(peak.lag_idx),
             float(peak.value))
 

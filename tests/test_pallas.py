@@ -1,0 +1,81 @@
+"""Fused Pallas kernel tests (interpret mode on CPU).
+
+The compiled path is exercised on real TPU hardware by bench.py and the
+on-chip golden validation; here the same kernel runs under the Pallas
+interpreter and must agree with the XLA engines bin-exactly.
+"""
+
+import numpy as np
+import pytest
+
+from caf_cookoff_tpu.models.filterbank import caf_peak
+from caf_cookoff_tpu.ops.pallas_caf import (
+    TILE_BINS,
+    _fourstep_constants,
+    haystack_spectrum_noreorder,
+)
+from caf_cookoff_tpu.ops import splitfft
+
+FS = 48_000.0
+
+
+def test_fourstep_constants_shapes():
+    n1, n2, c = _fourstep_constants(8192)
+    assert (n1, n2) == (64, 128)
+    assert c["f1s"].shape == (128, 128)
+    assert c["f2s"].shape == (256, 256)
+    assert c["tw_re"].shape == (64, 128)
+
+
+def test_haystack_spectrum_layout():
+    """(k1,k2)-layout spectrum is the reordered standard FFT."""
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(96) + 1j * rng.standard_normal(96)).astype(
+        np.complex64)
+    m = 256
+    n1, n2, _ = _fourstep_constants(m)
+    h2r, h2i = haystack_spectrum_noreorder(x.real.copy(), x.imag.copy(), m)
+    want = np.fft.fft(np.pad(x, (0, m - len(x))))
+    # layout: Z[k1, k2] = X[k1 + n1*k2]
+    got = (np.asarray(h2r) + 1j * np.asarray(h2i))
+    want2d = want.reshape(n2, n1).T  # X[k1 + n1*k2] -> [k1, k2]
+    np.testing.assert_allclose(got, want2d.astype(np.complex64),
+                               rtol=1e-3, atol=1e-2)
+
+
+@pytest.mark.parametrize("backend", ["pallas", "pallas-refine",
+                                     "pallas-bf16"])
+def test_pallas_golden_chirp0(chirp, backend):
+    """Interpret-mode kernel recovers the chirp_0 golden peak on a
+    narrow grid around the true offset (24 bins, fast to interpret)."""
+    needle, haystack, _ = chirp(0)
+    freqs = (68.0 + 0.25 * np.arange(24)).astype(np.float32)  # 24 bins
+    freq, lag, _ = caf_peak(needle, haystack, freqs, FS, backend=backend)
+    assert (freq, lag) == (69.25, 202)
+
+
+def test_pallas_matches_matmul_synthetic():
+    rng = np.random.default_rng(11)
+    n = 512
+    needle = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+    hay = np.roll(needle, 40) * np.exp(
+        2j * np.pi * 1000.0 * np.arange(n) / FS).astype(np.complex64)
+    freqs = np.arange(-2000.0, 2000.0, 250.0, dtype=np.float32)  # 16 bins
+    want = caf_peak(needle, hay, freqs, FS, backend="matmul")
+    got = caf_peak(needle, hay, freqs, FS, backend="pallas")
+    assert got[:2] == want[:2] == (1000.0, 40)
+
+
+def test_bin_padding_to_tile():
+    """A bin count not divisible by TILE_BINS pads with duplicates of
+    the last frequency; the original bin must win ties."""
+    rng = np.random.default_rng(13)
+    n = 256
+    needle = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+    hay = np.roll(needle, 7)
+    freqs = np.arange(-500.0, 750.0, 250.0, dtype=np.float32)  # 5 bins
+    assert len(freqs) % TILE_BINS != 0
+    freq, lag, _ = caf_peak(needle, hay, freqs, FS, backend="pallas")
+    assert (freq, lag) == (0.0, 7)
