@@ -42,9 +42,13 @@ def _add_grid_args(p: argparse.ArgumentParser) -> None:
                    help="doppler grid step (Hz)")
     p.add_argument("--fs", type=float, default=DEFAULT_SAMPLE_RATE,
                    help="sample rate (Hz)")
-    p.add_argument("--backend", choices=("auto", "xla", "matmul"),
+    p.add_argument("--backend",
+                   choices=("auto", "xla", "matmul", "matmul-highest",
+                            "matmul-bf16", "pallas", "pallas-refine",
+                            "pallas-bf16"),
                    default="auto", help="FFT backend (auto: xla on CPU, "
-                   "matmul on TPU)")
+                   "matmul on TPU; pallas-refine = fused kernel, "
+                   "fastest golden-exact)")
 
 
 def _resolve_backend(name: str) -> str:
@@ -64,14 +68,26 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def _load_signal(path: str, fs_hint: float) -> "np.ndarray":
+    """Load .c64 raw samples or a SigMF recording (either sidecar)."""
+    from caf_cookoff_tpu.utils.io import load_c64
+
+    if ".sigmf" in path:
+        from caf_cookoff_tpu.utils.sigmf import read_sigmf
+
+        return read_sigmf(path).samples
+    return load_c64(path)
+
+
 def cmd_run(args) -> int:
     from caf_cookoff_tpu.models.filterbank import caf_peak, caf_surface
     from caf_cookoff_tpu.models.overlap_save import overlap_save_peak
-    from caf_cookoff_tpu.utils.io import dump_surf, load_c64, save_npy
+    from caf_cookoff_tpu.utils.io import dump_surf, save_npy
+    from caf_cookoff_tpu.utils.profiling import RunReport
 
     backend = _resolve_backend(args.backend)
-    needle = load_c64(args.needle)
-    haystack = load_c64(args.haystack)
+    needle = _load_signal(args.needle, args.fs)
+    haystack = _load_signal(args.haystack, args.fs)
     freqs = _grid(args).frequencies(np.float32)
 
     t0 = time.perf_counter()
@@ -84,12 +100,24 @@ def cmd_run(args) -> int:
                                     backend=backend)
     elapsed_ms = (time.perf_counter() - t0) * 1e3
 
-    # The reference's result line: freq offset + lag in samples (+ms at
-    # 48 kHz), `caf_rust/src/main.rs:29-31`, `caf_go/main.go:35`.
-    print(f"Frequency offset: {freq:.3f} Hz")
-    print(f"Time offset: {lag} samples ({lag / args.fs * 1e3:.4f} ms)")
-    print(f"Peak value: {value:.6g}   [{backend}, {elapsed_ms:.1f} ms "
-          "incl. compile]")
+    # The reference's result lines (`caf_rust/src/main.rs:29-31`,
+    # `caf_go/main.go:35`) plus structured observability.
+    report = RunReport(
+        freq_hz=freq, lag_samples=lag, peak_value=value,
+        sample_rate=args.fs, num_doppler_bins=len(freqs),
+        xcor_len=0, backend=f"{backend}, {elapsed_ms:.1f} ms incl. compile")
+    print(report.result_lines())
+    print(f"Peak value: {value:.6g}")
+
+    if args.annotate and ".sigmf" in args.haystack:
+        from caf_cookoff_tpu.utils.sigmf import (
+            annotate_detection,
+            caf_annotation,
+        )
+
+        annotate_detection(args.haystack, caf_annotation(
+            lag, len(needle), freq, value, needle_id=args.needle))
+        print(f"annotation -> {args.haystack}")
 
     if args.dump_surface or args.plot:
         surface = np.asarray(caf_surface(
@@ -176,8 +204,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.set_defaults(fn=cmd_generate)
 
     r = sub.add_parser("run", help="CAF one (needle, haystack) pair")
-    r.add_argument("needle", help=".c64 needle (signal of interest)")
-    r.add_argument("haystack", help=".c64 haystack (capture)")
+    r.add_argument("needle", help=".c64 or .sigmf needle (signal of "
+                   "interest)")
+    r.add_argument("haystack", help=".c64 or .sigmf haystack (capture)")
     _add_grid_args(r)
     r.add_argument("--full-haystack", action="store_true",
                    help="search the whole capture via overlap-save "
@@ -185,6 +214,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--dump-surface", metavar="PATH",
                    help="write the surface (.npy, or raw f64 Go-parity)")
     r.add_argument("--plot", metavar="PNG", help="save an imshow plot")
+    r.add_argument("--annotate", action="store_true",
+                   help="write the detection back to the haystack's "
+                   ".sigmf-meta as a caf: annotation")
     r.set_defaults(fn=cmd_run)
 
     b = sub.add_parser("bench", help="README-style strategy table")

@@ -127,6 +127,10 @@ def caf_surface(needle, haystack, freqs_hz, sample_rate, *,
     always split-complex.
     """
     backend = backend or default_backend()
+    if backend.startswith("pallas"):
+        # The fused kernel is peak-only (it exists to avoid writing the
+        # surface); materializing falls back to the MXU matmul path.
+        backend = "matmul"
     n_re, n_im, h_re, h_im, freqs = _split_inputs(needle, haystack, freqs_hz)
     return _surface_split_jit(n_re, n_im, h_re, h_im, jnp.asarray(freqs),
                               float(sample_rate),

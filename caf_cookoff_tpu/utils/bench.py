@@ -38,7 +38,8 @@ def _chain_time_ms(n_re, n_im, h_re, h_im, freqs, sample_rate, xcor_len,
             rows = _surface_rows_split((n_re + carry, n_im), (h_re, h_im),
                                        freqs, sample_rate, xcor_len, backend)
             pk = find_peak_2d(splitfft.mag2(rows))
-            return pk.value * 0.0, None
+            # 1e-30 (not 0.0) so XLA cannot fold the dependency away.
+            return pk.value * 1e-30, None
 
         carry, _ = lax.scan(step, jnp.float32(0), None, length=n)
         return carry
