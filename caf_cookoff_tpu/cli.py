@@ -161,18 +161,30 @@ def _plot_surface(surface: np.ndarray, freqs: np.ndarray,
 
 
 def cmd_bench(args) -> int:
-    from caf_cookoff_tpu.utils.bench import run_benchmarks
+    from caf_cookoff_tpu.utils.bench import (
+        apply_shift_microbench,
+        run_benchmarks,
+    )
 
     results = run_benchmarks(
         grid=_grid(args), sample_rate=args.fs, rounds=args.rounds,
         backends=args.backends.split(","), data_dir=args.data)
+    micro = apply_shift_microbench() if args.micro else None
     if args.json:
-        print(json.dumps(results, indent=2))
-    else:
-        print(f"{'strategy':<28}{'ms/surface':>12}{'surfaces/s':>12}")
-        for row in results:
+        print(json.dumps(results + ([micro] if micro else []), indent=2))
+        return 0
+    print(f"{'strategy':<28}{'ms/surface':>12}{'surfaces/s':>12}")
+    for row in results:
+        if row.get("error"):
+            print(f"{row['strategy']:<28}{'—':>12}  {row['error']}")
+        else:
             print(f"{row['strategy']:<28}{row['ms']:>12.3f}"
                   f"{1e3 / row['ms']:>12.1f}")
+    if micro:
+        print(f"\napply_shift ({micro['samples']} samp): "
+              f"{micro['us_per_call']} us  "
+              f"(reference best {micro['reference_best_us']} us, "
+              f"README.md:117)")
     return 0
 
 
@@ -226,6 +238,9 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--backends", default="xla,matmul")
     b.add_argument("--data", default="data")
     b.add_argument("--json", action="store_true")
+    b.add_argument("--micro", action="store_true",
+                   help="include the apply_shift microbench "
+                   "(README.md:114-157 parity)")
     b.set_defaults(fn=cmd_bench)
 
     i = sub.add_parser("info", help="devices and backend resolution")

@@ -56,12 +56,58 @@ def _chain_time_ms(n_re, n_im, h_re, h_im, freqs, sample_rate, xcor_len,
     return (timed(1 + iters) - timed(1)) / iters
 
 
+def apply_shift_microbench(num_samples: int = 8192, iters: int = 20_000,
+                           reps: int = 4) -> Dict:
+    """The README's ``apply_shift`` micro-comparison (``README.md:114-157``:
+    rust 120 us, go 137 us, numba 158 us, plain python 10,300 us for one
+    8192-sample frequency translation).  Chain-timed on this device."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    rng = np.random.default_rng(0)
+    re = jnp.asarray(rng.standard_normal(num_samples).astype(np.float32))
+    im = jnp.asarray(rng.standard_normal(num_samples).astype(np.float32))
+    n_idx = jnp.arange(num_samples, dtype=jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chain(re, im, n):
+        def step(carry, _):
+            phase = (carry + jnp.float32(2 * np.pi * 100.0 / 48e3)) * n_idx
+            c, s = jnp.cos(phase), jnp.sin(phase)
+            out_re = re * c - im * s
+            out_im = re * s + im * c
+            return jnp.sum(out_re) * 1e-30 + jnp.sum(out_im) * 0, None
+
+        carry, _ = lax.scan(step, jnp.float32(0), None, length=n)
+        return carry
+
+    def timed(n):
+        float(chain(re, im, n))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(chain(re, im, n))
+            best = min(best, time.perf_counter() - t0)
+        return best * 1e3
+
+    us = (timed(1 + iters) - timed(1)) / iters * 1e3
+    device = __import__("jax").devices()[0]
+    return {
+        "strategy": f"apply_shift+{device.platform}",
+        "us_per_call": round(us, 3),
+        "samples": num_samples,
+        "reference_best_us": 120.0,  # rust, README.md:117
+        "device": str(device.device_kind),
+    }
+
+
 def run_benchmarks(grid: FreqGrid = BENCH_GRID,
                    sample_rate: float = 48e3,
                    rounds: int = 3,
                    backends: Sequence[str] = ("xla", "matmul"),
                    data_dir: str = "data",
-                   iters: int = 20) -> List[Dict]:
+                   iters: int = 200) -> List[Dict]:
     """Time the filterbank engine per backend on the chirp_0 workload."""
     import jax
 
