@@ -1,0 +1,184 @@
+#!/usr/bin/env python3
+"""Scaling-configuration benchmarks (BASELINE.json configs 1-4).
+
+The headline driver benchmark is ``bench.py`` (config 1's shape); this
+script exercises the larger shapes on whatever hardware is present and
+prints one JSON line per config:
+
+  1. reference 400x8192 single surface (the bench.py workload)
+  2. batch of 64 pairs, 400x8192, one chip (vmapped)
+  3. wideband 2000x65536 overlap-save surface peak (one chip here;
+     time-shardable over a mesh)
+  4. streaming multi-emitter slice: 16 pairs x 1024 bins x 32768 lags
+
+Config 5 (pod-scale, N>=2 hosts) has no hardware here; its compute path
+is validated by ``__graft_entry__.dryrun_multichip`` on a virtual mesh.
+
+Chain-timing methodology as in bench.py; batch/stream configs report
+per-*unit* numbers (per pair-surface) for comparability.
+"""
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+FS = 48_000.0
+
+
+def _chain(step_fn, make_carry0, iters, reps=4):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chain(n):
+        def body(carry, _):
+            return step_fn(carry), None
+
+        carry, _ = lax.scan(body, make_carry0(), None, length=n)
+        return carry
+
+    def timed(n):
+        jax.block_until_ready(chain(n))
+        float(jnp.sum(chain(n)))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(jnp.sum(chain(n)))
+            best = min(best, time.perf_counter() - t0)
+        return best * 1e3
+
+    return (timed(1 + iters) - timed(1)) / iters
+
+
+def _rand_pair(n, lag, f_hz, seed):
+    rng = np.random.default_rng(seed)
+    needle = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+    hay = np.zeros(n, dtype=np.complex64)
+    hay[lag:] = needle[: n - lag]
+    hay *= np.exp(2j * np.pi * f_hz * np.arange(n) / FS).astype(np.complex64)
+    return needle, hay
+
+
+def config2_batch64():
+    """64 pairs x 400x8192 on one chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from caf_cookoff_tpu.config import BENCH_GRID
+    from caf_cookoff_tpu.models.batched import _batched_peak_jit
+    from caf_cookoff_tpu.ops.splitfft import split_array
+
+    b, n = 64, 4096
+    needles = np.stack([_rand_pair(n, 50 + i, 10.0 * i - 300, i)[0]
+                        for i in range(b)])
+    hays = np.stack([_rand_pair(n, 50 + i, 10.0 * i - 300, i)[1]
+                     for i in range(b)])
+    ns_re, ns_im = split_array(needles)
+    hs_re, hs_im = split_array(hays)
+    freqs = jnp.asarray(BENCH_GRID.frequencies(np.float32))
+    ns_re, ns_im, hs_re, hs_im = map(jnp.asarray,
+                                     (ns_re, ns_im, hs_re, hs_im))
+
+    def step(carry):
+        pk = _batched_peak_jit.__wrapped__(
+            ns_re + carry, ns_im, hs_re, hs_im, freqs, FS, 2 * n, "matmul")
+        return jnp.sum(pk.value) * 1e-30
+
+    ms = _chain(step, lambda: jnp.float32(0), iters=8)
+    return {"metric": "config2_batch64_400x8192_ms_per_surface",
+            "value": round(ms / b, 4), "unit": "ms",
+            "batch_total_ms": round(ms, 3)}
+
+
+def config3_wideband():
+    """2000 bins x 65536 lags via streaming overlap-save, one chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from caf_cookoff_tpu.models.overlap_save import (
+        needle_spectra_conj,
+        streaming_peak,
+    )
+    from caf_cookoff_tpu.ops.splitfft import split_array
+
+    n, lags, k = 4096, 65536, 2000
+    needle, _ = _rand_pair(n, 7, 0.0, 0)
+    rng = np.random.default_rng(1)
+    hay = (rng.standard_normal(lags + n)
+           + 1j * rng.standard_normal(lags + n)).astype(np.complex64)
+    hay[30_000:30_000 + n] += 3 * needle
+    n_re, n_im = map(jnp.asarray, split_array(needle))
+    h_re, h_im = map(jnp.asarray, split_array(hay))
+    freqs = jnp.asarray(
+        np.linspace(-500, 500, k, endpoint=False).astype(np.float32))
+
+    def step(carry):
+        sc = needle_spectra_conj((n_re + carry, n_im), freqs, FS, 8192,
+                                 "matmul")
+        pk = streaming_peak(sc, (h_re, h_im), n, lags, backend="matmul")
+        return pk.value * 1e-30
+
+    ms = _chain(step, lambda: jnp.float32(0), iters=3)
+    return {"metric": "config3_wideband_2000x65536_ms", "value": round(ms, 2),
+            "unit": "ms"}
+
+
+def config4_stream16():
+    """16 pairs x 1024 bins x 32768 lags (one streamed slice)."""
+    import jax
+    import jax.numpy as jnp
+
+    from caf_cookoff_tpu.models.overlap_save import (
+        needle_spectra_conj,
+        streaming_peak,
+    )
+    from caf_cookoff_tpu.ops.splitfft import split_array
+
+    pairs, n, lags, k = 16, 4096, 32768, 1024
+    rng = np.random.default_rng(2)
+    needles = (rng.standard_normal((pairs, n))
+               + 1j * rng.standard_normal((pairs, n))).astype(np.complex64)
+    hays = (rng.standard_normal((pairs, lags + n))
+            + 1j * rng.standard_normal((pairs, lags + n))).astype(np.complex64)
+    ns = tuple(map(jnp.asarray, split_array(needles)))
+    hs = tuple(map(jnp.asarray, split_array(hays)))
+    freqs = jnp.asarray(
+        np.linspace(-500, 500, k, endpoint=False).astype(np.float32))
+
+    def one(n_re, n_im, h_re, h_im):
+        sc = needle_spectra_conj((n_re, n_im), freqs, FS, 8192, "matmul")
+        pk = streaming_peak(sc, (h_re, h_im), n, lags, backend="matmul")
+        return pk.value
+
+    def step(carry):
+        vals = jax.vmap(one)(ns[0] + carry, ns[1], hs[0], hs[1])
+        return jnp.sum(vals) * 1e-30
+
+    ms = _chain(step, lambda: jnp.float32(0), iters=2)
+    return {"metric": "config4_stream16_1024x32768_ms_per_pair",
+            "value": round(ms / pairs, 3), "unit": "ms",
+            "slice_total_ms": round(ms, 2)}
+
+
+def main() -> None:
+    import jax
+
+    device = jax.devices()[0]
+    print(f"device: {device.platform} ({device.device_kind})",
+          file=sys.stderr)
+    which = sys.argv[1:] or ["2", "3", "4"]
+    runners = {"2": config2_batch64, "3": config3_wideband,
+               "4": config4_stream16}
+    for w in which:
+        result = runners[w]()
+        result["device"] = str(device.device_kind)
+        print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

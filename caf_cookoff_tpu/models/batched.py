@@ -32,13 +32,38 @@ def _batched_surface_jit(ns_re, ns_im, hs_re, hs_im, freqs_hz, sample_rate,
     )(ns_re, ns_im, hs_re, hs_im)
 
 
-@functools.partial(jax.jit, static_argnames=("xcor_len", "backend"))
+@functools.partial(
+    jax.jit, static_argnames=("xcor_len", "backend", "chunk"))
 def _batched_peak_jit(ns_re, ns_im, hs_re, hs_im, freqs_hz, sample_rate,
-                      xcor_len, backend):
-    mag2 = _batched_surface_jit.__wrapped__(
-        ns_re, ns_im, hs_re, hs_im, freqs_hz, sample_rate, xcor_len,
-        backend)
-    return find_peak_2d(mag2)
+                      xcor_len, backend, chunk: int = 4):
+    """Per-pair peaks with bounded memory.
+
+    A flat vmap over B pairs materializes B x (K, M) intermediates —
+    ~26 MB per pair per stage at the reference shape, which blows HBM
+    locality past a handful of pairs (measured 3x slower per surface at
+    B=64).  Instead ``lax.map`` walks chunks of ``chunk`` vmapped pairs:
+    constant memory, full per-chunk parallelism.
+    """
+    b = ns_re.shape[0]
+    chunk = min(chunk, b)
+    if b % chunk:
+        chunk = 1
+
+    def do_chunk(args):
+        cr, ci, hr, hi = args
+        mag2 = jax.vmap(
+            lambda nr, ni, h_r, h_i: splitfft.mag2(_surface_rows_split(
+                (nr, ni), (h_r, h_i), freqs_hz, sample_rate, xcor_len,
+                backend))
+        )(cr, ci, hr, hi)
+        return find_peak_2d(mag2)
+
+    def regroup(x):
+        return x.reshape(b // chunk, chunk, *x.shape[1:])
+
+    peaks = jax.lax.map(
+        do_chunk, tuple(regroup(x) for x in (ns_re, ns_im, hs_re, hs_im)))
+    return jax.tree.map(lambda x: x.reshape(b, *x.shape[2:]), peaks)
 
 
 def _split_batch(needles, haystacks, freqs_hz):

@@ -127,11 +127,16 @@ def caf_surface(needle, haystack, freqs_hz, sample_rate, *,
     always split-complex.
     """
     backend = backend or default_backend()
-    if backend.startswith("pallas"):
-        # The fused kernel is peak-only (it exists to avoid writing the
-        # surface); materializing falls back to the MXU matmul path.
-        backend = "matmul"
     n_re, n_im, h_re, h_im, freqs = _split_inputs(needle, haystack, freqs_hz)
+    if backend.startswith("pallas"):
+        from caf_cookoff_tpu.ops.pallas_caf import pallas_caf_surface
+
+        _, _, tier = backend.partition("-")
+        return pallas_caf_surface(
+            jnp.asarray(n_re), jnp.asarray(n_im), jnp.asarray(h_re),
+            jnp.asarray(h_im), freqs, float(sample_rate),
+            xcor_length(n_re.shape[-1]),
+            precision="bf16" if tier == "bf16" else "high")
     return _surface_split_jit(n_re, n_im, h_re, h_im, jnp.asarray(freqs),
                               float(sample_rate),
                               xcor_length(n_re.shape[-1]), backend)

@@ -255,6 +255,101 @@ def _pallas_peak_rows(n_re, n_im, h_re, h_im, rates, needle_len: int,
     return vals[:, 0], idxs[:, 0]
 
 
+def _caf_surface_kernel(rates_ref, n_re_ref, n_im_ref, h2r_ref, h2i_ref,
+                        f1s_ref, f2s_ref, if2s_ref, if1s_ref, twr_ref,
+                        twi_ref, surf_ref, *, needle_len: int, n1: int,
+                        n2: int, precision: str):
+    """Surface-emitting variant: writes the (TILE_BINS, n1, n2) mag^2
+    tile (natural lag order, XLA-parity 1/M^2 scale) instead of peaks."""
+    dot = _DOTS[precision]
+    c = {"f1s": f1s_ref[:], "f2s": f2s_ref[:], "if2s": if2s_ref[:],
+         "if1s": if1s_ref[:], "tw_re": twr_ref[:], "tw_im": twi_ref[:]}
+    h2r = h2r_ref[:]
+    h2i = h2i_ref[:]
+    nr = n_re_ref[:]
+    ni = n_im_ref[:]
+    rows = needle_len // n2
+    scale = np.float32(1.0 / (n1 * n2)) ** 2
+    sample_idx = (
+        jax.lax.broadcasted_iota(jnp.int32, (rows, n2), 0) * n2
+        + jax.lax.broadcasted_iota(jnp.int32, (rows, n2), 1)
+    ).astype(jnp.float32)
+    for t in range(TILE_BINS):
+        rate = rates_ref[t, 0]
+        phase = rate * sample_idx
+        cosw = jnp.cos(phase)
+        sinw = jnp.sin(phase)
+        sr = nr * cosw - ni * sinw
+        si = nr * sinw + ni * cosw
+        pad = jnp.zeros((n1 - rows, n2), jnp.float32)
+        zr, zi = _fwd_noreorder(jnp.concatenate([sr, pad], axis=0),
+                                jnp.concatenate([si, pad], axis=0), c, dot)
+        pr = h2r * zr + h2i * zi
+        pi = h2i * zr - h2r * zi
+        yr, yi = _inv_noreorder(pr, pi, c, dot)
+        surf_ref[t] = (yr * yr + yi * yi) * scale
+
+
+@functools.partial(
+    jax.jit, static_argnames=("needle_len", "fft_len", "interpret",
+                              "precision"))
+def _pallas_surface(n_re, n_im, h_re, h_im, rates, needle_len: int,
+                    fft_len: int, interpret: bool = False,
+                    precision: str = "high"):
+    """(K, M) mag^2 surface from the fused kernel (K padded to tile)."""
+    n1, n2, c_np = _fourstep_constants(fft_len)
+    k = rates.shape[0]
+    if k % TILE_BINS:
+        raise ValueError(f"bin count {k} not a multiple of {TILE_BINS}")
+    h2r, h2i = haystack_spectrum_noreorder(h_re, h_im, fft_len)
+    rows = needle_len // n2
+
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    consts = [jnp.asarray(c_np[name])
+              for name in ("f1s", "f2s", "if2s", "if1s", "tw_re", "tw_im")]
+    surf = pl.pallas_call(
+        functools.partial(_caf_surface_kernel, needle_len=needle_len,
+                          n1=n1, n2=n2, precision=precision),
+        grid=(k // TILE_BINS,),
+        in_specs=[
+            pl.BlockSpec((TILE_BINS, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            full((rows, n2)), full((rows, n2)),
+            full((n1, n2)), full((n1, n2)),
+            full((2 * n1, 2 * n1)), full((2 * n2, 2 * n2)),
+            full((2 * n2, 2 * n2)), full((2 * n1, 2 * n1)),
+            full((n1, n2)), full((n1, n2)),
+        ],
+        out_specs=pl.BlockSpec((TILE_BINS, n1, n2), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, n1, n2), jnp.float32),
+        interpret=interpret,
+    )(rates.reshape(k, 1), n_re.reshape(rows, n2), n_im.reshape(rows, n2),
+      h2r, h2i, *consts)
+    return surf.reshape(k, n1 * n2)
+
+
+def pallas_caf_surface(n_re, n_im, h_re, h_im, freqs_hz, sample_rate,
+                       fft_len: int, precision: str = "high",
+                       num_bins: Optional[int] = None) -> jax.Array:
+    """(K, M) mag^2 surface on split planes via the fused kernel."""
+    import jax as _jax
+
+    needle_len = n_re.shape[-1]
+    freqs_hz = jnp.asarray(freqs_hz)
+    k = freqs_hz.shape[0]
+    pad = (-k) % TILE_BINS
+    if pad:
+        freqs_hz = jnp.concatenate(
+            [freqs_hz, jnp.broadcast_to(freqs_hz[-1:], (pad,))])
+    rates = (2.0 * jnp.pi) * freqs_hz.astype(jnp.float32) / float(sample_rate)
+    interpret = _jax.default_backend() == "cpu"
+    surf = _pallas_surface(n_re, n_im, h_re, h_im, rates, needle_len,
+                           fft_len, interpret, precision)
+    return surf[:k]
+
+
 @functools.partial(
     jax.jit, static_argnames=("needle_len", "fft_len", "interpret"))
 def _refined_peak(n_re, n_im, h_re, h_im, rates, needle_len: int,

@@ -59,6 +59,18 @@ def load_f32(path: PathLike, count: Optional[int] = None) -> np.ndarray:
                        count=-1 if count is None else count)
 
 
+def c64_to_c128(samples: np.ndarray) -> np.ndarray:
+    """Upcast complex64 -> complex128 (``caf_go/caf.go:85-93`` /
+    ``caf_rust/src/utils.rs:10-35`` both compute in double precision)."""
+    return np.asarray(samples).astype(np.complex128)
+
+
+def f32_to_c128(samples: np.ndarray) -> np.ndarray:
+    """Real float32 -> complex128 with zero imaginary part
+    (``caf_go/caf.go:75-83``)."""
+    return np.asarray(samples, dtype=np.float64).astype(np.complex128)
+
+
 def write_c64(path: PathLike, samples: np.ndarray) -> None:
     """Write complex samples as interleaved little-endian f32 I/Q."""
     np.asarray(samples).astype("<c8").tofile(os.fspath(path))

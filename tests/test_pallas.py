@@ -67,6 +67,24 @@ def test_pallas_matches_matmul_synthetic():
     assert got[:2] == want[:2] == (1000.0, 40)
 
 
+def test_pallas_surface_matches_matmul():
+    """Surface-emitting kernel variant: same (K, M) surface as the XLA
+    matmul path (natural lag order, 1/M^2 normalization parity)."""
+    from caf_cookoff_tpu.models.filterbank import caf_surface
+
+    rng = np.random.default_rng(5)
+    n = 512
+    needle = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+    hay = np.roll(needle, 40) * np.exp(
+        2j * np.pi * 1000.0 * np.arange(n) / FS).astype(np.complex64)
+    freqs = np.arange(-2000.0, 2000.0, 250.0, dtype=np.float32)
+    a = np.asarray(caf_surface(needle, hay, freqs, FS, backend="matmul"))
+    b = np.asarray(caf_surface(needle, hay, freqs, FS, backend="pallas"))
+    assert a.shape == b.shape == (16, 1024)
+    np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-4 * a.max())
+
+
 def test_bin_padding_to_tile():
     """A bin count not divisible by TILE_BINS pads with duplicates of
     the last frequency; the original bin must win ties."""
