@@ -7,9 +7,11 @@ needle, 400 doppler bins (-100..+100 Hz step 0.5), fs = 48 kHz, 8192-point
 zero-padded cross-correlation -> magnitude-squared surface -> 2-D argmax
 peak (surface + ``find_peak``, the full reference pipeline).
 
-Configuration measured: the fused Pallas kernel with two-stage bf16
-coarse + f32-grade top-k refinement ('pallas-refine'), which recovers
-every golden fixture peak bin-exactly (tests/test_golden.py asserts).
+Configuration measured: the Stein time-segmented engine with exact
+top-k refinement ('stein' backend, models/stein.py) — segment
+correlations shared across all doppler bins plus one MXU synthesis
+matmul — which recovers every golden fixture peak bin-exactly
+(validated on this chip and in tests/test_golden.py).
 
 Baseline to beat: 28 ms/surface — the reference's best published parallel
 number (RustFFT + threadpool on a Ryzen9-3900X, ``README.md:36,38``).
@@ -50,8 +52,8 @@ def main() -> None:
 
     from caf_cookoff_tpu.config import BENCH_GRID, xcor_length
     from caf_cookoff_tpu.models.filterbank import caf_peak
+    from caf_cookoff_tpu.models.stein import _stein_peak_jit
     from caf_cookoff_tpu.ops import splitfft
-    from caf_cookoff_tpu.ops.pallas_caf import _refined_peak
     from caf_cookoff_tpu.utils.generate import ensure_fixtures
     from caf_cookoff_tpu.utils.io import load_c64
 
@@ -75,26 +77,26 @@ def main() -> None:
                   for p in splitfft.split_array(needle_np))
     h_re, h_im = (jax.device_put(p, device)
                   for p in splitfft.split_array(haystack_np))
-    rates = jax.device_put(
-        ((2.0 * np.pi) * freqs_np / FS).astype(np.float32), device)
+    freqs = jax.device_put(freqs_np, device)
+    backend = "matmul" if on_tpu else "xla"
 
     @functools.partial(jax.jit, static_argnames=("iters",))
-    def chain(n_re, n_im, h_re, h_im, rates, iters):
+    def chain(n_re, n_im, h_re, h_im, freqs, iters):
         def step(carry, _):
-            pk = _refined_peak.__wrapped__(
-                n_re + carry, n_im, h_re, h_im, rates, needle_len,
-                fft_len, not on_tpu)
+            pk = _stein_peak_jit.__wrapped__(
+                n_re + carry, n_im, h_re, h_im, freqs, FS, fft_len, 64,
+                backend, True)
             return pk.value * 1e-30, None
 
         carry, _ = lax.scan(step, jnp.float32(0), None, length=iters)
         return carry
 
     def timed_ms(iters: int) -> float:
-        float(chain(n_re, n_im, h_re, h_im, rates, iters))  # compile+warm
+        float(chain(n_re, n_im, h_re, h_im, freqs, iters))  # compile+warm
         best = float("inf")
         for _ in range(REPS):
             t0 = time.perf_counter()
-            float(chain(n_re, n_im, h_re, h_im, rates, iters))
+            float(chain(n_re, n_im, h_re, h_im, freqs, iters))
             best = min(best, time.perf_counter() - t0)
         return best * 1e3
 
@@ -105,13 +107,13 @@ def main() -> None:
 
     # Sanity: the golden chirp_0 answer must hold on whatever chip ran.
     freq, lag, _ = caf_peak(needle_np, haystack_np, freqs_np, FS,
-                            backend="pallas-refine")
+                            backend="stein")
     assert abs(freq - 69.25) <= 0.5, freq  # nearest 0.5 Hz bin to +69.25
     assert lag == 202, lag
 
     print(f"chain(1) {t_base:.1f} ms  chain({1 + iters}) {t_full:.1f} ms  "
           f"per-surface {ms:.4f} ms  surfaces/s/chip {1e3 / ms:.0f}  "
-          f"[pallas-refine, golden-exact]", file=sys.stderr)
+          f"[stein-refine, golden-exact]", file=sys.stderr)
 
     print(json.dumps({
         "metric": "caf_surface_peak_400x8192_ms",

@@ -45,10 +45,10 @@ def _add_grid_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--backend",
                    choices=("auto", "xla", "matmul", "matmul-highest",
                             "matmul-bf16", "pallas", "pallas-refine",
-                            "pallas-bf16"),
+                            "pallas-bf16", "stein", "stein-raw"),
                    default="auto", help="FFT backend (auto: xla on CPU, "
-                   "matmul on TPU; pallas-refine = fused kernel, "
-                   "fastest golden-exact)")
+                   "matmul on TPU; stein = segmented fast path + exact "
+                   "refinement, fastest golden-exact)")
 
 
 def _resolve_backend(name: str) -> str:

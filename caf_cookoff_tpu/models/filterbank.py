@@ -127,6 +127,10 @@ def caf_surface(needle, haystack, freqs_hz, sample_rate, *,
     always split-complex.
     """
     backend = backend or default_backend()
+    if backend.startswith("stein"):
+        from caf_cookoff_tpu.models.stein import stein_caf_surface
+
+        return stein_caf_surface(needle, haystack, freqs_hz, sample_rate)
     n_re, n_im, h_re, h_im, freqs = _split_inputs(needle, haystack, freqs_hz)
     if backend.startswith("pallas"):
         from caf_cookoff_tpu.ops.pallas_caf import pallas_caf_surface
@@ -162,6 +166,11 @@ def caf_peak(needle, haystack, freqs_hz, sample_rate, *,
     reference lacks (it always keeps full rows, ``mod.rs:17-22``).
     """
     backend = backend or default_backend()
+    if backend.startswith("stein"):
+        from caf_cookoff_tpu.models.stein import stein_caf_peak
+
+        return stein_caf_peak(needle, haystack, freqs_hz, sample_rate,
+                              refine=not backend.endswith("-raw"))
     n_re, n_im, h_re, h_im, freqs = _split_inputs(needle, haystack, freqs_hz)
     if backend.startswith("pallas"):
         from caf_cookoff_tpu.ops.pallas_caf import pallas_caf_peak

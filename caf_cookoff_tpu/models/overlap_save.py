@@ -92,7 +92,13 @@ def streaming_peak(s_conj: SplitComplex, haystack: SplitComplex,
     """
     m, v, nblocks = plan_blocks(needle_len, num_lags)
     d = v + needle_len - 1
-    hay = splitfft.pad_split(haystack, nblocks * v + needle_len - 1)
+    target = nblocks * v + needle_len - 1
+    if haystack[0].shape[-1] >= target:
+        # Samples beyond the last block's reach cannot affect the
+        # requested lags — drop them instead of refusing.
+        hay = tuple(p[..., :target] for p in haystack)
+    else:
+        hay = splitfft.pad_split(haystack, target)
     real_dtype = s_conj[0].dtype
 
     def step(best: CafPeak, b):
