@@ -65,12 +65,14 @@ def _rand_pair(n, lag, f_hz, seed):
 
 
 def config2_batch64():
-    """64 pairs x 400x8192 on one chip."""
+    """64 pairs x 400x8192 on one chip (stein engine, lax.map pairs —
+    memory-light, each pair's surface never coexists with another's)."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from caf_cookoff_tpu.config import BENCH_GRID
-    from caf_cookoff_tpu.models.batched import _batched_peak_jit
+    from caf_cookoff_tpu.models.stein import _stein_peak_jit
     from caf_cookoff_tpu.ops.splitfft import split_array
 
     b, n = 64, 4096
@@ -78,16 +80,20 @@ def config2_batch64():
                         for i in range(b)])
     hays = np.stack([_rand_pair(n, 50 + i, 10.0 * i - 300, i)[1]
                      for i in range(b)])
-    ns_re, ns_im = split_array(needles)
-    hs_re, hs_im = split_array(hays)
+    ns_re, ns_im = map(jnp.asarray, split_array(needles))
+    hs_re, hs_im = map(jnp.asarray, split_array(hays))
     freqs = jnp.asarray(BENCH_GRID.frequencies(np.float32))
-    ns_re, ns_im, hs_re, hs_im = map(jnp.asarray,
-                                     (ns_re, ns_im, hs_re, hs_im))
 
     def step(carry):
-        pk = _batched_peak_jit.__wrapped__(
-            ns_re + carry, ns_im, hs_re, hs_im, freqs, FS, 2 * n, "matmul")
-        return jnp.sum(pk.value) * 1e-30
+        def one(pair):
+            nr, ni, hr, hi = pair
+            pk = _stein_peak_jit.__wrapped__(
+                nr + carry, ni, hr, hi, freqs, FS, 2 * n, 64, "matmul",
+                True)
+            return pk.value
+
+        vals = lax.map(one, (ns_re, ns_im, hs_re, hs_im))
+        return jnp.sum(vals) * 1e-30
 
     ms = _chain(step, lambda: jnp.float32(0), iters=8)
     return {"metric": "config2_batch64_400x8192_ms_per_surface",

@@ -28,10 +28,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from caf_cookoff_tpu.config import CafConfig, FreqGrid, default_backend, xcor_length
+from caf_cookoff_tpu.config import CafConfig, default_backend, xcor_length
 from caf_cookoff_tpu.ops import fft as fft_ops
 from caf_cookoff_tpu.ops import splitfft
-from caf_cookoff_tpu.ops.peak import CafPeak, find_peak_2d, grid_frequency, signed_lag, surface_peak
+from caf_cookoff_tpu.ops.peak import find_peak_2d, grid_frequency
 from caf_cookoff_tpu.ops.shift import phasor_bank
 from caf_cookoff_tpu.ops.xcor import pad_to
 

@@ -37,7 +37,7 @@ with the FFT plan ("Xcor::new") baked into the compiled kernel.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,8 +18,7 @@ Typical pod-scale run (BASELINE config 5):
 
 from __future__ import annotations
 
-import math
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 

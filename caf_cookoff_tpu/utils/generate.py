@@ -23,7 +23,7 @@ Ground truth lives in the haystack filename:
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 import scipy.signal

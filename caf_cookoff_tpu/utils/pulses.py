@@ -14,7 +14,7 @@ works without GNU Radio.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -2,7 +2,6 @@
 ``caf_rust/src/main.rs:1-2`` left CLAP as a TODO)."""
 
 import numpy as np
-import pytest
 
 from caf_cookoff_tpu.cli import main
 

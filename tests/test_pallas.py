@@ -14,7 +14,6 @@ from caf_cookoff_tpu.ops.pallas_caf import (
     _fourstep_constants,
     haystack_spectrum_noreorder,
 )
-from caf_cookoff_tpu.ops import splitfft
 
 FS = 48_000.0
 

@@ -7,7 +7,6 @@ import pytest
 
 from caf_cookoff_tpu.utils import sigmf
 from caf_cookoff_tpu.utils.profiling import (
-    RunReport,
     Stopwatch,
     peak_to_floor_db,
     report_run,
