@@ -92,8 +92,20 @@ def cmd_run(args) -> int:
 
     t0 = time.perf_counter()
     if args.full_haystack and len(haystack) > len(needle):
-        freq, lag, value = overlap_save_peak(
-            needle, haystack, freqs, args.fs, backend=backend)
+        if args.backend in ("auto", "stein"):
+            try:
+                from caf_cookoff_tpu.models.stein import (
+                    stein_overlap_save_peak,
+                )
+
+                freq, lag, value = stein_overlap_save_peak(
+                    needle, haystack, freqs, args.fs)
+            except ValueError:  # doppler span too wide for segmentation
+                freq, lag, value = overlap_save_peak(
+                    needle, haystack, freqs, args.fs, backend=backend)
+        else:
+            freq, lag, value = overlap_save_peak(
+                needle, haystack, freqs, args.fs, backend=backend)
     else:
         haystack = haystack[: len(needle)]
         freq, lag, value = caf_peak(needle, haystack, freqs, args.fs,

@@ -15,6 +15,11 @@ from caf_cookoff_tpu.models.overlap_save import (
     overlap_save_peak,
     overlap_save_surface,
 )
+from caf_cookoff_tpu.models.stein import (
+    stein_caf_peak,
+    stein_caf_surface,
+    stein_overlap_save_peak,
+)
 
 __all__ = [
     "FilterbankCAF",
@@ -24,4 +29,7 @@ __all__ = [
     "find_peak",
     "overlap_save_peak",
     "overlap_save_surface",
+    "stein_caf_peak",
+    "stein_caf_surface",
+    "stein_overlap_save_peak",
 ]

@@ -143,6 +143,28 @@ def _stein_peak_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate,
                    lag_idx=jnp.argmax(exact[best]).astype(jnp.int32))
 
 
+def _auto_block_len(sample_rate: float, freqs_hz: np.ndarray,
+                    requested: int) -> int:
+    """Clamp the segment length to the approximation's validity range.
+
+    The block-constant phase error is ``w_max * D / 2``; keeping it
+    under ~pi/8 requires ``D <= fs / (4 * f_max)``.  Wide doppler spans
+    make the segmented engine pointless (D too small to amortize) — use
+    the filterbank/pallas backends there.
+    """
+    f_max = float(np.max(np.abs(freqs_hz))) if len(freqs_hz) else 0.0
+    if f_max <= 0:
+        return requested
+    limit = int(sample_rate / (4.0 * f_max))
+    d = min(requested, max(limit, 1))
+    if d < 8:
+        raise ValueError(
+            f"doppler span +-{f_max:.0f} Hz needs segment length <= {limit} "
+            f"(< 8) at fs={sample_rate:.0f}; the segmented (stein) engine "
+            "does not pay off — use the 'matmul' or 'pallas' backend")
+    return d
+
+
 def _prep(needle, haystack, freqs_hz):
     n = splitfft.split_array(needle)
     h = splitfft.split_array(haystack)
@@ -159,10 +181,136 @@ def stein_caf_surface(needle, haystack, freqs_hz, sample_rate, *,
     """(K, M) mag^2 surface via time segmentation (Stein's method)."""
     backend = backend or default_backend()
     (n_re, n_im), (h_re, h_im), freqs = _prep(needle, haystack, freqs_hz)
+    block_len = _auto_block_len(sample_rate, freqs, block_len)
     return _stein_surface_jit(n_re, n_im, h_re, h_im, jnp.asarray(freqs),
                               float(sample_rate),
                               xcor_length(n_re.shape[-1]), block_len,
                               backend)
+
+
+def _segment_spectra_conj(needle, fft_len: int, block_len: int,
+                          backend: str):
+    """conj spectra of the needle's D-blocks at their true offsets —
+    (B, M) split, doppler-independent (computed once per needle)."""
+    fft_fn, _ = splitfft.get_split_fft(backend)
+    n_re, n_im = needle
+    n = n_re.shape[-1]
+    d = block_len
+    b = -(-n // d)
+    m = fft_len
+    pad = b * d - n
+    if pad:
+        n_re = jnp.pad(n_re, (0, pad))
+        n_im = jnp.pad(n_im, (0, pad))
+    s0 = fft_fn(splitfft.pad_split(
+        (n_re.reshape(b, d), n_im.reshape(b, d)), m))
+    q = np.arange(m)
+    ang = (-2.0 * np.pi / m) * (np.arange(b)[:, None] * d * q[None, :])
+    twist = (jnp.asarray(np.cos(ang), n_re.dtype),
+             jnp.asarray(np.sin(ang), n_re.dtype))
+    s_re, s_im = splitfft.cmul(s0, twist)
+    return s_re, -s_im
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("needle_len", "num_lags", "block_len", "backend"))
+def _stein_os_scan_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate,
+                       needle_len, num_lags, block_len, backend):
+    """Streaming overlap-save peak with Stein doppler synthesis.
+
+    Per haystack block: ONE forward FFT + B_seg = N/D inverse FFTs (the
+    segment correlations) + one (2K, 2B_seg) x (2B_seg, V) synthesis
+    matmul — vs K inverse FFTs per block for the filterbank streaming
+    path.  For wideband grids (K >> B_seg) this decouples doppler
+    resolution from transform count on long captures too.
+    """
+    from caf_cookoff_tpu.models.overlap_save import plan_blocks
+
+    fft_fn, ifft_fn = splitfft.get_split_fft(backend)
+    m, v, nblocks = plan_blocks(needle_len, num_lags)
+    d_read = v + needle_len - 1
+    sc = _segment_spectra_conj((n_re, n_im), m, block_len, backend)
+    target = nblocks * v + needle_len - 1
+    if h_re.shape[-1] >= target:
+        hay = (h_re[:target], h_im[:target])
+    else:
+        hay = splitfft.pad_split((h_re, h_im), target)
+
+    def step(best: CafPeak, blk):
+        seg = tuple(jax.lax.dynamic_slice(p, (blk * v,), (d_read,))
+                    for p in hay)
+        spec = fft_fn(splitfft.pad_split(seg, m))
+        prod = splitfft.cmul((spec[0][None], spec[1][None]), sc)
+        g = ifft_fn(prod)                                # (B_seg, M)
+        g = (g[0][:, :v], g[1][:, :v])
+        rows = _doppler_synthesis(g, freqs_hz, sample_rate, block_len)
+        mag2 = splitfft.mag2(rows)                       # (K, V)
+        local_ok = jax.lax.broadcasted_iota(jnp.int32, (1, v), 1) + blk * v
+        mag2 = jnp.where(local_ok < num_lags, mag2, -1.0)
+        cand = find_peak_2d(mag2)
+        cand = CafPeak(cand.value, cand.freq_idx, cand.lag_idx + blk * v)
+        take = cand.value > best.value
+        return CafPeak(
+            jnp.where(take, cand.value, best.value),
+            jnp.where(take, cand.freq_idx, best.freq_idx),
+            jnp.where(take, cand.lag_idx, best.lag_idx)), None
+
+    init = CafPeak(value=jnp.asarray(-jnp.inf, n_re.dtype),
+                   freq_idx=jnp.asarray(0, jnp.int32),
+                   lag_idx=jnp.asarray(0, jnp.int32))
+    best, _ = jax.lax.scan(step, init, jnp.arange(nblocks))
+    return best
+
+
+def stein_overlap_save_peak(needle, haystack, freqs_hz, sample_rate, *,
+                            block_len: int = 64,
+                            num_lags: Optional[int] = None,
+                            refine: bool = True,
+                            backend: Optional[str] = None
+                            ) -> Tuple[float, int, float]:
+    """Long-haystack (freq, lag, value) via segmented doppler synthesis.
+
+    Coarse scan over all lags (Stein approximation — lag exact, freq
+    within a bin), then exact refinement: the needle-length capture
+    window at the found lag is re-scored by :func:`stein_caf_peak`'s
+    exact top-k path, restoring bin-exact frequency.
+    """
+    backend = backend or default_backend()
+    (n_re, n_im), (h_re, h_im), freqs = _prep_long(needle, haystack,
+                                                   freqs_hz)
+    block_len = _auto_block_len(sample_rate, freqs, block_len)
+    n = n_re.shape[-1]
+    lags = num_lags or h_re.shape[-1] - n + 1
+    peak = _stein_os_scan_jit(n_re, n_im, h_re, h_im, jnp.asarray(freqs),
+                              float(sample_rate), n, lags, block_len,
+                              backend)
+    lag = int(peak.lag_idx)
+    if not refine:
+        return float(freqs[int(peak.freq_idx)]), lag, float(peak.value)
+    # Exact re-score of a needle-length window starting slightly before
+    # the coarse lag: recovers both the exact frequency bin and any
+    # near-tie lag flip (the window's local lag delta re-derives it).
+    guard = min(lag, 64)
+    start = lag - guard
+    hay_np = np.asarray(haystack)
+    window = np.zeros(n, dtype=hay_np.dtype)
+    avail = min(n, hay_np.shape[-1] - start)
+    window[:avail] = hay_np[start:start + avail]
+    freq, delta, value = stein_caf_peak(needle, window, freqs, sample_rate,
+                                        block_len=block_len,
+                                        backend=backend)
+    return freq, start + int(delta), value
+
+
+def _prep_long(needle, haystack, freqs_hz):
+    n = splitfft.split_array(needle)
+    h = splitfft.split_array(haystack)
+    if h[0].shape[-1] < n[0].shape[-1]:
+        raise ValueError(
+            f"haystack ({h[0].shape[-1]}) shorter than needle "
+            f"({n[0].shape[-1]})")
+    return n, h, np.asarray(freqs_hz, dtype=n[0].dtype)
 
 
 def stein_caf_peak(needle, haystack, freqs_hz, sample_rate, *,
@@ -176,6 +324,7 @@ def stein_caf_peak(needle, haystack, freqs_hz, sample_rate, *,
     """
     backend = backend or default_backend()
     (n_re, n_im), (h_re, h_im), freqs = _prep(needle, haystack, freqs_hz)
+    block_len = _auto_block_len(sample_rate, freqs, block_len)
     peak = _stein_peak_jit(n_re, n_im, h_re, h_im, jnp.asarray(freqs),
                            float(sample_rate),
                            xcor_length(n_re.shape[-1]), block_len, backend,

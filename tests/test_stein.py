@@ -69,6 +69,49 @@ def test_stein_raw_lag_exact(chirp):
     assert lag == truth.lag_samples
 
 
+def test_stein_overlap_save_golden(fixture_pairs):
+    """Full (untruncated) haystack search via the segmented scan + exact
+    window refinement."""
+    from caf_cookoff_tpu.models.stein import stein_overlap_save_peak
+    from caf_cookoff_tpu.utils.io import load_c64
+
+    needle = load_c64(fixture_pairs[0][0])
+    haystack = load_c64(fixture_pairs[0][1])  # full length
+    freqs = FreqGrid(-100.0, 100.0, 0.25).frequencies(np.float32)
+    freq, lag, _ = stein_overlap_save_peak(needle, haystack, freqs, FS)
+    assert (freq, lag) == (69.25, 202)
+
+
+def test_stein_overlap_save_synthetic_long():
+    from caf_cookoff_tpu.models.stein import stein_overlap_save_peak
+
+    rng = np.random.default_rng(5)
+    n, total, lag, f_true = 512, 65536, 51_200, -350.0
+    needle = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+    hay = (1e-4 * (rng.standard_normal(total)
+                   + 1j * rng.standard_normal(total))).astype(np.complex64)
+    hay[lag:lag + n] += needle * np.exp(
+        2j * np.pi * f_true * np.arange(n) / FS).astype(np.complex64)
+    freqs = np.arange(-400.0, 400.0, 50.0, dtype=np.float32)
+    freq, got_lag, _ = stein_overlap_save_peak(needle, hay, freqs, FS)
+    assert (freq, got_lag) == (f_true, lag)
+
+
+def test_stein_wide_span_guard():
+    """Doppler spans beyond the approximation's validity raise with a
+    pointer to the exact backends."""
+    from caf_cookoff_tpu.models.stein import stein_caf_peak
+
+    rng = np.random.default_rng(6)
+    n = 128
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+    freqs = np.arange(-2000.0, 2000.0, 250.0, dtype=np.float32)
+    with pytest.raises(ValueError, match="segmented"):
+        stein_caf_peak(x, x, freqs, FS)
+
+
 def test_stein_non_divisible_block():
     """Needle length not divisible by block_len pads cleanly."""
     rng = np.random.default_rng(9)
