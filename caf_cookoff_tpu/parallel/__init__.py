@@ -21,6 +21,7 @@ from caf_cookoff_tpu.parallel.sharded import (
     sharded_caf_peak,
     sharded_caf_surface,
     sharded_overlap_save_peak,
+    sharded_stein_peak,
 )
 
 __all__ = [
@@ -35,4 +36,5 @@ __all__ = [
     "sharded_caf_peak",
     "sharded_caf_surface",
     "sharded_overlap_save_peak",
+    "sharded_stein_peak",
 ]

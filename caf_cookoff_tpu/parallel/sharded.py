@@ -160,6 +160,74 @@ def sharded_caf_peak(needle, haystack, freqs_hz, sample_rate, mesh: Mesh,
             float(peak.value))
 
 
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "xcor_len", "block_len", "backend"))
+def _sharded_stein_peak_jit(n_re, n_im, h_re, h_im, freqs_padded,
+                            sample_rate, mesh, xcor_len, block_len,
+                            backend):
+    """Doppler-sharded Stein synthesis: segment correlations replicate
+    (they are K-independent and cheap); each chip synthesizes and
+    reduces its own doppler slice."""
+    from caf_cookoff_tpu.models.stein import (
+        _doppler_synthesis,
+        _segment_correlations,
+    )
+
+    k_loc = freqs_padded.shape[0] // mesh.shape[AXIS_DOPPLER]
+
+    def body(n_re, n_im, h_re, h_im, freqs_loc):
+        g = _segment_correlations((n_re, n_im), (h_re, h_im), xcor_len,
+                                  block_len, backend)
+        rows = _doppler_synthesis(g, freqs_loc, sample_rate, block_len)
+        local = find_peak_2d(splitfft.mag2(rows))
+        local = CafPeak(
+            local.value,
+            local.freq_idx + jax.lax.axis_index(AXIS_DOPPLER) * k_loc,
+            local.lag_idx)
+        return global_peak(local, AXIS_DOPPLER)
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(AXIS_DOPPLER)),
+        out_specs=CafPeak(P(), P(), P()),
+    )(n_re, n_im, h_re, h_im, freqs_padded)
+
+
+def sharded_stein_peak(needle, haystack, freqs_hz, sample_rate, mesh: Mesh,
+                       *, block_len: int = 64, refine: bool = True,
+                       backend: Optional[str] = None
+                       ) -> Tuple[float, int, float]:
+    """(freq_hz, lag, value): Stein synthesis sharded over ``doppler``.
+
+    Coarse segmented scan across the mesh, then (``refine=True``) an
+    exact single-program re-score of the bins around the coarse winner
+    — bin-exact results at segmented-scan cost.
+    """
+    from caf_cookoff_tpu.models.filterbank import _peak_split_jit
+    from caf_cookoff_tpu.models.stein import _auto_block_len
+
+    backend = backend or default_backend()
+    n_re, n_im = _split_host(needle)
+    h_re, h_im = _split_host(haystack)
+    freqs_np = np.asarray(freqs_hz, dtype=n_re.dtype)
+    block_len = _auto_block_len(sample_rate, freqs_np, block_len)
+    freqs_p = pad_axis_to(freqs_np, mesh.shape[AXIS_DOPPLER])
+    peak = _sharded_stein_peak_jit(
+        n_re, n_im, h_re, h_im, freqs_p, float(sample_rate), mesh,
+        xcor_length(n_re.shape[-1]), block_len, backend)
+    k_hat = int(peak.freq_idx)
+    if not refine:
+        return (float(freqs_p[k_hat]), int(peak.lag_idx),
+                float(peak.value))
+    lo = max(0, min(k_hat - 4, len(freqs_np) - 8))
+    cand = freqs_np[lo:lo + min(8, len(freqs_np))]
+    exact = _peak_split_jit(n_re, n_im, h_re, h_im, jnp.asarray(cand),
+                            float(sample_rate),
+                            xcor_length(n_re.shape[-1]), backend)
+    return (float(cand[int(exact.freq_idx)]), int(exact.lag_idx),
+            float(exact.value))
+
+
 # ---------------------------------------------------------------------------
 # Pair + doppler sharded batch engine (many signal pairs at once)
 # ---------------------------------------------------------------------------

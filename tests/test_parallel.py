@@ -122,3 +122,27 @@ def test_sharded_determinism(chirp):
     c = sharded_caf_peak(needle, haystack, freqs, FS, _mesh(doppler=4))
     assert a == b
     assert a[:2] == c[:2]
+
+
+@pytest.mark.parametrize("doppler", [4, 8])
+def test_stein_sharded_peak_golden(chirp, doppler):
+    """Doppler-sharded Stein synthesis + exact refinement = golden."""
+    from caf_cookoff_tpu.parallel import sharded_stein_peak
+
+    needle, haystack, _ = chirp(0)
+    freqs = GRID.frequencies(np.float32)
+    freq, lag, _ = sharded_stein_peak(needle, haystack, freqs, FS,
+                                      _mesh(doppler=doppler))
+    assert (freq, lag) == (69.25, 202)
+
+
+def test_stein_sharded_matches_single(chirp):
+    from caf_cookoff_tpu.models.stein import stein_caf_peak
+    from caf_cookoff_tpu.parallel import sharded_stein_peak
+
+    needle, haystack, _ = chirp(3)
+    freqs = GRID.frequencies(np.float32)
+    single = stein_caf_peak(needle, haystack, freqs, FS)
+    sharded = sharded_stein_peak(needle, haystack, freqs, FS,
+                                 _mesh(doppler=8))
+    assert sharded[:2] == single[:2] == (-76.25, 151)
