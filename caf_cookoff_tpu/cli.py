@@ -131,10 +131,16 @@ def cmd_run(args) -> int:
             lag, len(needle), freq, value, needle_id=args.needle))
         print(f"annotation -> {args.haystack}")
 
-    if args.dump_surface or args.plot:
+    if args.dump_surface or args.plot or args.interp:
         surface = np.asarray(caf_surface(
             needle, haystack[: len(needle)], freqs, args.fs,
             backend=backend))
+        if args.interp:
+            from caf_cookoff_tpu.ops.peak import interpolate_peak
+
+            f_frac, t_frac = interpolate_peak(surface, freqs)
+            print(f"Sub-bin estimate: {f_frac:+.4f} Hz, {t_frac:.3f} "
+                  f"samples ({t_frac / args.fs * 1e3:.5f} ms)")
         if args.dump_surface:
             if args.dump_surface.endswith(".npy"):
                 save_npy(args.dump_surface, surface)
@@ -170,6 +176,34 @@ def _plot_surface(surface: np.ndarray, freqs: np.ndarray,
     fig.tight_layout()
     fig.savefig(out_path, dpi=120)
     print(f"plot -> {out_path}")
+
+
+def cmd_stream(args) -> int:
+    """Chunked live-capture processing (StreamingCAF)."""
+    from caf_cookoff_tpu.models.streaming import StreamingCAF
+
+    backend = _resolve_backend(args.backend)
+    needle = _load_signal(args.needle, args.fs)
+    capture = _load_signal(args.capture, args.fs)
+    freqs = _grid(args).frequencies(np.float32)
+
+    engine = StreamingCAF(needle, freqs, args.fs, backend=backend)
+    t0 = time.perf_counter()
+    for start in range(0, len(capture), args.chunk):
+        chunk = capture[start:start + args.chunk]
+        freq, lag, value = engine.process(chunk)
+        if args.verbose:
+            print(f"chunk @{start:>10d}: local peak {freq:+8.2f} Hz "
+                  f"@ lag {lag:>8d}  ({value:.4g})")
+    elapsed = time.perf_counter() - t0
+    freq, lag, value = engine.best()
+    rate_ms = engine.samples_seen / args.fs * 1e3
+    print(f"Frequency offset: {freq:.3f} Hz")
+    print(f"Time offset: {lag} samples ({lag / args.fs * 1e3:.4f} ms)")
+    print(f"Peak value: {value:.6g}")
+    print(f"[{engine.samples_seen} samples ({rate_ms:.0f} ms of capture) "
+          f"in {elapsed:.2f} s, chunk={args.chunk}, {backend}]")
+    return 0
 
 
 def cmd_bench(args) -> int:
@@ -241,7 +275,21 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--annotate", action="store_true",
                    help="write the detection back to the haystack's "
                    ".sigmf-meta as a caf: annotation")
+    r.add_argument("--interp", action="store_true",
+                   help="also print the sub-bin parabolic (freq, lag) "
+                   "estimate (capability past the reference)")
     r.set_defaults(fn=cmd_run)
+
+    st = sub.add_parser("stream", help="chunked live-capture CAF "
+                        "(StreamingCAF)")
+    st.add_argument("needle", help=".c64 or .sigmf needle")
+    st.add_argument("capture", help=".c64 or .sigmf capture (any length)")
+    _add_grid_args(st)
+    st.add_argument("--chunk", type=int, default=4096,
+                    help="samples per streamed chunk")
+    st.add_argument("--verbose", action="store_true",
+                    help="print each chunk's local peak")
+    st.set_defaults(fn=cmd_stream)
 
     b = sub.add_parser("bench", help="README-style strategy table")
     _add_grid_args(b)
