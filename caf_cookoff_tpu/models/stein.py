@@ -76,7 +76,8 @@ def _segment_correlations(needle, haystack, xcor_len: int, block_len: int,
     return ifft_fn(prod)                                 # G (B, M) split
 
 
-def _doppler_synthesis(g, freqs_hz, sample_rate, block_len: int):
+def _doppler_synthesis(g, freqs_hz, sample_rate, block_len: int,
+                       precision=None):
     """R = W @ G: stacked split-complex matmul over the segment axis."""
     gr, gi = g
     b = gr.shape[0]
@@ -91,16 +92,17 @@ def _doppler_synthesis(g, freqs_hz, sample_rate, block_len: int):
         [jnp.concatenate([wr, -wi], axis=1),
          jnp.concatenate([wi, wr], axis=1)], axis=0)     # (2K, 2B)
     gs = jnp.concatenate([gr, gi], axis=0)               # (2B, M)
-    rs = jnp.dot(ws, gs, precision=_PRECISION)           # (2K, M)
+    rs = jnp.dot(ws, gs, precision=precision or _PRECISION)  # (2K, M)
     k = wr.shape[0]
     return rs[:k], rs[k:]
 
 
 def _stein_rows(needle, haystack, freqs_hz, sample_rate, xcor_len: int,
-                block_len: int, backend: str):
+                block_len: int, backend: str, synth_precision=None):
     g = _segment_correlations(needle, haystack, xcor_len, block_len,
                               backend)
-    return _doppler_synthesis(g, freqs_hz, sample_rate, block_len)
+    return _doppler_synthesis(g, freqs_hz, sample_rate, block_len,
+                              synth_precision)
 
 
 @functools.partial(
@@ -120,8 +122,18 @@ _REFINE_BINS = 8
     static_argnames=("xcor_len", "block_len", "backend", "refine"))
 def _stein_peak_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate,
                     xcor_len, block_len, backend, refine: bool = True):
+    if refine:
+        # The coarse pass only RANKS candidate bins — the exact re-score
+        # below restores bin-exact answers — so it runs wholly at bf16
+        # (single-pass MXU rate) regardless of the exact backend tier.
+        coarse_backend = ("matmul-bf16" if backend.startswith("matmul")
+                          else backend)
+        synth_prec = jax.lax.Precision.DEFAULT
+    else:
+        coarse_backend = backend
+        synth_prec = None
     rows = _stein_rows((n_re, n_im), (h_re, h_im), freqs_hz, sample_rate,
-                       xcor_len, block_len, backend)
+                       xcor_len, block_len, coarse_backend, synth_prec)
     mag2 = splitfft.mag2(rows)
     if not refine:
         return find_peak_2d(mag2)

@@ -98,14 +98,14 @@ def test_amb_surf_matches_scipy_oracle(chirp):
 def test_c128_parity_mode(chirp):
     """complex128 reference mode matches the reference's precision regime
     and the c64 answer (SURVEY §7 'Hard parts': precision)."""
+    import jax
+
     needle, haystack, _ = chirp(0)
     grid = FreqGrid(-100.0, 100.0, 0.25)
     engine64 = FilterbankCAF(CafConfig(grid=grid, precision="c64"))
     assert engine64.peak(needle, haystack) == (69.25, 202)
-    # c128 on CPU via x64 mode
-    import jax
-
-    if jax.config.jax_enable_x64:
+    # c128 end-to-end (the reference's native regime) under x64.
+    with jax.enable_x64(True):
         engine128 = FilterbankCAF(CafConfig(grid=grid, precision="c128"))
         assert engine128.peak(needle, haystack) == (69.25, 202)
 
