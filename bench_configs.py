@@ -128,7 +128,7 @@ def config3_wideband():
     def step(carry):
         pk = _stein_os_scan_jit.__wrapped__(
             n_re + carry, n_im, h_re, h_im, freqs, FS, n, lags, 24,
-            "matmul")
+            "matmul", True)
         return pk.value * 1e-30
 
     ms = _chain(step, lambda: jnp.float32(0), iters=3)
@@ -160,7 +160,8 @@ def config4_stream16():
     def one(pair):
         n_re, n_im, h_re, h_im = pair
         pk = _stein_os_scan_jit.__wrapped__(
-            n_re, n_im, h_re, h_im, freqs, FS, n, lags, 24, "matmul")
+            n_re, n_im, h_re, h_im, freqs, FS, n, lags, 24, "matmul",
+            True)
         return pk.value
 
     def step(carry):

@@ -226,9 +226,11 @@ def _segment_spectra_conj(needle, fft_len: int, block_len: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("needle_len", "num_lags", "block_len", "backend"))
+    static_argnames=("needle_len", "num_lags", "block_len", "backend",
+                     "coarse"))
 def _stein_os_scan_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate,
-                       needle_len, num_lags, block_len, backend):
+                       needle_len, num_lags, block_len, backend,
+                       coarse: bool = False):
     """Streaming overlap-save peak with Stein doppler synthesis.
 
     Per haystack block: ONE forward FFT + B_seg = N/D inverse FFTs (the
@@ -239,6 +241,12 @@ def _stein_os_scan_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate,
     """
     from caf_cookoff_tpu.models.overlap_save import plan_blocks
 
+    if coarse and backend.startswith("matmul"):
+        # Ranking-only scan (exact refinement follows): bf16 throughout.
+        backend = "matmul-bf16"
+        synth_prec = jax.lax.Precision.DEFAULT
+    else:
+        synth_prec = None
     fft_fn, ifft_fn = splitfft.get_split_fft(backend)
     m, v, nblocks = plan_blocks(needle_len, num_lags)
     d_read = v + needle_len - 1
@@ -256,7 +264,8 @@ def _stein_os_scan_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate,
         prod = splitfft.cmul((spec[0][None], spec[1][None]), sc)
         g = ifft_fn(prod)                                # (B_seg, M)
         g = (g[0][:, :v], g[1][:, :v])
-        rows = _doppler_synthesis(g, freqs_hz, sample_rate, block_len)
+        rows = _doppler_synthesis(g, freqs_hz, sample_rate, block_len,
+                                  synth_prec)
         mag2 = splitfft.mag2(rows)                       # (K, V)
         local_ok = jax.lax.broadcasted_iota(jnp.int32, (1, v), 1) + blk * v
         mag2 = jnp.where(local_ok < num_lags, mag2, -1.0)
@@ -296,7 +305,7 @@ def stein_overlap_save_peak(needle, haystack, freqs_hz, sample_rate, *,
     lags = num_lags or h_re.shape[-1] - n + 1
     peak = _stein_os_scan_jit(n_re, n_im, h_re, h_im, jnp.asarray(freqs),
                               float(sample_rate), n, lags, block_len,
-                              backend)
+                              backend, refine)
     lag = int(peak.lag_idx)
     if not refine:
         return float(freqs[int(peak.freq_idx)]), lag, float(peak.value)
