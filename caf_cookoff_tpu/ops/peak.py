@@ -65,6 +65,35 @@ def grid_frequency(freq_idx: jax.Array, freqs_hz: jax.Array) -> jax.Array:
     return jnp.take(freqs_hz, freq_idx, axis=-1)
 
 
+def find_peaks(surface, num_peaks: int, exclude_freq: int = 2,
+               exclude_lag: int = 32):
+    """Top-``num_peaks`` surface peaks with non-maximum suppression.
+
+    Multi-emitter extraction (a capability past the reference, which
+    only ever reports the single global argmax): iteratively take the
+    global peak, then mask a ``(2*exclude_freq+1) x (2*exclude_lag+1)``
+    exclusion window around it so sidelobes and the mainlobe skirt do
+    not re-detect.  Size the window to the resolution cell: the doppler
+    mainlobe spans ~``fs/N`` Hz (convert to bins of your grid) and the
+    lag mainlobe ~``fs/bandwidth`` samples.  Returns a :class:`CafPeak`
+    whose fields are ``(num_peaks,)`` arrays, strongest first.
+    Jit-compatible (``num_peaks`` static).
+    """
+    surface = jnp.asarray(surface)
+    k, m = surface.shape
+    ki = jax.lax.broadcasted_iota(jnp.int32, (k, m), 0)
+    ti = jax.lax.broadcasted_iota(jnp.int32, (k, m), 1)
+
+    def step(surf, _):
+        pk = find_peak_2d(surf)
+        inside = ((jnp.abs(ki - pk.freq_idx) <= exclude_freq)
+                  & (jnp.abs(ti - pk.lag_idx) <= exclude_lag))
+        return jnp.where(inside, -jnp.inf, surf), pk
+
+    _, peaks = jax.lax.scan(step, surface, None, length=num_peaks)
+    return peaks
+
+
 def _parabolic_offset(y_m1, y_0, y_p1):
     """Vertex offset in [-0.5, 0.5] of the parabola through 3 samples."""
     denom = y_m1 - 2.0 * y_0 + y_p1

@@ -214,3 +214,62 @@ class TestInterpolatePeak:
         freqs = np.arange(4, dtype=np.float32)
         freq, lag = interpolate_peak(surf, freqs)
         assert (freq, lag) == (0.0, 0.0)
+
+
+class TestFindPeaks:
+    """Multi-emitter non-max-suppressed peak extraction."""
+
+    def test_two_emitters(self):
+        from caf_cookoff_tpu.models.filterbank import caf_surface
+        from caf_cookoff_tpu.ops.peak import find_peaks
+
+        rng = np.random.default_rng(8)
+        fs, n = 48e3, 2048
+        needle = (rng.standard_normal(n)
+                  + 1j * rng.standard_normal(n)).astype(np.complex64)
+        t = np.arange(n)
+        hay = (needle * np.exp(2j * np.pi * 40.0 * t / fs)
+               + 0.6 * np.roll(needle, 500)
+               * np.exp(-2j * np.pi * 60.0 * t / fs)).astype(np.complex64)
+        freqs = np.arange(-100.0, 100.0, 2.0, dtype=np.float32)
+        surf = caf_surface(needle, hay, freqs, fs)
+        # Exclusion must cover the resolution cell: doppler mainlobe is
+        # +-fs/N ~ +-23 Hz = +-12 bins at this 2 Hz grid.
+        pks = find_peaks(surf, num_peaks=2, exclude_freq=12,
+                         exclude_lag=64)
+        got = sorted((float(freqs[int(pks.freq_idx[i])]),
+                      int(pks.lag_idx[i])) for i in range(2))
+        assert got == [(-60.0, 500), (40.0, 0)]
+        assert float(pks.value[0]) >= float(pks.value[1])
+
+    def test_suppression_window(self):
+        from caf_cookoff_tpu.ops.peak import find_peaks
+
+        surf = np.zeros((8, 128), dtype=np.float32)
+        surf[3, 50] = 10.0
+        surf[3, 55] = 9.0   # inside the exclusion window
+        surf[6, 100] = 8.0
+        pks = find_peaks(surf, num_peaks=2, exclude_freq=1, exclude_lag=8)
+        assert [int(f) for f in pks.freq_idx] == [3, 6]
+        assert [int(t) for t in pks.lag_idx] == [50, 100]
+
+
+def test_signed_lag_negative_regime():
+    """Needle transmitted BEFORE the capture start (negative true lag):
+    the circular peak index wraps near M; signed_lag recovers it — the
+    regime the reference never handles (its lags are always positive)."""
+    from caf_cookoff_tpu.models.filterbank import caf_peak, caf_surface
+    from caf_cookoff_tpu.ops.peak import signed_lag
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(12)
+    n, shift = 1024, 37  # haystack = needle advanced by 37 samples
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = np.zeros(n, dtype=np.complex64)
+    hay[: n - shift] = needle[shift:]
+    freqs = np.zeros(1, dtype=np.float32)
+    _, raw_lag, _ = caf_peak(needle, hay, freqs, 48e3)
+    m = 2 * n
+    assert raw_lag == m - shift  # wrapped circular index
+    assert int(signed_lag(jnp.asarray(raw_lag), m, n)) == -shift
