@@ -131,7 +131,7 @@ def cmd_run(args) -> int:
             lag, len(needle), freq, value, needle_id=args.needle))
         print(f"annotation -> {args.haystack}")
 
-    if args.dump_surface or args.plot or args.interp:
+    if args.dump_surface or args.plot or args.interp or args.num_peaks > 1:
         surface = np.asarray(caf_surface(
             needle, haystack[: len(needle)], freqs, args.fs,
             backend=backend))
@@ -141,6 +141,19 @@ def cmd_run(args) -> int:
             f_frac, t_frac = interpolate_peak(surface, freqs)
             print(f"Sub-bin estimate: {f_frac:+.4f} Hz, {t_frac:.3f} "
                   f"samples ({t_frac / args.fs * 1e3:.5f} ms)")
+        if args.num_peaks > 1:
+            from caf_cookoff_tpu.ops.peak import find_peaks
+
+            # Exclusion window = the doppler resolution cell (fs/N Hz)
+            # in grid bins, so mainlobe skirts don't re-detect.
+            cell_bins = int(np.ceil(
+                args.fs / len(needle) / args.freq_step))
+            pks = find_peaks(surface, args.num_peaks,
+                             exclude_freq=max(2, cell_bins))
+            for i in range(args.num_peaks):
+                print(f"peak {i + 1}: {float(freqs[int(pks.freq_idx[i])]):+9.3f} Hz "
+                      f"@ lag {int(pks.lag_idx[i]):>6d}  "
+                      f"({float(pks.value[i]):.5g})")
         if args.dump_surface:
             if args.dump_surface.endswith(".npy"):
                 save_npy(args.dump_surface, surface)
@@ -278,6 +291,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--interp", action="store_true",
                    help="also print the sub-bin parabolic (freq, lag) "
                    "estimate (capability past the reference)")
+    r.add_argument("--num-peaks", type=int, default=1,
+                   help="list the N strongest peaks (multi-emitter, "
+                   "non-max suppressed)")
     r.set_defaults(fn=cmd_run)
 
     st = sub.add_parser("stream", help="chunked live-capture CAF "
