@@ -5,9 +5,11 @@ Engine families:
 * :mod:`filterbank` — the flagship single-program engine: one jitted XLA
   program computes the whole delay x doppler surface (subsumes all seven
   reference CPU strategies, SURVEY §2.3).
-* :mod:`batched` — many (needle, haystack) pairs at once via an outer vmap.
+* :mod:`stein` — time-segmented fast path (Stein 1981) with exact top-k
+  refinement: the fastest golden-exact configuration.
+* :mod:`batched` — many (needle, haystack) pairs at once, memory-bounded.
 * :mod:`overlap_save` — wideband/long-haystack segmented correlation.
-* :mod:`streaming` — continuous time-block processing of a long capture.
+* :mod:`streaming` — continuous chunked processing of a live capture.
 """
 
 from caf_cookoff_tpu.models.filterbank import FilterbankCAF, amb_surf, caf_peak, caf_surface, find_peak
