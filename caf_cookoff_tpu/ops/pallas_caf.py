@@ -330,12 +330,28 @@ def _pallas_surface(n_re, n_im, h_re, h_im, rates, needle_len: int,
     return surf.reshape(k, n1 * n2)
 
 
+def _pad_needle_to_columns(n_re, n_im, fft_len: int):
+    """Zero-pad the needle to a multiple of the DFT column factor.
+
+    Appended zeros contribute nothing to any correlation lag, so results
+    are identical; this lifts the kernel's layout requirement for
+    non-power-of-two needle lengths."""
+    _, n2, _ = _fourstep_constants(fft_len)
+    n = n_re.shape[-1]
+    pad = (-n) % n2
+    if pad:
+        n_re = jnp.pad(n_re, (0, pad))
+        n_im = jnp.pad(n_im, (0, pad))
+    return n_re, n_im
+
+
 def pallas_caf_surface(n_re, n_im, h_re, h_im, freqs_hz, sample_rate,
                        fft_len: int, precision: str = "high",
                        num_bins: Optional[int] = None) -> jax.Array:
     """(K, M) mag^2 surface on split planes via the fused kernel."""
     import jax as _jax
 
+    n_re, n_im = _pad_needle_to_columns(n_re, n_im, fft_len)
     needle_len = n_re.shape[-1]
     freqs_hz = jnp.asarray(freqs_hz)
     k = freqs_hz.shape[0]
@@ -387,6 +403,7 @@ def pallas_caf_peak(n_re, n_im, h_re, h_im, freqs_hz, sample_rate,
     kernel tile by repeating the last frequency (duplicate rows can
     only tie, and the lowest-index winner is the original bin).
     """
+    n_re, n_im = _pad_needle_to_columns(n_re, n_im, fft_len)
     needle_len = n_re.shape[-1]
     freqs_hz = jnp.asarray(freqs_hz)
     k = freqs_hz.shape[0]

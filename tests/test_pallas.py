@@ -96,3 +96,21 @@ def test_bin_padding_to_tile():
     assert len(freqs) % TILE_BINS != 0
     freq, lag, _ = caf_peak(needle, hay, freqs, FS, backend="pallas")
     assert (freq, lag) == (0.0, 7)
+
+
+def test_non_pow2_needle_length():
+    """5000-sample needle (M rounds to 16384, not a column multiple):
+    the kernel zero-pads the needle — identical correlation — instead
+    of rejecting it."""
+    rng = np.random.default_rng(0)
+    n = 5000
+    needle = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+    hay = np.roll(needle, 123)
+    freqs = np.arange(-100.0, 100.0, 10.0, dtype=np.float32)
+    assert caf_peak(needle, hay, freqs, FS,
+                    backend="pallas")[:2] == (0.0, 123)
+    from caf_cookoff_tpu.models.filterbank import caf_surface
+
+    s = caf_surface(needle, hay, freqs, FS, backend="pallas")
+    assert s.shape == (20, 16384)

@@ -122,3 +122,17 @@ def test_stein_non_divisible_block():
     freqs = np.arange(-500.0, 500.0, 100.0, dtype=np.float32)
     freq, lag, _ = stein_caf_peak(needle, hay, freqs, FS)
     assert (freq, lag) == (0.0, 33)
+
+
+def test_stein_needle_shorter_than_block():
+    """A 40-sample needle (shorter than the 64-sample segment default)
+    degenerates to one block and still recovers the injected offsets."""
+    rng = np.random.default_rng(14)
+    n = 40
+    needle = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+    hay = np.zeros(n, dtype=np.complex64)
+    hay[7:] = needle[: n - 7]
+    freqs = np.arange(-100.0, 100.0, 25.0, dtype=np.float32)
+    freq, lag, _ = stein_caf_peak(needle, hay, freqs, FS)
+    assert (freq, lag) == (0.0, 7)
