@@ -119,9 +119,11 @@ _REFINE_BINS = 8
 
 @functools.partial(
     jax.jit,
-    static_argnames=("xcor_len", "block_len", "backend", "refine"))
+    static_argnames=("xcor_len", "block_len", "backend", "refine",
+                     "fused"))
 def _stein_peak_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate,
-                    xcor_len, block_len, backend, refine: bool = True):
+                    xcor_len, block_len, backend, refine: bool = True,
+                    fused: bool = False):
     if refine:
         # The coarse pass only RANKS candidate bins — the exact re-score
         # below restores bin-exact answers — so it runs wholly at bf16
@@ -132,18 +134,37 @@ def _stein_peak_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate,
     else:
         coarse_backend = backend
         synth_prec = None
-    rows = _stein_rows((n_re, n_im), (h_re, h_im), freqs_hz, sample_rate,
-                       xcor_len, block_len, coarse_backend, synth_prec)
-    mag2 = splitfft.mag2(rows)
-    if not refine:
-        return find_peak_2d(mag2)
+
+    if refine and fused:
+        # Fused Pallas synthesis+rank: the (2K, M) synthesized rows
+        # never touch HBM — only per-bin (max, arg) pairs come back.
+        from caf_cookoff_tpu.ops.pallas_stein import (
+            stein_synthesis_weights,
+            synth_rank,
+        )
+
+        g = _segment_correlations((n_re, n_im), (h_re, h_im), xcor_len,
+                                  block_len, coarse_backend)
+        ws1, ws2 = stein_synthesis_weights(
+            freqs_hz, sample_rate, g[0].shape[0], block_len)
+        vals, _ = synth_rank(ws1, ws2, g[0], g[1],
+                             interpret=jax.default_backend() == "cpu")
+        rowmax_coarse = vals
+    else:
+        rows = _stein_rows((n_re, n_im), (h_re, h_im), freqs_hz,
+                           sample_rate, xcor_len, block_len,
+                           coarse_backend, synth_prec)
+        mag2 = splitfft.mag2(rows)
+        if not refine:
+            return find_peak_2d(mag2)
+        rowmax_coarse = jnp.max(mag2, axis=-1)
     # The block-constant phase approximation perturbs near-tie adjacent
     # bins (the same failure mode as single-pass bf16 in the Pallas
     # kernel); re-scoring the top candidates with the exact filterbank
     # rows restores bin-exact answers at ~2% extra cost.
     from caf_cookoff_tpu.models.filterbank import _surface_rows_split
 
-    _, cand = jax.lax.top_k(jnp.max(mag2, axis=-1), _REFINE_BINS)
+    _, cand = jax.lax.top_k(rowmax_coarse, _REFINE_BINS)
     exact = splitfft.mag2(_surface_rows_split(
         (n_re, n_im), (h_re, h_im), freqs_hz[cand], sample_rate, xcor_len,
         backend))                                       # (P, M)
@@ -336,19 +357,30 @@ def _prep_long(needle, haystack, freqs_hz):
 
 def stein_caf_peak(needle, haystack, freqs_hz, sample_rate, *,
                    block_len: int = 64, refine: bool = True,
+                   fused: Optional[bool] = None,
                    backend: Optional[str] = None
                    ) -> Tuple[float, int, float]:
     """(freq_hz, lag, value) via the segmented fast path.
 
     ``refine=True`` (default) re-scores the top candidate bins with the
     exact filterbank rows, restoring bin-exact golden answers.
+    ``fused`` selects the Pallas synthesis+rank kernel (defaults to on
+    for TPU when the lag axis tiles cleanly, off on CPU).
     """
+    import jax as _jax
+
     backend = backend or default_backend()
     (n_re, n_im), (h_re, h_im), freqs = _prep(needle, haystack, freqs_hz)
     block_len = _auto_block_len(sample_rate, freqs, block_len)
+    xl = xcor_length(n_re.shape[-1])
+    if fused is None:
+        # Measured on v5e: XLA already fuses the |.|^2 + row-max epilogue
+        # into the synthesis matmul, and its schedule beats the
+        # hand-tiled kernel (55 vs 70 us/surface) — default off; the
+        # kernel remains available for experimentation.
+        fused = False
     peak = _stein_peak_jit(n_re, n_im, h_re, h_im, jnp.asarray(freqs),
-                           float(sample_rate),
-                           xcor_length(n_re.shape[-1]), block_len, backend,
-                           refine)
+                           float(sample_rate), xl, block_len, backend,
+                           refine, fused)
     return (float(freqs[int(peak.freq_idx)]), int(peak.lag_idx),
             float(peak.value))

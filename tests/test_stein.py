@@ -136,3 +136,13 @@ def test_stein_needle_shorter_than_block():
     freqs = np.arange(-100.0, 100.0, 25.0, dtype=np.float32)
     freq, lag, _ = stein_caf_peak(needle, hay, freqs, FS)
     assert (freq, lag) == (0.0, 7)
+
+
+def test_fused_synth_rank_matches_unfused(chirp):
+    """The experimental Pallas synthesis+rank kernel (interpret mode)
+    agrees with the XLA coarse path end-to-end."""
+    needle, haystack, _ = chirp(0)
+    freqs = FreqGrid(-100.0, 100.0, 0.25).frequencies(np.float32)
+    a = stein_caf_peak(needle, haystack, freqs, FS, fused=False)
+    b = stein_caf_peak(needle, haystack, freqs, FS, fused=True)
+    assert a[:2] == b[:2] == (69.25, 202)
