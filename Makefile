@@ -1,0 +1,26 @@
+# Developer entry points (the reference's per-language build commands —
+# cargo test / go test / ./caf.py — unified).
+
+.PHONY: test bench configs native fixtures figures clean
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+configs:
+	python bench_configs.py
+
+native:
+	$(MAKE) -C native
+
+fixtures:
+	python -m caf_cookoff_tpu generate --out data
+
+figures:
+	python docs/make_figures.py
+
+clean:
+	$(MAKE) -C native clean
+	rm -rf .pytest_cache caf_cookoff_tpu/__pycache__
