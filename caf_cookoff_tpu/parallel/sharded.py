@@ -161,36 +161,77 @@ def sharded_caf_peak(needle, haystack, freqs_hz, sample_rate, mesh: Mesh,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "xcor_len", "block_len", "backend"))
+    jax.jit,
+    static_argnames=("mesh", "xcor_len", "block_len", "backend",
+                     "num_bins", "refine"))
 def _sharded_stein_peak_jit(n_re, n_im, h_re, h_im, freqs_padded,
                             sample_rate, mesh, xcor_len, block_len,
-                            backend):
+                            backend, num_bins, refine):
     """Doppler-sharded Stein synthesis: segment correlations replicate
     (they are K-independent and cheap); each chip synthesizes and
-    reduces its own doppler slice."""
+    reduces its own doppler slice.
+
+    With ``refine`` the coarse pass only RANKS bins (bf16 synthesis, the
+    same tiering as the single-chip ``_stein_peak_jit``): per-bin row
+    maxima are ``all_gather``-ed over the doppler axis (K floats — far
+    cheaper than any surface traffic) and the global top-k candidate
+    bins are re-scored with exact filterbank rows on-device, so a
+    distant near-tie sidelobe is recovered exactly as on one chip — no
+    host round-trip, one compiled program.
+    """
     from caf_cookoff_tpu.models.stein import (
+        _REFINE_BINS,
         _doppler_synthesis,
         _segment_correlations,
     )
 
     k_loc = freqs_padded.shape[0] // mesh.shape[AXIS_DOPPLER]
+    if refine:
+        coarse_backend = ("matmul-bf16" if backend.startswith("matmul")
+                          else backend)
+        synth_prec = jax.lax.Precision.DEFAULT
+    else:
+        coarse_backend = backend
+        synth_prec = None
 
-    def body(n_re, n_im, h_re, h_im, freqs_loc):
+    def body(n_re, n_im, h_re, h_im, freqs_loc, freqs_full):
         g = _segment_correlations((n_re, n_im), (h_re, h_im), xcor_len,
-                                  block_len, backend)
-        rows = _doppler_synthesis(g, freqs_loc, sample_rate, block_len)
-        local = find_peak_2d(splitfft.mag2(rows))
-        local = CafPeak(
-            local.value,
-            local.freq_idx + jax.lax.axis_index(AXIS_DOPPLER) * k_loc,
-            local.lag_idx)
-        return global_peak(local, AXIS_DOPPLER)
+                                  block_len, coarse_backend)
+        rows = _doppler_synthesis(g, freqs_loc, sample_rate, block_len,
+                                  synth_prec)
+        mag2 = splitfft.mag2(rows)
+        if not refine:
+            local = find_peak_2d(mag2)
+            local = CafPeak(
+                local.value,
+                local.freq_idx + jax.lax.axis_index(AXIS_DOPPLER) * k_loc,
+                local.lag_idx)
+            return global_peak(local, AXIS_DOPPLER)
+        rowmax_loc = jnp.max(mag2, axis=-1)                  # (K_loc,)
+        rowmax = jax.lax.all_gather(rowmax_loc, AXIS_DOPPLER,
+                                    tiled=True)              # (K_pad,)
+        # Grid-padding duplicates the last frequency; mask the padded
+        # rows out of the candidate ranking.
+        idx = jnp.arange(rowmax.shape[0])
+        rowmax = jnp.where(idx < num_bins, rowmax, -jnp.inf)
+        _, cand = jax.lax.top_k(rowmax, min(_REFINE_BINS, num_bins))
+        exact = splitfft.mag2(_surface_rows_split(
+            (n_re, n_im), (h_re, h_im), freqs_full[cand], sample_rate,
+            xcor_len, backend))                              # (P, M)
+        rowmax_e = jnp.max(exact, axis=-1)
+        best = jnp.lexsort((cand.astype(jnp.int32), -rowmax_e))[0]
+        peak = CafPeak(value=rowmax_e[best],
+                       freq_idx=cand[best].astype(jnp.int32),
+                       lag_idx=jnp.argmax(exact[best]).astype(jnp.int32))
+        # Every shard computed the same peak from the gathered ranking;
+        # the reduction is an identity that establishes replication.
+        return global_peak(peak, AXIS_DOPPLER)
 
     return shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(AXIS_DOPPLER)),
+        in_specs=(P(), P(), P(), P(), P(AXIS_DOPPLER), P()),
         out_specs=CafPeak(P(), P(), P()),
-    )(n_re, n_im, h_re, h_im, freqs_padded)
+    )(n_re, n_im, h_re, h_im, freqs_padded, freqs_padded)
 
 
 def sharded_stein_peak(needle, haystack, freqs_hz, sample_rate, mesh: Mesh,
@@ -199,11 +240,11 @@ def sharded_stein_peak(needle, haystack, freqs_hz, sample_rate, mesh: Mesh,
                        ) -> Tuple[float, int, float]:
     """(freq_hz, lag, value): Stein synthesis sharded over ``doppler``.
 
-    Coarse segmented scan across the mesh, then (``refine=True``) an
-    exact single-program re-score of the bins around the coarse winner
-    — bin-exact results at segmented-scan cost.
+    Coarse segmented rank across the mesh, then (``refine=True``) an
+    exact on-device top-k re-score — the same rank-then-score design as
+    the single-chip engine (``models/stein.py``), so bin-exact answers
+    at segmented-scan cost even when the winner is a distant near-tie.
     """
-    from caf_cookoff_tpu.models.filterbank import _peak_split_jit
     from caf_cookoff_tpu.models.stein import _auto_block_len
 
     backend = backend or default_backend()
@@ -214,18 +255,10 @@ def sharded_stein_peak(needle, haystack, freqs_hz, sample_rate, mesh: Mesh,
     freqs_p = pad_axis_to(freqs_np, mesh.shape[AXIS_DOPPLER])
     peak = _sharded_stein_peak_jit(
         n_re, n_im, h_re, h_im, freqs_p, float(sample_rate), mesh,
-        xcor_length(n_re.shape[-1]), block_len, backend)
-    k_hat = int(peak.freq_idx)
-    if not refine:
-        return (float(freqs_p[k_hat]), int(peak.lag_idx),
-                float(peak.value))
-    lo = max(0, min(k_hat - 4, len(freqs_np) - 8))
-    cand = freqs_np[lo:lo + min(8, len(freqs_np))]
-    exact = _peak_split_jit(n_re, n_im, h_re, h_im, jnp.asarray(cand),
-                            float(sample_rate),
-                            xcor_length(n_re.shape[-1]), backend)
-    return (float(cand[int(exact.freq_idx)]), int(exact.lag_idx),
-            float(exact.value))
+        xcor_length(n_re.shape[-1]), block_len, backend,
+        len(freqs_np), refine)
+    return (float(freqs_p[int(peak.freq_idx)]), int(peak.lag_idx),
+            float(peak.value))
 
 
 # ---------------------------------------------------------------------------
@@ -349,9 +382,14 @@ def sharded_overlap_save_peak(needle, haystack, freqs_hz, sample_rate,
         raise ValueError("haystack shorter than needle")
     total_lags = num_lags or haystack.shape[-1] - n + 1
     t_shards = mesh.shape[AXIS_TIME]
-    # Each chunk must be at least the halo length so the ppermute
+    # Size chunks from the SAMPLE count the lags need, not the lag count:
+    # lag ``l`` reads samples ``[l, l+n-1]``, so lag ``total_lags-1`` needs
+    # samples through ``total_lags+n-2``.  Sizing from ``total_lags`` alone
+    # would truncate up to ``n-2`` tail samples and zero out tail lags.
+    # Each chunk must also be at least the halo length so the ppermute
     # neighbor exchange (chunk[:N-1]) is well-defined.
-    chunk = max(-(-total_lags // t_shards), n - 1)
+    needed = min(haystack.shape[-1], total_lags + n - 1)
+    chunk = max(-(-needed // t_shards), n - 1)
     hay_p = np.pad(haystack, (0, t_shards * chunk - haystack.shape[-1])) \
         if t_shards * chunk > haystack.shape[-1] \
         else haystack[: t_shards * chunk]

@@ -111,6 +111,25 @@ def test_time_sharded_synthetic_long():
     assert (freq, got_lag) == (f_true, lag)
 
 
+def test_time_sharded_tail_lag():
+    """Emitter at the FINAL valid lag: the shard chunking must keep the
+    last n-2 haystack samples (sizing chunks from the lag count instead
+    of the sample count silently zeroed these lags)."""
+    rng = np.random.default_rng(11)
+    n, l = 512, 65536
+    lag = l - n                                   # final valid lag
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    haystack = (1e-4 * (rng.standard_normal(l)
+                        + 1j * rng.standard_normal(l))).astype(np.complex64)
+    haystack[lag:] += needle
+    freqs = np.arange(-500.0, 500.0, 125.0, dtype=np.float32)
+    want = overlap_save_peak(needle, haystack, freqs, FS)
+    got = sharded_overlap_save_peak(needle, haystack, freqs, FS,
+                                    _mesh(time=4))
+    assert got[:2] == want[:2] == (0.0, lag)
+
+
 def test_sharded_determinism(chirp):
     """Same (freq, lag, value) across two runs and across mesh shapes —
     the determinism guarantee SURVEY §5 prescribes in place of race
@@ -134,6 +153,35 @@ def test_stein_sharded_peak_golden(chirp, doppler):
     freq, lag, _ = sharded_stein_peak(needle, haystack, freqs, FS,
                                       _mesh(doppler=doppler))
     assert (freq, lag) == (69.25, 202)
+
+
+def test_stein_sharded_distant_near_tie():
+    """Two emitters 14 bins apart where the coarse segmented pass picks
+    the wrong one (the sinc envelope attenuates the true high-|f| peak
+    below a slightly weaker 0 Hz decoy): the on-device top-k re-score
+    must recover the exact winner — a +-4-bin window around the coarse
+    argmax could not."""
+    from caf_cookoff_tpu.parallel import sharded_stein_peak
+
+    n = 4096
+    freqs = np.arange(-180.0, 180.1, 12.0, dtype=np.float32)
+    t = np.arange(n)
+    rng = np.random.default_rng(0)
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    needle /= np.abs(needle).max()
+    f_true, a_decoy, lag = 168.0, 0.955, 64
+    hay = np.zeros(n, np.complex64)
+    comp = needle * np.exp(2j * np.pi * f_true * t / FS) + a_decoy * needle
+    hay[lag:] = comp[: n - lag].astype(np.complex64)
+
+    mesh = _mesh(doppler=8)
+    coarse = sharded_stein_peak(needle, hay, freqs, FS, mesh, refine=False)
+    refined = sharded_stein_peak(needle, hay, freqs, FS, mesh)
+    assert coarse[0] == 0.0                    # coarse pass is fooled...
+    assert refined[:2] == (f_true, lag)        # ...top-k re-score is not
+    # and the winner really is outside any +-4-bin refinement window:
+    assert abs(f_true - coarse[0]) / 12.0 > 4
 
 
 def test_stein_sharded_matches_single(chirp):
