@@ -40,8 +40,9 @@ def _add_grid_args(p: argparse.ArgumentParser) -> None:
                    help="doppler grid stop, exclusive (Hz)")
     p.add_argument("--freq-step", type=float, default=BENCH_GRID.step_hz,
                    help="doppler grid step (Hz)")
-    p.add_argument("--fs", type=float, default=DEFAULT_SAMPLE_RATE,
-                   help="sample rate (Hz)")
+    p.add_argument("--fs", type=float, default=None,
+                   help=f"sample rate (Hz; default {DEFAULT_SAMPLE_RATE:g},"
+                   " or the recording's core:sample_rate for SigMF input)")
     p.add_argument("--backend",
                    choices=("auto", "xla", "matmul", "matmul-highest",
                             "matmul-bf16", "pallas", "pallas-refine",
@@ -68,56 +69,136 @@ def cmd_generate(args) -> int:
     return 0
 
 
-def _load_signal(path: str, fs_hint: float) -> "np.ndarray":
-    """Load .c64 raw samples or a SigMF recording (either sidecar)."""
+def _load_signal(path: str):
+    """Load .c64 raw samples or a SigMF recording (either sidecar).
+
+    Returns ``(samples, meta_fs)`` — ``meta_fs`` is the recording's own
+    ``core:sample_rate`` (``None`` for raw .c64, which carries none).
+    """
     from caf_cookoff_tpu.utils.io import load_c64
 
     if ".sigmf" in path:
         from caf_cookoff_tpu.utils.sigmf import read_sigmf
 
-        return read_sigmf(path).samples
-    return load_c64(path)
+        rec = read_sigmf(path)
+        return rec.samples, (rec.sample_rate or None)
+    return load_c64(path), None
+
+
+def _effective_fs(args, *meta_rates) -> float:
+    """Reconcile ``--fs`` with SigMF-recorded sample rates.
+
+    A silently mismatched fs gives a confidently wrong doppler axis, so:
+    recordings that carry a rate override the *default* fs (with a
+    note), and conflict with an *explicit* ``--fs`` loudly (the explicit
+    flag wins — the user may be deliberately re-labeling the axis).
+    """
+    explicit = args.fs is not None
+    fs = args.fs if explicit else DEFAULT_SAMPLE_RATE
+    rates = {float(r) for r in meta_rates if r}
+    if not rates:
+        return fs
+    if len(rates) > 1:
+        print(f"WARNING: needle/haystack recordings disagree on "
+              f"core:sample_rate ({sorted(rates)}); using fs={fs:g}",
+              file=sys.stderr)
+        return fs
+    meta = rates.pop()
+    if abs(meta - fs) <= 1e-6 * max(meta, fs):
+        return fs
+    if not explicit:
+        print(f"note: using the recording's core:sample_rate "
+              f"{meta:g} Hz (no explicit --fs given)", file=sys.stderr)
+        return meta
+    print(f"WARNING: --fs={fs:g} != recording core:sample_rate "
+          f"{meta:g}; doppler estimates use --fs", file=sys.stderr)
+    return fs
+
+
+_SPLIT_FFT_TIERS = ("xla", "matmul", "matmul-highest", "matmul-bf16")
+
+
+def _split_fft_tier(backend: str) -> str:
+    """Map an engine-level backend name (pallas*, stein*) to a valid
+    split-FFT tier for the overlap-save streaming path, which composes
+    transforms directly rather than going through a surface engine."""
+    if backend in _SPLIT_FFT_TIERS:
+        return backend
+    import jax
+
+    return "matmul" if jax.default_backend() != "cpu" else "xla"
 
 
 def cmd_run(args) -> int:
+    from caf_cookoff_tpu.config import xcor_length
     from caf_cookoff_tpu.models.filterbank import caf_peak, caf_surface
     from caf_cookoff_tpu.models.overlap_save import overlap_save_peak
     from caf_cookoff_tpu.utils.io import dump_surf, save_npy
-    from caf_cookoff_tpu.utils.profiling import RunReport
+    from caf_cookoff_tpu.utils.profiling import (
+        RunReport,
+        Stopwatch,
+        peak_to_floor_db,
+    )
 
     backend = _resolve_backend(args.backend)
-    needle = _load_signal(args.needle, args.fs)
-    haystack = _load_signal(args.haystack, args.fs)
+    needle, n_fs = _load_signal(args.needle)
+    haystack, h_fs = _load_signal(args.haystack)
+    fs = _effective_fs(args, n_fs, h_fs)
     freqs = _grid(args).frequencies(np.float32)
 
-    t0 = time.perf_counter()
-    if args.full_haystack and len(haystack) > len(needle):
-        if args.backend in ("auto", "stein"):
-            try:
-                from caf_cookoff_tpu.models.stein import (
-                    stein_overlap_save_peak,
-                )
+    full = args.full_haystack and len(haystack) > len(needle)
+    if full:
+        use_stein = args.backend == "auto" or backend.startswith("stein")
 
-                freq, lag, value = stein_overlap_save_peak(
-                    needle, haystack, freqs, args.fs)
-            except ValueError:  # doppler span too wide for segmentation
-                freq, lag, value = overlap_save_peak(
-                    needle, haystack, freqs, args.fs, backend=backend)
-        else:
-            freq, lag, value = overlap_save_peak(
-                needle, haystack, freqs, args.fs, backend=backend)
+        def solve():
+            if use_stein:
+                try:
+                    from caf_cookoff_tpu.models.stein import (
+                        stein_overlap_save_peak,
+                    )
+
+                    return stein_overlap_save_peak(
+                        needle, haystack, freqs, fs,
+                        refine=not backend.endswith("raw"))
+                except ValueError:  # doppler span too wide to segment
+                    pass
+            return overlap_save_peak(needle, haystack, freqs, fs,
+                                     backend=_split_fft_tier(backend))
     else:
         haystack = haystack[: len(needle)]
-        freq, lag, value = caf_peak(needle, haystack, freqs, args.fs,
-                                    backend=backend)
-    elapsed_ms = (time.perf_counter() - t0) * 1e3
+
+        def solve():
+            return caf_peak(needle, haystack, freqs, fs, backend=backend)
+
+    freq, lag, value = solve()          # first call pays the compile
+    with Stopwatch() as sw:
+        solve()                         # cached re-run = honest timing
+    elapsed_ms = sw.ms
+
+    # Surface for observability + surface-derived artifacts.  With
+    # --full-haystack the surface is computed on the needle-length
+    # capture window around the FOUND lag (``lag_origin`` maps window
+    # lags back to absolute capture lags) — never on the blind prefix,
+    # which could contradict the reported peak.
+    n = len(needle)
+    if full:
+        lag_origin = max(0, min(lag - 64, len(haystack) - n))
+        window = np.asarray(haystack[lag_origin:lag_origin + n])
+    else:
+        lag_origin = 0
+        window = haystack
+    surface = np.asarray(caf_surface(needle, window, freqs, fs,
+                                     backend=backend))
 
     # The reference's result lines (`caf_rust/src/main.rs:29-31`,
-    # `caf_go/main.go:35`) plus structured observability.
+    # `caf_go/main.go:35`) plus the structured observability the
+    # reference lacks (peak/floor confidence, surfaces/s).
     report = RunReport(
         freq_hz=freq, lag_samples=lag, peak_value=value,
-        sample_rate=args.fs, num_doppler_bins=len(freqs),
-        xcor_len=0, backend=f"{backend}, {elapsed_ms:.1f} ms incl. compile")
+        sample_rate=fs, num_doppler_bins=len(freqs),
+        xcor_len=xcor_length(n), elapsed_ms=elapsed_ms,
+        peak_to_floor_db=peak_to_floor_db(surface, value),
+        backend=backend)
     print(report.result_lines())
     print(f"Peak value: {value:.6g}")
 
@@ -131,45 +212,44 @@ def cmd_run(args) -> int:
             lag, len(needle), freq, value, needle_id=args.needle))
         print(f"annotation -> {args.haystack}")
 
-    if args.dump_surface or args.plot or args.interp or args.num_peaks > 1:
-        surface = np.asarray(caf_surface(
-            needle, haystack[: len(needle)], freqs, args.fs,
-            backend=backend))
-        if args.interp:
-            from caf_cookoff_tpu.ops.peak import interpolate_peak
+    if args.interp:
+        from caf_cookoff_tpu.ops.peak import interpolate_peak
 
-            f_frac, t_frac = interpolate_peak(surface, freqs)
-            print(f"Sub-bin estimate: {f_frac:+.4f} Hz, {t_frac:.3f} "
-                  f"samples ({t_frac / args.fs * 1e3:.5f} ms)")
-        if args.num_peaks > 1:
-            from caf_cookoff_tpu.ops.peak import find_peaks
+        f_frac, t_frac = interpolate_peak(surface, freqs)
+        t_abs = t_frac + lag_origin
+        print(f"Sub-bin estimate: {f_frac:+.4f} Hz, {t_abs:.3f} "
+              f"samples ({t_abs / fs * 1e3:.5f} ms)")
+    if args.num_peaks > 1:
+        from caf_cookoff_tpu.ops.peak import find_peaks
 
-            # Exclusion window = the doppler resolution cell (fs/N Hz)
-            # in grid bins, so mainlobe skirts don't re-detect.
-            cell_bins = int(np.ceil(
-                args.fs / len(needle) / args.freq_step))
-            pks = find_peaks(surface, args.num_peaks,
-                             exclude_freq=max(2, cell_bins))
-            for i in range(args.num_peaks):
-                print(f"peak {i + 1}: {float(freqs[int(pks.freq_idx[i])]):+9.3f} Hz "
-                      f"@ lag {int(pks.lag_idx[i]):>6d}  "
-                      f"({float(pks.value[i]):.5g})")
-        if args.dump_surface:
-            if args.dump_surface.endswith(".npy"):
-                save_npy(args.dump_surface, surface)
-            else:
-                # Go parity: raw little-endian f64 rows
-                # (`caf_go/caf.go:14-29`, main.go:37 dumps to /tmp/derp).
-                dump_surf(args.dump_surface, surface.astype(np.float64))
-            print(f"surface ({surface.shape[0]}x{surface.shape[1]}) -> "
-                  f"{args.dump_surface}")
-        if args.plot:
-            _plot_surface(surface, freqs, args.plot)
+        # Exclusion window = the doppler resolution cell (fs/N Hz)
+        # in grid bins, so mainlobe skirts don't re-detect.
+        cell_bins = int(np.ceil(fs / n / args.freq_step))
+        pks = find_peaks(surface, args.num_peaks,
+                         exclude_freq=max(2, cell_bins))
+        for i in range(args.num_peaks):
+            print(f"peak {i + 1}: "
+                  f"{float(freqs[int(pks.freq_idx[i])]):+9.3f} Hz "
+                  f"@ lag {int(pks.lag_idx[i]) + lag_origin:>6d}  "
+                  f"({float(pks.value[i]):.5g})")
+    if args.dump_surface:
+        if args.dump_surface.endswith(".npy"):
+            save_npy(args.dump_surface, surface)
+        else:
+            # Go parity: raw little-endian f64 rows
+            # (`caf_go/caf.go:14-29`, main.go:37 dumps to /tmp/derp).
+            dump_surf(args.dump_surface, surface.astype(np.float64))
+        origin_note = (f", lag axis offset +{lag_origin}" if lag_origin
+                       else "")
+        print(f"surface ({surface.shape[0]}x{surface.shape[1]}) -> "
+              f"{args.dump_surface}{origin_note}")
+    if args.plot:
+        _plot_surface(surface, freqs, args.plot, lag_origin=lag_origin)
     return 0
 
 
 def _plot_surface(surface: np.ndarray, freqs: np.ndarray,
-                  out_path: str) -> None:
+                  out_path: str, lag_origin: int = 0) -> None:
     """imshow of the delay-doppler surface (caf_python/caf.py:150-163
     parity, minus its left-right mirror quirk noted at :120)."""
     import matplotlib
@@ -179,13 +259,15 @@ def _plot_surface(surface: np.ndarray, freqs: np.ndarray,
 
     kmax, tmax = np.unravel_index(surface.argmax(), surface.shape)
     fig, ax = plt.subplots(figsize=(8, 6))
-    extent = (0, surface.shape[1], float(freqs[-1]), float(freqs[0]))
+    extent = (lag_origin, lag_origin + surface.shape[1],
+              float(freqs[-1]), float(freqs[0]))
     ax.imshow(10 * np.log10(surface + 1e-20), aspect="auto", extent=extent,
               cmap="viridis")
-    ax.plot(tmax + 0.5, freqs[kmax], "rx", markersize=12)
+    ax.plot(lag_origin + tmax + 0.5, freqs[kmax], "rx", markersize=12)
     ax.set_xlabel("lag (samples)")
     ax.set_ylabel("doppler (Hz)")
-    ax.set_title(f"CAF surface — peak {freqs[kmax]:+.2f} Hz @ {tmax} samp")
+    ax.set_title(f"CAF surface — peak {freqs[kmax]:+.2f} Hz @ "
+                 f"{lag_origin + tmax} samp")
     fig.tight_layout()
     fig.savefig(out_path, dpi=120)
     print(f"plot -> {out_path}")
@@ -196,8 +278,9 @@ def cmd_stream(args) -> int:
     from caf_cookoff_tpu.models.streaming import StreamingCAF
 
     backend = _resolve_backend(args.backend)
-    needle = _load_signal(args.needle, args.fs)
-    capture = _load_signal(args.capture, args.fs)
+    needle, n_fs = _load_signal(args.needle)
+    capture, c_fs = _load_signal(args.capture)
+    args.fs = _effective_fs(args, n_fs, c_fs)
     freqs = _grid(args).frequencies(np.float32)
 
     engine = StreamingCAF(needle, freqs, args.fs, backend=backend)
@@ -226,7 +309,8 @@ def cmd_bench(args) -> int:
     )
 
     results = run_benchmarks(
-        grid=_grid(args), sample_rate=args.fs, rounds=args.rounds,
+        grid=_grid(args), sample_rate=args.fs or DEFAULT_SAMPLE_RATE,
+        rounds=args.rounds,
         backends=args.backends.split(","), data_dir=args.data)
     micro = apply_shift_microbench() if args.micro else None
     if args.json:

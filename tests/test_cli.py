@@ -29,6 +29,79 @@ def test_run_full_haystack(fixture_pairs, capsys):
     assert "Time offset: 202 samples" in out
 
 
+def test_run_reports_observability(fixture_pairs, capsys):
+    """RunReport fields must reach the user: ms/surface, surfaces/s and
+    peak/floor dB in the bracketed status line (round-1 weak #2)."""
+    needle, haystack = fixture_pairs[0]
+    rc = main(["run", str(needle), str(haystack), "--freq-step", "0.25"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ms/surface" in out
+    assert "surfaces/s" in out
+    assert "peak/floor" in out
+    assert "incl. compile" not in out
+
+
+def test_run_full_haystack_artifacts_consistent(fixture_pairs, capsys,
+                                                tmp_path):
+    """--full-haystack artifacts must be computed on the capture window
+    around the FOUND lag: the multi-peak list and sub-bin estimate agree
+    with the reported peak in absolute capture coordinates (round-1
+    weak #1: they used the truncated prefix, a different lag axis)."""
+    needle, haystack = fixture_pairs[0]
+    rc = main(["run", str(needle), str(haystack), "--full-haystack",
+               "--freq-step", "0.25", "--interp", "--num-peaks", "2",
+               "--plot", str(tmp_path / "caf.png")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Time offset: 202 samples" in out
+    # strongest listed peak = the reported peak, in absolute lags
+    assert "peak 1:   +69.250 Hz @ lag    202" in out
+    # sub-bin estimate lands within a sample/bin of the reported peak
+    import re
+
+    m = re.search(r"Sub-bin estimate: ([+-][\d.]+) Hz, ([\d.]+) samples",
+                  out)
+    assert m, out
+    assert abs(float(m.group(1)) - 69.25) < 0.25
+    assert abs(float(m.group(2)) - 202.0) < 1.0
+    assert (tmp_path / "caf.png").exists()
+
+
+def test_run_full_haystack_engine_backend(fixture_pairs, capsys):
+    """Engine-level backends (pallas*, stein-raw) on --full-haystack
+    must route to a valid split-FFT tier instead of crashing deep in
+    tracing (round-1 advisor medium)."""
+    needle, haystack = fixture_pairs[0]
+    for backend in ("pallas-refine", "stein-raw"):
+        rc = main(["run", str(needle), str(haystack), "--full-haystack",
+                   "--freq-step", "0.25", "--backend", backend])
+        assert rc == 0
+        assert "Time offset: 202 samples" in capsys.readouterr().out
+
+
+def test_run_sigmf_fs_mismatch_warns(fixture_pairs, tmp_path, capsys):
+    """A SigMF capture whose core:sample_rate disagrees with an explicit
+    --fs must warn; with the default --fs the recording's rate wins."""
+    from caf_cookoff_tpu.utils.io import load_c64
+    from caf_cookoff_tpu.utils.sigmf import write_sigmf
+
+    needle, haystack = fixture_pairs[0]
+    samples = load_c64(str(haystack))
+    _, meta = write_sigmf(str(tmp_path / "cap"), samples, 96_000.0)
+    rc = main(["run", str(needle), str(meta), "--freq-step", "0.25",
+               "--fs", "48000"])
+    assert rc == 0
+    assert "WARNING" in capsys.readouterr().err
+    rc = main(["run", str(needle), str(meta), "--freq-step", "0.25"])
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "core:sample_rate 96000" in cap.err
+    # the doppler axis really rescaled (the 48 kHz answer would be 69.25;
+    # at 96 kHz the emitter's 69.25*2 Hz shift clips to the grid edge)
+    assert "Frequency offset: 69.250 Hz" not in cap.out
+
+
 def test_generate_parity(tmp_path, capsys):
     rc = main(["generate", "--out", str(tmp_path), "--count", "1"])
     assert rc == 0
