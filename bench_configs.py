@@ -65,14 +65,19 @@ def _rand_pair(n, lag, f_hz, seed):
 
 
 def config2_batch64():
-    """64 pairs x 400x8192 on one chip (stein engine, lax.map pairs —
-    memory-light, each pair's surface never coexists with another's)."""
+    """64 pairs x 400x8192 on one chip: the fused batched Stein engine
+    (grouped-conv stage A + batched Pallas synthesis/rank + vmapped
+    top-k re-score) — real batch amortization, unlike the round-1
+    ``lax.map``-over-pairs path (0.060 ms/surface)."""
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
     from caf_cookoff_tpu.config import BENCH_GRID
-    from caf_cookoff_tpu.models.stein import _stein_peak_jit
+    from caf_cookoff_tpu.models.batched_stein import (
+        _batched_stein_peak_jit,
+        batched_stein_peak,
+    )
+    from caf_cookoff_tpu.models.stein import stein_caf_peak
     from caf_cookoff_tpu.ops.splitfft import split_array
 
     b, n = 64, 4096
@@ -80,20 +85,23 @@ def config2_batch64():
                         for i in range(b)])
     hays = np.stack([_rand_pair(n, 50 + i, 10.0 * i - 300, i)[1]
                      for i in range(b)])
+    freqs_np = BENCH_GRID.frequencies(np.float32)
+    # Correctness gate before timing: every pair's batched peak must
+    # match its single-pair Stein answer (and the injected truth).
+    fr, lg, _ = batched_stein_peak(needles, hays, freqs_np, FS)
+    for i in range(0, b, 13):
+        want = stein_caf_peak(needles[i], hays[i], freqs_np, FS)[:2]
+        assert (float(fr[i]), int(lg[i])) == want, (i, fr[i], lg[i], want)
     ns_re, ns_im = map(jnp.asarray, split_array(needles))
     hs_re, hs_im = map(jnp.asarray, split_array(hays))
-    freqs = jnp.asarray(BENCH_GRID.frequencies(np.float32))
+    freqs = jnp.asarray(freqs_np)
+    interpret = jax.default_backend() == "cpu"
 
     def step(carry):
-        def one(pair):
-            nr, ni, hr, hi = pair
-            pk = _stein_peak_jit.__wrapped__(
-                nr + carry, ni, hr, hi, freqs, FS, 2 * n, 64, "matmul",
-                True)
-            return pk.value
-
-        vals = lax.map(one, (ns_re, ns_im, hs_re, hs_im))
-        return jnp.sum(vals) * 1e-30
+        pk = _batched_stein_peak_jit.__wrapped__(
+            ns_re + carry, ns_im, hs_re, hs_im, freqs, FS, 2 * n, 64,
+            "matmul", True, interpret)
+        return jnp.sum(pk.value) * 1e-30
 
     ms = _chain(step, lambda: jnp.float32(0), iters=8)
     return {"metric": "config2_batch64_400x8192_ms_per_surface",

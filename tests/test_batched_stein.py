@@ -1,0 +1,94 @@
+"""Batched Stein engine (config-2 path): conv stage A + fused Pallas
+synthesis/rank + batched top-k re-score.
+
+Contract: per-pair answers bit-match the single-pair Stein engine
+(which itself matches the golden filterbank) — the cross-strategy
+consistency pattern of ``caf_rust/tests/test.rs:15-145`` applied to the
+batch axis.
+"""
+
+import numpy as np
+import pytest
+
+from caf_cookoff_tpu.models.batched_stein import (
+    _pow2_block_len,
+    batched_stein_peak,
+)
+from caf_cookoff_tpu.models.stein import stein_caf_peak
+
+FS = 48_000.0
+
+
+@pytest.fixture(scope="module")
+def grid():
+    return np.arange(-100.0, 100.0, 0.5, dtype=np.float32)
+
+
+def test_batched_matches_single_goldens(chirp, grid):
+    idxs = [0, 2, 4, 6, 9]
+    needles, hays, singles = [], [], []
+    for i in idxs:
+        n, h, _ = chirp(i)
+        needles.append(n)
+        hays.append(h)
+        singles.append(stein_caf_peak(n, h, grid, FS)[:2])
+    fr, lg, _ = batched_stein_peak(np.stack(needles), np.stack(hays),
+                                   grid, FS)
+    for b, want in enumerate(singles):
+        assert (float(fr[b]), int(lg[b])) == want
+
+
+def test_batched_fine_grid_golden(chirp):
+    """801-bin 0.25 grid — odd K exercises the kernel's row padding."""
+    freqs = np.arange(-100.0, 100.001, 0.25, dtype=np.float32)
+    n0, h0, _ = chirp(0)
+    n3, h3, _ = chirp(3)
+    fr, lg, _ = batched_stein_peak(np.stack([n0, n3]),
+                                   np.stack([h0, h3]), freqs, FS)
+    assert (float(fr[0]), int(lg[0])) == (69.25, 202)
+    assert (float(fr[1]), int(lg[1])) == (-76.25, 151)
+
+
+def test_batched_negative_lag_circular():
+    """An advanced (negative-lag) emitter lands in the circular wrap
+    region tau in (N, 2N) — the conv's periodic haystack extension must
+    reproduce the FFT engine's mod-M indexing exactly."""
+    rng = np.random.default_rng(3)
+    n = (rng.standard_normal(4096)
+         + 1j * rng.standard_normal(4096)).astype(np.complex64)
+    h = np.zeros(4096, np.complex64)
+    h[: 4096 - 300] = n[300:]
+    freqs = np.arange(-100.0, 100.0, 0.5, dtype=np.float32)
+    fr, lg, _ = batched_stein_peak(n[None], h[None], freqs, FS)
+    want = stein_caf_peak(n, h, freqs, FS)
+    assert (float(fr[0]), int(lg[0])) == want[:2] == (0.0, 8192 - 300)
+
+
+def test_batched_wide_span_small_blocks():
+    """+-1500 Hz span clamps the block length to 8 (pow2-rounded);
+    group-16 super-blocks still recover the emitter exactly."""
+    rng = np.random.default_rng(4)
+    n = (rng.standard_normal(4096)
+         + 1j * rng.standard_normal(4096)).astype(np.complex64)
+    lag, f_true = 777, -1250.0
+    h = np.zeros(4096, np.complex64)
+    h[lag:] = (n * np.exp(2j * np.pi * f_true
+                          * np.arange(4096) / FS))[: 4096 - lag]
+    freqs = np.arange(-1500.0, 1500.0, 125.0, dtype=np.float32)
+    fr, lg, _ = batched_stein_peak(n[None], h[None], freqs, FS)
+    assert (float(fr[0]), int(lg[0])) == (f_true, lag)
+
+
+def test_pow2_block_len():
+    freqs100 = np.array([100.0], np.float32)
+    assert _pow2_block_len(48e3, freqs100, 64) == 64
+    # limit 48000/(4*500) = 24 -> pow2 16
+    assert _pow2_block_len(48e3, np.array([500.0], np.float32), 64) == 16
+    with pytest.raises(ValueError):
+        _pow2_block_len(48e3, np.array([3000.0], np.float32), 64)
+
+
+def test_batched_shape_validation(grid):
+    with pytest.raises(ValueError):
+        batched_stein_peak(np.zeros((2, 64), np.complex64),
+                           np.zeros((3, 64), np.complex64), grid, FS)
