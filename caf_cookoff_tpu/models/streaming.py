@@ -37,18 +37,23 @@ from caf_cookoff_tpu.ops.peak import CafPeak
     jax.jit,
     static_argnames=("needle_len", "chunk_len", "backend"))
 def _stream_step_jit(sc_re, sc_im, tail_re, tail_im, ch_re, ch_im,
-                     best_value, best_freq, best_lag, base_lag,
+                     best_value, best_freq, best_lag, base_lag, valid_len,
                      needle_len, chunk_len, backend):
     """One streaming step: correlate [tail | chunk], update global best.
 
     The window covers lags [base_lag, base_lag + chunk_len): each new
     sample admits exactly one new lag, so consecutive windows tile the
-    capture's lag axis with no gaps or overlaps.
+    capture's lag axis with no gaps or overlaps.  ``valid_len`` (traced,
+    <= the static ``chunk_len``) masks the lags of a zero-padded short
+    chunk — the same executable serves every chunk length, so an uneven
+    final chunk never triggers a mid-stream recompile.
     """
     window = (jnp.concatenate([tail_re, ch_re]),
               jnp.concatenate([tail_im, ch_im]))
     local = streaming_peak((sc_re, sc_im), window, needle_len, chunk_len,
-                           lag_offset=base_lag, backend=backend)
+                           lag_offset=base_lag,
+                           total_lags=base_lag + valid_len,
+                           backend=backend)
     take = local.value > best_value
     new_best = CafPeak(
         value=jnp.where(take, local.value, best_value),
@@ -56,8 +61,9 @@ def _stream_step_jit(sc_re, sc_im, tail_re, tail_im, ch_re, ch_im,
         lag_idx=jnp.where(take, local.lag_idx, best_lag),
     )
     halo = needle_len - 1
-    new_tail = (window[0][chunk_len:chunk_len + halo],
-                window[1][chunk_len:chunk_len + halo])
+    # The next tail ends at the last VALID sample (padding excluded).
+    new_tail = tuple(
+        jax.lax.dynamic_slice(p, (valid_len,), (halo,)) for p in window)
     return new_best, local, new_tail
 
 
@@ -71,6 +77,7 @@ class StreamingCAF:
     """
 
     def __init__(self, needle, freqs_hz, sample_rate, *,
+                 chunk_len: Optional[int] = None,
                  backend: Optional[str] = None):
         self.backend = backend or default_backend()
         n_re, n_im = splitfft.split_array(needle)
@@ -90,6 +97,10 @@ class StreamingCAF:
                              jnp.asarray(0, jnp.int32),
                              jnp.asarray(0, jnp.int32))
         self._samples_seen = 0
+        # One executable per stream: the chunk length is pinned (here,
+        # or by the first chunk seen); shorter chunks are zero-padded
+        # with their surplus lags masked, longer ones are split.
+        self._chunk_len = int(chunk_len) if chunk_len else None
         # Lag t needs samples [t, t + N); the first (N-1)-sample tail is
         # synthetic zeros, so window lags start at -(N-1).
         self._base_lag = -(self.needle_len - 1)
@@ -105,20 +116,43 @@ class StreamingCAF:
         window also covers correlations that straddle the previous
         chunk boundary (negative early lags are clipped by the caller's
         interpretation — sample index 0 is the capture start).
+
+        Any chunk length is accepted without recompiling: the stream's
+        executable is specialized to one pinned length; short chunks
+        (e.g. a capture's final remainder) are zero-padded and their
+        surplus lags masked, oversized ones processed in slices.
         """
         ch_re, ch_im = splitfft.split_array(chunk)
-        chunk_len = int(ch_re.shape[-1])
-        if chunk_len < 1:
+        valid = int(ch_re.shape[-1])
+        if valid < 1:
             raise ValueError("empty chunk")
+        if self._chunk_len is None:
+            self._chunk_len = valid
+        fixed = self._chunk_len
+        if valid > fixed:
+            best = None
+            for off in range(0, valid, fixed):
+                best = self._step(ch_re[off:off + fixed],
+                                  ch_im[off:off + fixed])
+            return best
+        return self._step(ch_re, ch_im)
+
+    def _step(self, ch_re, ch_im) -> Tuple[float, int, float]:
+        fixed = self._chunk_len
+        valid = int(ch_re.shape[-1])
+        if valid < fixed:
+            pad = fixed - valid
+            ch_re = np.pad(np.asarray(ch_re), (0, pad))
+            ch_im = np.pad(np.asarray(ch_im), (0, pad))
         best, local, tail = _stream_step_jit(
             self._sc_re, self._sc_im, self._tail[0], self._tail[1],
             jnp.asarray(ch_re), jnp.asarray(ch_im),
             self._best.value, self._best.freq_idx, self._best.lag_idx,
-            self._base_lag, self.needle_len, chunk_len, self.backend)
+            self._base_lag, valid, self.needle_len, fixed, self.backend)
         self._best = best
         self._tail = tail
-        self._samples_seen += chunk_len
-        self._base_lag += chunk_len
+        self._samples_seen += valid
+        self._base_lag += valid
         return (float(self._freqs[int(local.freq_idx)]),
                 int(local.lag_idx), float(local.value))
 

@@ -96,6 +96,12 @@ def test_streaming_peak_straddles_chunk_boundary():
 
 
 def test_streaming_uneven_chunks():
+    """Mixed chunk lengths (short remainders AND an oversized chunk)
+    compile exactly ONE executable: the stream pins its chunk length,
+    pads+masks short chunks and slices long ones (no mid-stream
+    recompile — round-1 weak #5)."""
+    from caf_cookoff_tpu.models.streaming import _stream_step_jit
+
     rng = np.random.default_rng(41)
     n, total, lag = 64, 3000, 1777
     needle = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
@@ -103,6 +109,7 @@ def test_streaming_uneven_chunks():
     capture = _make_capture(needle, lag, -300.0, total, FS, seed=42)
     freqs = np.arange(-600.0, 600.0, 100.0, dtype=np.float32)
 
+    compiles_before = _stream_step_jit._cache_size()
     s = StreamingCAF(needle, freqs, FS)
     splits = [0, 700, 1200, 1201, 2900, 3000]
     for a, b in zip(splits[:-1], splits[1:]):
@@ -110,4 +117,23 @@ def test_streaming_uneven_chunks():
             s.process(capture[a:b])
     freq, got_lag, _ = s.best()
     assert (freq, got_lag) == (-300.0, lag)
+    assert s.samples_seen == total
+    assert _stream_step_jit._cache_size() - compiles_before == 1
+
+
+def test_streaming_pinned_chunk_len():
+    """An explicit chunk_len pins the executable up front; a capture
+    whose length is not a multiple still streams correctly."""
+    rng = np.random.default_rng(43)
+    n, total, lag, f_true = 64, 2500, 2100, 200.0
+    needle = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+    capture = _make_capture(needle, lag, f_true, total, FS, seed=44)
+    freqs = np.arange(-600.0, 600.0, 100.0, dtype=np.float32)
+
+    s = StreamingCAF(needle, freqs, FS, chunk_len=1024)
+    for i in range(0, total, 1024):
+        s.process(capture[i:i + 1024])  # final chunk is 452 samples
+    freq, got_lag, _ = s.best()
+    assert (freq, got_lag) == (f_true, lag)
     assert s.samples_seen == total
