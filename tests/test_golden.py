@@ -110,6 +110,57 @@ def test_c128_parity_mode(chirp):
         assert engine128.peak(needle, haystack) == (69.25, 202)
 
 
+@pytest.mark.parametrize("idx,grid,want_freq,want_lag", GOLDEN)
+def test_c128_matmul_goldens(chirp, idx, grid, want_freq, want_lag):
+    """The TPU-native matmul-DFT path at complex128: all ten fixtures
+    under x64 (the reference computes c128 end-to-end,
+    caf_rust/src/utils.rs:10-35).  Constants are built in float64
+    (ops/splitfft.py _dft_constants_np), so the same stacked-real-matmul
+    four-step runs at full f64 on CPU.  On the axon TPU runtime f64
+    buffers are rejected like complex ones — c128 is a host-side parity
+    regime, not an on-chip mode (documented in ARCHITECTURE.md)."""
+    import jax
+
+    needle, haystack, _ = chirp(idx)
+    with jax.enable_x64(True):
+        engine = FilterbankCAF(CafConfig(grid=grid, precision="c128",
+                                         backend="matmul"))
+        freq, lag = engine.peak(needle, haystack)
+    assert freq == pytest.approx(want_freq, abs=1e-9)
+    assert lag == want_lag
+
+
+def test_c128_matmul_is_true_f64(chirp):
+    """Numerical (not just argmax) proof of the f64 matmul DFT: one
+    c128 correlation row matches the scipy complex128 oracle ~1e-12
+    relative — far beyond anything f32/bf16 arithmetic could produce."""
+    import jax
+    from scipy import signal as sp_signal
+
+    from caf_cookoff_tpu.models.filterbank import _surface_rows_split
+    from caf_cookoff_tpu.ops import splitfft
+
+    needle, haystack, _ = chirp(1)
+    n128 = needle.astype(np.complex128)
+    h128 = haystack[: len(needle)].astype(np.complex128)
+    f = 13.5
+    m = 8192
+    shifted = n128 * np.exp(2j * np.pi * f * np.arange(len(n128)) / 48e3)
+    full = sp_signal.correlate(np.pad(h128, (0, m - len(h128))),
+                               np.pad(shifted, (0, m - len(shifted))),
+                               mode="full", method="fft")
+    # The engine's rows are circular over M: negative linear lags fold
+    # onto tau in (M-N, M).
+    want = full[m - 1: 2 * m - 1].copy()
+    want[1:] += full[: m - 1]
+    with jax.enable_x64(True):
+        rows = _surface_rows_split(
+            splitfft.split_array(n128), splitfft.split_array(h128),
+            np.array([f], np.float64), 48e3, m, "matmul")
+        got = splitfft.merge_split((rows[0][0], rows[1][0]))
+    np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-9)
+
+
 def test_determinism(chirp):
     """Bitwise-identical surface across runs (XLA is race-free by
     construction — the property the reference leans on language runtimes
