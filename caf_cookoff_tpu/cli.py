@@ -316,13 +316,18 @@ def cmd_bench(args) -> int:
     if args.json:
         print(json.dumps(results + ([micro] if micro else []), indent=2))
         return 0
-    print(f"{'strategy':<28}{'ms/surface':>12}{'surfaces/s':>12}")
+    print(f"{'strategy':<26}{'ms/surface':>11}{'surfaces/s':>11}"
+          f"{'TFLOP/s':>9}{'MFU%':>7}  golden")
     for row in results:
         if row.get("error"):
-            print(f"{row['strategy']:<28}{'—':>12}  {row['error']}")
+            print(f"{row['strategy']:<26}{'—':>11}  {row['error']}")
         else:
-            print(f"{row['strategy']:<28}{row['ms']:>12.3f}"
-                  f"{1e3 / row['ms']:>12.1f}")
+            tf = f"{row['tflops']:>9.2f}" if "tflops" in row else f"{'—':>9}"
+            mfu = (f"{row['mfu_pct']:>7.1f}" if "mfu_pct" in row
+                   else f"{'—':>7}")
+            print(f"{row['strategy']:<26}{row['ms']:>11.3f}"
+                  f"{1e3 / row['ms']:>11.1f}{tf}{mfu}  "
+                  f"{row.get('golden', '—')}")
     if micro:
         print(f"\napply_shift ({micro['samples']} samp): "
               f"{micro['us_per_call']} us  "
@@ -395,7 +400,10 @@ def build_parser() -> argparse.ArgumentParser:
     _add_grid_args(b)
     b.add_argument("--rounds", type=int, default=3,
                    help="timing rounds (reference uses 3, caf.py:137)")
-    b.add_argument("--backends", default="xla,matmul")
+    b.add_argument("--backends", default="xla,matmul,stein",
+                   help="comma list, or 'all' for every backend "
+                   "(xla, matmul[-highest|-bf16], pallas[-bf16|-refine], "
+                   "stein[-raw])")
     b.add_argument("--data", default="data")
     b.add_argument("--json", action="store_true")
     b.add_argument("--micro", action="store_true",

@@ -106,9 +106,9 @@ def synth_rank(ws1, ws2, g_re, g_im, interpret: bool = False):
 
 
 def _batched_synth_rank_kernel(ws1_ref, ws2_ref, co_ref, vals_ref,
-                               idxs_ref, gs_ref, *, num_blocks: int,
-                               group: int, tile: int, num_chunks: int,
-                               num_lags: int):
+                               idxs_ref, gs_ref, vacc_ref, iacc_ref, *,
+                               num_blocks: int, group: int, tile: int,
+                               num_chunks: int, num_lags: int):
     """One program = one pair: staircase-extract + synthesize + rank.
 
     ``co_ref`` holds the pair's segment-correlation planes in
@@ -142,13 +142,23 @@ def _batched_synth_rank_kernel(ws1_ref, ws2_ref, co_ref, vals_ref,
         colarg = jnp.min(jnp.where(mag2 >= colmax, col_iota, _BIG_IDX),
                          axis=1, keepdims=True)
         if c == 0:
-            vals_ref[:] = colmax
-            idxs_ref[:] = colarg
+            vacc_ref[:] = colmax
+            iacc_ref[:] = colarg
         else:
-            prev = vals_ref[:]
+            prev = vacc_ref[:]
             take = colmax > prev
-            vals_ref[:] = jnp.where(take, colmax, prev)
-            idxs_ref[:] = jnp.where(take, colarg, idxs_ref[:])
+            vacc_ref[:] = jnp.where(take, colmax, prev)
+            iacc_ref[:] = jnp.where(take, colarg, iacc_ref[:])
+    # The (Kp, P) outputs are one shared revisited block; each program
+    # lands its pair's column via a lane-masked read-modify-write
+    # (lane-1 output blocks and unaligned lane-dynamic stores are both
+    # unlowerable; a full-width select is cheap VPU work).
+    pid = pl.program_id(0)
+    kp, p = vals_ref.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (kp, p), 1)
+    mine = lane == pid
+    vals_ref[:] = jnp.where(mine, vacc_ref[:], vals_ref[:])
+    idxs_ref[:] = jnp.where(mine, iacc_ref[:], idxs_ref[:])
 
 
 @functools.partial(
@@ -191,16 +201,20 @@ def batched_synth_rank(ws1, ws2, conv_out, num_blocks: int, group: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((kp, 1), lambda i: (0, i),
+            pl.BlockSpec((kp, p), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kp, 1), lambda i: (0, i),
+            pl.BlockSpec((kp, p), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((kp, p), jnp.float32),
             jax.ShapeDtypeStruct((kp, p), jnp.int32),
         ),
-        scratch_shapes=[pltpu.VMEM((b2, TILE_M), conv_out.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((b2, TILE_M), conv_out.dtype),
+            pltpu.VMEM((kp, 1), jnp.float32),
+            pltpu.VMEM((kp, 1), jnp.int32),
+        ],
         interpret=interpret,
     )(ws1.astype(conv_out.dtype), ws2.astype(conv_out.dtype), conv_out)
     return vals[:k], idxs[:k]
