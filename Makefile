@@ -1,10 +1,15 @@
 # Developer entry points (the reference's per-language build commands —
 # cargo test / go test / ./caf.py — unified).
 
-.PHONY: test bench configs native fixtures figures clean
+.PHONY: test test-tpu bench configs native fixtures figures clean
 
 test:
 	python -m pytest tests/ -q
+
+# Compiled on-chip golden lane (all 10 fixtures x {matmul, pallas-refine,
+# stein} + pallas surface comparison on the real TPU; skips w/o one).
+test-tpu:
+	python -m pytest tests_tpu/ -q
 
 bench:
 	python bench.py

@@ -18,6 +18,8 @@ from caf_cookoff_tpu.parallel.mesh import (
 )
 from caf_cookoff_tpu.parallel.sharded import (
     batched_caf_peak,
+    batched_overlap_save_peak,
+    estimate_hbm_per_chip,
     sharded_caf_peak,
     sharded_caf_surface,
     sharded_overlap_save_peak,
@@ -29,7 +31,9 @@ __all__ = [
     "AXIS_PAIR",
     "AXIS_TIME",
     "batched_caf_peak",
+    "batched_overlap_save_peak",
     "default_mesh",
+    "estimate_hbm_per_chip",
     "factor_devices",
     "global_peak",
     "make_mesh",

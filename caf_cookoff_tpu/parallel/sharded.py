@@ -362,6 +362,135 @@ def _os_sharded_peak_jit(n_re, n_im, h_re, h_im, freqs_padded, sample_rate,
     )(n_re, n_im, h_re, h_im, freqs_padded)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "needle_len", "chunk", "total_lags", "backend"))
+def _batched_os_peak_jit(ns_re, ns_im, hs_re, hs_im, freqs_padded,
+                         sample_rate, mesh, needle_len, chunk, total_lags,
+                         backend):
+    """Pair x doppler x time sharded long-capture search (config 5).
+
+    All three parallel axes at once: pairs are data-parallel over
+    ``pair``, each pair's lag axis is chunked over ``time`` with
+    ppermute halos, doppler bins shard over ``doppler``, and the peak
+    triples reduce over (doppler, time) leaving per-pair results."""
+    k_loc = freqs_padded.shape[0] // mesh.shape[AXIS_DOPPLER]
+    m, _, _ = plan_blocks(needle_len, chunk)
+    halo = needle_len - 1
+
+    def body(ns_re, ns_im, hs_re, hs_im, freqs_loc):
+        # ns: (B_loc, N); hs: (B_loc, chunk) — halo from the right time
+        # neighbor is exchanged for the whole local pair block at once.
+        hay_ext = tuple(
+            jnp.concatenate([p, _right_halo(p, halo, AXIS_TIME)], axis=-1)
+            for p in (hs_re, hs_im))
+        offset = jax.lax.axis_index(AXIS_TIME) * chunk
+
+        def one(nr, ni, hr, hi):
+            s_conj = needle_spectra_conj((nr, ni), freqs_loc, sample_rate,
+                                         m, backend)
+            local = streaming_peak(s_conj, (hr, hi), needle_len, chunk,
+                                   lag_offset=offset,
+                                   total_lags=total_lags, backend=backend)
+            return CafPeak(
+                local.value,
+                local.freq_idx + jax.lax.axis_index(AXIS_DOPPLER) * k_loc,
+                local.lag_idx)
+
+        local = jax.vmap(one)(ns_re, ns_im, *hay_ext)
+        return global_peak(local, (AXIS_DOPPLER, AXIS_TIME))
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(AXIS_PAIR), P(AXIS_PAIR),
+                  P(AXIS_PAIR, AXIS_TIME), P(AXIS_PAIR, AXIS_TIME),
+                  P(AXIS_DOPPLER)),
+        out_specs=CafPeak(P(AXIS_PAIR), P(AXIS_PAIR), P(AXIS_PAIR)),
+    )(ns_re, ns_im, hs_re, hs_im, freqs_padded)
+
+
+def batched_overlap_save_peak(needles, haystacks, freqs_hz, sample_rate,
+                              mesh: Mesh,
+                              num_lags: Optional[int] = None, *,
+                              backend: str = "matmul"):
+    """Per-pair (freqs (B,), lags (B,), values (B,)) for long captures
+    sharded over ALL THREE mesh axes — BASELINE config 5's pattern
+    (256 pairs x 4096 bins x 262144 lags over N hosts).
+
+    See :func:`estimate_hbm_per_chip` for the per-chip memory model.
+    """
+    needles = np.asarray(needles)
+    haystacks = np.asarray(haystacks)
+    if needles.ndim != 2 or haystacks.ndim != 2 \
+            or needles.shape[0] != haystacks.shape[0]:
+        raise ValueError(
+            f"need (B, N) needles and (B, L) haystacks, got "
+            f"{needles.shape} vs {haystacks.shape}")
+    n = needles.shape[-1]
+    if haystacks.shape[-1] < n:
+        raise ValueError("haystacks shorter than needles")
+    pair_shards = mesh.shape[AXIS_PAIR]
+    if needles.shape[0] % pair_shards:
+        raise ValueError(
+            f"batch {needles.shape[0]} not divisible by pair axis "
+            f"{pair_shards}")
+    total_lags = num_lags or haystacks.shape[-1] - n + 1
+    t_shards = mesh.shape[AXIS_TIME]
+    needed = min(haystacks.shape[-1], total_lags + n - 1)
+    chunk = max(-(-needed // t_shards), n - 1)
+    width = t_shards * chunk
+    hay_p = np.pad(haystacks,
+                   ((0, 0), (0, width - haystacks.shape[-1]))) \
+        if width > haystacks.shape[-1] else haystacks[:, :width]
+    ns_re, ns_im = _split_host(needles)
+    hs_re, hs_im = _split_host(hay_p)
+    freqs_p = pad_axis_to(np.asarray(freqs_hz, dtype=ns_re.dtype),
+                          mesh.shape[AXIS_DOPPLER])
+    peak = _batched_os_peak_jit(ns_re, ns_im, hs_re, hs_im, freqs_p,
+                                float(sample_rate), mesh, n, chunk,
+                                total_lags, backend)
+    return (freqs_p[np.asarray(peak.freq_idx)], np.asarray(peak.lag_idx),
+            np.asarray(peak.value))
+
+
+def estimate_hbm_per_chip(num_pairs: int, num_bins: int, needle_len: int,
+                          total_lags: int, *, pair: int = 1,
+                          doppler: int = 1, time: int = 1,
+                          bytes_per_real: int = 4) -> dict:
+    """Per-chip HBM bytes for the batched overlap-save engine.
+
+    Model (split-complex => 2 real planes everywhere):
+
+    * haystack shard:   (B/pair) x chunk            x 2 planes
+    * needle replicas:  (B/pair) x N                x 2
+    * shifted needle spectra (the dominant term):
+                        (B/pair) x (K/doppler) x M  x 2
+    * per-block scratch: (K/doppler) x M x 2 (streamed, x2 for ping-pong)
+
+    where M = xcor_length(N) and chunk ~= (total_lags + N)/time.  Used
+    to check a config fits before launching (BASELINE config 5:
+    256 pairs x 4096 bins x 262144 lags).
+    """
+    from caf_cookoff_tpu.config import xcor_length
+
+    m = xcor_length(needle_len)
+    b_loc = -(-num_pairs // pair)
+    k_loc = -(-num_bins // doppler)
+    chunk = max(-(-(total_lags + needle_len - 1) // time), needle_len - 1)
+    hay = b_loc * chunk * 2 * bytes_per_real
+    needles = b_loc * needle_len * 2 * bytes_per_real
+    spectra = b_loc * k_loc * m * 2 * bytes_per_real
+    scratch = 2 * k_loc * m * 2 * bytes_per_real
+    total = hay + needles + spectra + scratch
+    return {
+        "haystack_shard_mb": round(hay / 2**20, 1),
+        "needle_mb": round(needles / 2**20, 1),
+        "needle_spectra_mb": round(spectra / 2**20, 1),
+        "block_scratch_mb": round(scratch / 2**20, 1),
+        "total_gb": round(total / 2**30, 3),
+    }
+
+
 def sharded_overlap_save_peak(needle, haystack, freqs_hz, sample_rate,
                               mesh: Mesh,
                               num_lags: Optional[int] = None, *,

@@ -111,6 +111,47 @@ def test_time_sharded_synthetic_long():
     assert (freq, got_lag) == (f_true, lag)
 
 
+def test_batched_overlap_save_three_axes():
+    """Config-5 pattern: pair x doppler x time all sharded at once —
+    per-pair answers match the single-chip overlap-save engine."""
+    from caf_cookoff_tpu.parallel import batched_overlap_save_peak
+
+    rng = np.random.default_rng(9)
+    pairs, n, l = 4, 512, 16384
+    lags = [700, 5001, 9800, 15872]            # last = final valid lag
+    f_true = [-750.0, 0.0, 250.0, 500.0]
+    needles = (rng.standard_normal((pairs, n))
+               + 1j * rng.standard_normal((pairs, n))).astype(np.complex64)
+    hays = (1e-4 * (rng.standard_normal((pairs, l))
+                    + 1j * rng.standard_normal((pairs, l))
+                    )).astype(np.complex64)
+    t = np.arange(n)
+    for b in range(pairs):
+        span = min(n, l - lags[b])
+        hays[b, lags[b]:lags[b] + span] += (
+            needles[b] * np.exp(2j * np.pi * f_true[b] * t / FS)
+        ).astype(np.complex64)[:span]
+    freqs = np.arange(-1000.0, 1000.0, 250.0, dtype=np.float32)
+    fr, lg, _ = batched_overlap_save_peak(
+        needles, hays, freqs, FS, _mesh(pair=2, doppler=2, time=2),
+        backend="xla")
+    for b in range(pairs):
+        want = overlap_save_peak(needles[b], hays[b], freqs, FS,
+                                 backend="xla")
+        assert (float(fr[b]), int(lg[b])) == want[:2] == (
+            f_true[b], lags[b])
+
+
+def test_hbm_estimate_model():
+    from caf_cookoff_tpu.parallel import estimate_hbm_per_chip
+
+    est = estimate_hbm_per_chip(256, 4096, 4096, 262144,
+                                pair=32, doppler=8, time=1)
+    # Dominant term: (256/32 pairs) x (4096/8 bins) x 8192 x 2 x 4 B.
+    assert est["needle_spectra_mb"] == 256.0
+    assert est["total_gb"] < 1.0
+
+
 def test_time_sharded_tail_lag():
     """Emitter at the FINAL valid lag: the shard chunking must keep the
     last n-2 haystack samples (sizing chunks from the lag count instead

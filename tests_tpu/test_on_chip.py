@@ -1,0 +1,79 @@
+"""Compiled on-chip golden tests: all 10 fixtures x real TPU backends.
+
+Round 1's only on-TPU correctness evidence was bench.py's single
+chirp_0 assert; this lane is the full golden matrix compiled on the
+chip (matmul MXU-DFT, fused Pallas with refinement, Stein segmented),
+plus the Pallas-surface-vs-matmul numerical comparison.  Reference
+analog: ``cargo test`` exercising every strategy on the real FFT
+backends (``caf_rust/tests/test.rs``).
+"""
+
+import numpy as np
+import pytest
+
+from caf_cookoff_tpu.config import FreqGrid
+from caf_cookoff_tpu.models.filterbank import caf_peak, caf_surface
+
+FS = 48_000.0
+
+# Same table as tests/test_golden.py (the literal test.rs asserts).
+GOLDEN = [
+    (0, FreqGrid(-100.0, 100.0, 0.25), 69.25, 202),
+    (1, FreqGrid(-50.0, 50.0, 1.0), 36.0, 78),
+    (2, FreqGrid(30.0, 35.0, 0.05), 32.15, 169),
+    (3, FreqGrid(-100.0, 100.0, 0.25), -76.25, 151),
+    (4, FreqGrid(80.0, 100.0, 0.1), 82.9, 70),
+    (5, FreqGrid(-100.0, 100.0, 0.25), -92.75, 177),
+    (6, FreqGrid(-100.0, 100.0, 0.25), -49.75, 15),
+    (7, FreqGrid(-100.0, 100.0, 0.25), 68.25, 84),
+    (8, FreqGrid(-100.0, 100.0, 0.25), -46.25, 80),
+    (9, FreqGrid(-100.0, 100.0, 0.5), 61.5, 176),
+]
+
+BACKENDS = ["matmul", "pallas-refine", "stein"]
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+@pytest.mark.parametrize("idx,grid,want_freq,want_lag", GOLDEN)
+def test_golden_on_chip(chirp, backend, idx, grid, want_freq, want_lag):
+    needle, haystack, _ = chirp(idx)
+    freqs = grid.frequencies(np.float32)
+    freq, lag, _ = caf_peak(needle, haystack, freqs, FS, backend=backend)
+    assert freq == pytest.approx(want_freq, abs=1e-4)
+    assert lag == want_lag
+
+
+def test_pallas_surface_matches_matmul_on_chip(chirp):
+    """The compiled fused kernel's full surface vs the XLA matmul path
+    (same arithmetic family): peaks identical, values close."""
+    needle, haystack, _ = chirp(0)
+    freqs = FreqGrid(-100.0, 100.0, 0.5).frequencies(np.float32)
+    want = np.asarray(caf_surface(needle, haystack, freqs, FS,
+                                  backend="matmul"))
+    got = np.asarray(caf_surface(needle, haystack, freqs, FS,
+                                 backend="pallas"))
+    assert got.shape == want.shape
+    assert np.unravel_index(got.argmax(), got.shape) == \
+        np.unravel_index(want.argmax(), want.shape)
+    scale = want.max()
+    np.testing.assert_allclose(got / scale, want / scale, atol=5e-3)
+
+
+def test_batched_stein_on_chip(chirp):
+    """The config-2 engine (grouped conv + batched Pallas kernel)
+    compiled on the chip: golden parity for a 4-pair batch."""
+    from caf_cookoff_tpu.models.batched_stein import batched_stein_peak
+
+    freqs = FreqGrid(-100.0, 100.0, 0.25).frequencies(np.float32)
+    idxs = [0, 3, 5, 7]
+    wants = {0: (69.25, 202), 3: (-76.25, 151), 5: (-92.75, 177),
+             7: (68.25, 84)}
+    needles, hays = [], []
+    for i in idxs:
+        n, h, _ = chirp(i)
+        needles.append(n)
+        hays.append(h)
+    fr, lg, _ = batched_stein_peak(np.stack(needles), np.stack(hays),
+                                   freqs, FS)
+    for b, i in enumerate(idxs):
+        assert (float(fr[b]), int(lg[b])) == wants[i]
