@@ -69,11 +69,13 @@ def cmd_generate(args) -> int:
     return 0
 
 
-def _load_signal(path: str):
+def _load_signal(path: str, segment: Optional[int] = None):
     """Load .c64 raw samples or a SigMF recording (either sidecar).
 
     Returns ``(samples, meta_fs)`` — ``meta_fs`` is the recording's own
     ``core:sample_rate`` (``None`` for raw .c64, which carries none).
+    ``segment`` selects one capture segment of a multi-capture SigMF
+    recording (sample indices then count from that segment's start).
     """
     from caf_cookoff_tpu.utils.io import load_c64
 
@@ -81,7 +83,15 @@ def _load_signal(path: str):
         from caf_cookoff_tpu.utils.sigmf import read_sigmf
 
         rec = read_sigmf(path)
+        if segment is not None:
+            return rec.segment(segment), (rec.sample_rate or None)
+        if len(rec.captures) > 1:
+            print(f"note: {path} has {len(rec.captures)} capture "
+                  f"segments; processing the whole stream (use "
+                  f"--segment N to select one)", file=sys.stderr)
         return rec.samples, (rec.sample_rate or None)
+    if segment not in (None, 0):
+        raise ValueError("--segment applies only to SigMF recordings")
     return load_c64(path), None
 
 
@@ -142,7 +152,7 @@ def cmd_run(args) -> int:
 
     backend = _resolve_backend(args.backend)
     needle, n_fs = _load_signal(args.needle)
-    haystack, h_fs = _load_signal(args.haystack)
+    haystack, h_fs = _load_signal(args.haystack, segment=args.segment)
     fs = _effective_fs(args, n_fs, h_fs)
     freqs = _grid(args).frequencies(np.float32)
 
@@ -208,9 +218,14 @@ def cmd_run(args) -> int:
             caf_annotation,
         )
 
+        # With --segment the lag is segment-relative; annotate_detection
+        # rebases it to the absolute data-file index of that capture.
         annotate_detection(args.haystack, caf_annotation(
-            lag, len(needle), freq, value, needle_id=args.needle))
-        print(f"annotation -> {args.haystack}")
+            lag, len(needle), freq, value, needle_id=args.needle),
+            segment=args.segment)
+        print(f"annotation -> {args.haystack}"
+              + (f" (segment {args.segment})"
+                 if args.segment is not None else ""))
 
     if args.interp:
         from caf_cookoff_tpu.ops.peak import interpolate_peak
@@ -279,18 +294,29 @@ def cmd_stream(args) -> int:
 
     backend = _resolve_backend(args.backend)
     needle, n_fs = _load_signal(args.needle)
-    capture, c_fs = _load_signal(args.capture)
+    if args.follow:
+        from caf_cookoff_tpu.utils.sigmf import follow_sigmf, read_sigmf
+
+        c_fs = read_sigmf(args.capture).sample_rate or None
+        chunks = follow_sigmf(args.capture, chunk=args.chunk,
+                              idle_timeout_s=args.idle_timeout)
+    else:
+        capture, c_fs = _load_signal(args.capture, segment=args.segment)
+        chunks = (capture[s:s + args.chunk]
+                  for s in range(0, len(capture), args.chunk))
     args.fs = _effective_fs(args, n_fs, c_fs)
     freqs = _grid(args).frequencies(np.float32)
 
-    engine = StreamingCAF(needle, freqs, args.fs, backend=backend)
+    engine = StreamingCAF(needle, freqs, args.fs, chunk_len=args.chunk,
+                          backend=backend)
     t0 = time.perf_counter()
-    for start in range(0, len(capture), args.chunk):
-        chunk = capture[start:start + args.chunk]
+    start = 0
+    for chunk in chunks:
         freq, lag, value = engine.process(chunk)
         if args.verbose:
             print(f"chunk @{start:>10d}: local peak {freq:+8.2f} Hz "
                   f"@ lag {lag:>8d}  ({value:.4g})")
+        start += len(chunk)
     elapsed = time.perf_counter() - t0
     freq, lag, value = engine.best()
     rate_ms = engine.samples_seen / args.fs * 1e3
@@ -299,6 +325,22 @@ def cmd_stream(args) -> int:
     print(f"Peak value: {value:.6g}")
     print(f"[{engine.samples_seen} samples ({rate_ms:.0f} ms of capture) "
           f"in {elapsed:.2f} s, chunk={args.chunk}, {backend}]")
+    return 0
+
+
+def cmd_capture(args) -> int:
+    """Record a live audio-band capture to SigMF (grc/capture.grc
+    analog; needs the optional sounddevice package)."""
+    from caf_cookoff_tpu.utils.sigmf import record_capture
+
+    try:
+        data, meta = record_capture(
+            args.out, args.fs or DEFAULT_SAMPLE_RATE,
+            seconds=args.seconds, device=args.device)
+    except RuntimeError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
+    print(f"capture -> {data} + {meta}")
     return 0
 
 
@@ -383,6 +425,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--num-peaks", type=int, default=1,
                    help="list the N strongest peaks (multi-emitter, "
                    "non-max suppressed)")
+    r.add_argument("--segment", type=int, default=None,
+                   help="capture segment index for multi-capture SigMF "
+                   "recordings (lags count from the segment start; "
+                   "annotations rebase to absolute indices)")
     r.set_defaults(fn=cmd_run)
 
     st = sub.add_parser("stream", help="chunked live-capture CAF "
@@ -394,7 +440,27 @@ def build_parser() -> argparse.ArgumentParser:
                     help="samples per streamed chunk")
     st.add_argument("--verbose", action="store_true",
                     help="print each chunk's local peak")
+    st.add_argument("--segment", type=int, default=None,
+                    help="capture segment of a multi-capture SigMF "
+                    "recording to stream")
+    st.add_argument("--follow", action="store_true",
+                    help="tail a GROWING .sigmf-data file (live-capture "
+                    "mode; ends after --idle-timeout of no growth)")
+    st.add_argument("--idle-timeout", type=float, default=5.0,
+                    help="seconds of no file growth before --follow "
+                    "ends")
     st.set_defaults(fn=cmd_stream)
+
+    c = sub.add_parser("capture", help="record a live audio-band SigMF "
+                       "capture (grc/capture.grc analog; optional "
+                       "sounddevice)")
+    c.add_argument("out", help="output base path (.sigmf-data/-meta)")
+    c.add_argument("--fs", type=float, default=None,
+                   help=f"sample rate (default {DEFAULT_SAMPLE_RATE:g})")
+    c.add_argument("--seconds", type=float, default=5.0)
+    c.add_argument("--device", type=int, default=None,
+                   help="sounddevice input index")
+    c.set_defaults(fn=cmd_capture)
 
     b = sub.add_parser("bench", help="README-style strategy table")
     _add_grid_args(b)

@@ -50,6 +50,38 @@ class SigMFRecording:
     def datatype(self) -> str:
         return _DTYPE_NAMES[np.dtype(self.samples.dtype)]
 
+    def segment_bounds(self) -> List[Tuple[int, int]]:
+        """[(start, count)] per capture segment, in data-file samples.
+
+        SigMF ``captures`` partition the contiguous data stream: each
+        segment runs from its ``core:sample_start`` to the next
+        capture's start (or end of file).  A recording with no captures
+        list is one segment covering everything — round 1 treated the
+        list as an opaque passthrough (``utils/sigmf.py:85-89`` then),
+        which broke absolute indexing for multi-capture recordings
+        (``grc/capture.grc:252`` records one capture per retune/burst).
+        """
+        total = len(self.samples)
+        if not self.captures:
+            return [(0, total)]
+        starts = sorted(int(c.get("core:sample_start", 0))
+                        for c in self.captures)
+        bounds = []
+        for i, s in enumerate(starts):
+            end = starts[i + 1] if i + 1 < len(starts) else total
+            bounds.append((s, max(0, end - s)))
+        return bounds
+
+    def segment(self, index: int) -> np.ndarray:
+        """Samples of capture segment ``index`` (data-file order)."""
+        bounds = self.segment_bounds()
+        if not 0 <= index < len(bounds):
+            raise IndexError(
+                f"segment {index} out of range (recording has "
+                f"{len(bounds)} capture segment(s))")
+        start, count = bounds[index]
+        return self.samples[start:start + count]
+
 
 def _base(path: PathLike) -> str:
     path = os.fspath(path)
@@ -136,14 +168,99 @@ def caf_annotation(lag_samples: int, needle_len: int, freq_offset_hz: float,
     return ann
 
 
-def annotate_detection(meta_path: PathLike, annotation: Dict[str, Any]
-                       ) -> None:
-    """Append a detection annotation to an existing .sigmf-meta file."""
+def annotate_detection(meta_path: PathLike, annotation: Dict[str, Any],
+                       *, segment: Optional[int] = None) -> None:
+    """Append a detection annotation to an existing .sigmf-meta file.
+
+    ``segment`` rebases a segment-relative ``core:sample_start`` to the
+    absolute data-file index of that capture segment, so detections on
+    a multi-capture recording annotate the right samples.
+    """
     base = _base(meta_path)
     with open(base + ".sigmf-meta") as f:
         meta = json.load(f)
+    if segment is not None:
+        captures = meta.get("captures", [])
+        starts = sorted(int(c.get("core:sample_start", 0))
+                        for c in captures) or [0]
+        if not 0 <= segment < len(starts):
+            raise IndexError(f"segment {segment} out of range "
+                             f"({len(starts)} capture segment(s))")
+        annotation = dict(annotation)
+        annotation["core:sample_start"] = (
+            int(annotation.get("core:sample_start", 0)) + starts[segment])
     meta.setdefault("annotations", []).append(annotation)
     meta["annotations"].sort(
         key=lambda a: a.get("core:sample_start", 0))
     with open(base + ".sigmf-meta", "w") as f:
         json.dump(meta, f, indent=2, sort_keys=True)
+
+
+def follow_sigmf(path: PathLike, *, chunk: int = 4096,
+                 poll_s: float = 0.25, idle_timeout_s: float = 5.0):
+    """Generator yielding new samples as a .sigmf-data file GROWS.
+
+    The live-capture analog of ``grc/capture.grc`` (audio_source ->
+    sigmf_sink) for this side of the pipe: point it at the recording a
+    flowgraph (or :func:`record_capture`) is writing and feed the
+    chunks to :class:`caf_cookoff_tpu.models.streaming.StreamingCAF`.
+    Yields up to ``chunk`` samples at a time; ends after
+    ``idle_timeout_s`` with no growth.
+    """
+    import time as _time
+
+    base = _base(path)
+    with open(base + ".sigmf-meta") as f:
+        meta = json.load(f)
+    dt = _DATATYPES[meta.get("global", {}).get("core:datatype", "cf32_le")]
+    item = dt.itemsize
+    offset = 0
+    idle = 0.0
+    data_path = base + ".sigmf-data"
+    while idle < idle_timeout_s:
+        avail = (os.path.getsize(data_path) - offset) // item
+        if avail <= 0:
+            _time.sleep(poll_s)
+            idle += poll_s
+            continue
+        idle = 0.0
+        take = min(avail, chunk)
+        with open(data_path, "rb") as f:
+            f.seek(offset)
+            buf = f.read(take * item)
+        got = len(buf) // item
+        if not got:
+            _time.sleep(poll_s)
+            idle += poll_s
+            continue
+        offset += got * item
+        yield np.frombuffer(buf[: got * item], dtype=dt)
+
+
+def record_capture(path: PathLike, sample_rate: float, *,
+                   seconds: Optional[float] = None,
+                   device: Optional[int] = None,
+                   channels: int = 1) -> Tuple[str, str]:
+    """Record an audio-band capture to SigMF (``grc/capture.grc``'s
+    ``audio_source -> sigmf_sink`` without GNU Radio).
+
+    Requires the optional ``sounddevice`` package (not bundled); raises
+    a clear error otherwise.  Real samples are recorded and stored as
+    the complex cf32_le baseband the CAF engines expect (imag = 0).
+    """
+    try:
+        import sounddevice as sd
+    except ImportError as exc:  # pragma: no cover - optional dependency
+        raise RuntimeError(
+            "live capture needs the optional 'sounddevice' package "
+            "(pip install sounddevice); to CAF an existing recording "
+            "use `caf-tpu run/stream` on the .sigmf files, or "
+            "follow_sigmf() to tail one being written") from exc
+
+    frames = int((seconds or 5.0) * sample_rate)
+    audio = sd.rec(frames, samplerate=int(sample_rate),
+                   channels=channels, dtype="float32", device=device)
+    sd.wait()  # pragma: no cover - hardware path
+    samples = audio[:, 0].astype(np.complex64)
+    return write_sigmf(path, samples, sample_rate,
+                       description="caf-tpu live capture")
