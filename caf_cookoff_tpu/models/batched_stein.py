@@ -5,24 +5,26 @@ round-1 path walked ``lax.map`` over per-pair Stein programs — zero
 batch amortization (0.060 ms/surface vs 0.054 single-surface).  This
 engine restructures the whole batch around two MXU-shaped stages:
 
-* **Stage A — segment correlations as ONE grouped convolution.**  For
-  needle blocks of length D, ``G[b, tau] = sum_d conj(n[bD+d]) *
-  h[bD+d+tau]`` is a D-tap cross-correlation — and at D = 64 direct
-  evaluation (D MACs/lag) beats any FFT factorization
-  (~(n1+n2) MACs/lag at M = 8192), so the FFTs of the single-pair
-  engine (``models/stein.py``) disappear entirely.  All P pairs x B
-  blocks x two complex components become a single
-  ``lax.conv_general_dilated`` with ``feature_group_count = P``:
-  P groups x (2 in-channels = h planes) x (2B out-channels = G planes),
-  kernels built from the conjugated needle blocks.  Blocks are grouped
-  into 128-sample super-blocks so every extraction offset downstream is
-  128-lane-aligned.
+* **Stage A — segment correlations as a direct MXU dot.**  For needle
+  blocks of length D, ``G[b, tau] = sum_d conj(n[bD+d]) * h[bD+d+tau]``
+  is a D-tap cross-correlation — and at D = 64 direct evaluation
+  (D MACs/lag) beats any FFT factorization (~(n1+n2) MACs/lag at
+  M = 8192), so the FFTs of the single-pair engine (``models/stein.py``)
+  disappear entirely.  Blocks are grouped into 128-sample super-blocks
+  (every extraction offset downstream is lane-tile-aligned) and the
+  whole stage is one stacked (2B, 2*SUPER) x (2*SUPER, span) matmul
+  against shifted-haystack Hankel rows.  (An ``lax.conv`` formulation
+  of the same math lowered pathologically on TPU — 53.6 ms for the
+  64-pair batch — hence the explicit operator.)
 
-* **Stage B — fused synthesis + rank kernel** (``ops/pallas_stein.
-  batched_synth_rank``): per pair, staircase-extract the G tile, run
-  the two stacked synthesis matmuls on the MXU, and fold the
-  |.|^2 / per-bin-max epilogue in VMEM.  The (K, P*M) synthesized
-  surface (~1.7 GB at config-2 shape) never exists in HBM.
+* **Stage B — fused kernel** (``ops/pallas_stein.fused_stein_rank``):
+  one program per pair runs BOTH stages in VMEM — Hankel rows built
+  from the ~100 KB haystack extension, the stage-A dot, staircase
+  extraction, the two stacked synthesis matmuls, and the
+  |.|^2 / per-bin-max epilogue.  Nothing pair-sized touches HBM; the
+  (K, P*M) synthesized surface (~1.7 GB at config-2 shape) never
+  exists.  On CPU the pure-XLA twin :func:`_coarse_rank_xla` runs the
+  identical math (HBM-materialized) for tests.
 
 * **Exactness — batched top-k re-score.**  The coarse pass (bf16 conv +
   bf16 synthesis + block-phase approximation) only RANKS bins; the top
@@ -65,39 +67,22 @@ def _pow2_block_len(sample_rate: float, freqs_hz: np.ndarray,
     return d
 
 
-def _conv_segment_correlations(ns_re, ns_im, hs_re, hs_im, d: int, m: int):
-    """(P, 2B, L) staircase-layout segment correlations via one conv.
+def _needle_operator(ns_re, ns_im, d: int):
+    """(P, 2B, 2*SUPER) stacked needle-tap operator for stage A.
 
-    Row layout: rows [0, B) are Re(G), rows [B, 2B) are Im(G); the block
-    ``b`` row holds ``G[b, tau]`` at column ``(b // group)*SUPER + tau``
-    (group = SUPER // D blocks per super-block), so every downstream
-    extraction offset is lane-tile-aligned.  ``needles`` must already be
-    padded to whole super-blocks; haystacks keep their native length.
+    Row layout: rows [0, B) produce Re(G), rows [B, 2B) Im(G); columns
+    [0, SUPER) act on shifted-haystack real rows, [SUPER, 2*SUPER) on
+    imaginary rows.  Block ``b`` (inside super-block ``s = b // group``,
+    group = SUPER // D) occupies taps [(b % group)*D, (b % group+1)*D),
+    so ``G[b, tau]`` lands at staircase column ``s*SUPER + tau`` — every
+    downstream extraction offset is lane-tile-aligned.  Needles must
+    already be padded to whole super-blocks.
     """
     p, n_pad = ns_re.shape
     b = n_pad // d
     group = SUPER // d
     n_super = b // group
-    span = (n_super - 1) * SUPER + m
-    lhs_len = span + SUPER - 1
 
-    # Circular haystack extension: the M-point FFT correlation of the
-    # single-pair engine indexes h mod M (zeros in [N, M)); column c of
-    # the conv reads samples [c, c + SUPER), so extend one full period.
-    n_h = hs_re.shape[-1]
-    if lhs_len > 2 * m:
-        raise ValueError(f"staircase span {lhs_len} exceeds 2M={2 * m}")
-
-    def circ(hp):
-        base = jnp.concatenate(
-            [hp, jnp.zeros((p, m - n_h), hp.dtype)], axis=-1)
-        return jnp.concatenate([base, base], axis=-1)[:, :lhs_len]
-
-    lhs = jnp.stack([circ(hs_re), circ(hs_im)], axis=1)   # (P, 2, L+127)
-    lhs = lhs.reshape(1, 2 * p, lhs_len)
-
-    # Super-grouped SUPER-tap kernels: block b occupies taps
-    # [(b % group)*D, (b % group + 1)*D).
     def grouped(x):
         blocks = x.reshape(p, n_super, group, d)
         eye = jnp.eye(group, dtype=x.dtype)
@@ -107,17 +92,64 @@ def _conv_segment_correlations(ns_re, ns_im, hs_re, hs_im, d: int, m: int):
 
     tr = grouped(ns_re)                      # Re(conj n) = nr
     ti = grouped(-ns_im)                     # Im(conj n) = -ni
-    # G = sum cn*h: Gr taps (hr: tr, hi: -ti); Gi taps (hr: ti, hi: tr).
-    top = jnp.stack([tr, -ti], axis=2)       # (P, B, 2, SUPER) -> Gr rows
-    bot = jnp.stack([ti, tr], axis=2)        # -> Gi rows
-    rhs = jnp.concatenate([top, bot], axis=1).reshape(2 * b * p, 2, SUPER)
+    # G = sum conj(n)*h: Gr = nr.hr + ni.hi = tr.hr + (-ti).hi;
+    #                    Gi = nr.hi - ni.hr = ti.hr + tr.hi.
+    top = jnp.concatenate([tr, -ti], axis=2)   # (P, B, 2*SUPER) Gr rows
+    bot = jnp.concatenate([ti, tr], axis=2)    # Gi rows
+    return jnp.concatenate([top, bot], axis=1), group
 
-    out = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        feature_group_count=p,
-        precision=jax.lax.Precision.DEFAULT)
-    return out.reshape(p, 2 * b, span), group
+
+def _haystack_extension(hs_re, hs_im, m: int, span: int):
+    """(P, 2, span+SUPER-1) circularly-extended haystack planes.
+
+    The M-point FFT correlation of the single-pair engine indexes h
+    mod M (zeros in [N, M)); staircase column c reads samples
+    [c, c+SUPER), so the extension tiles the zero-padded period.
+    Columns past the masked lag range are never consumed.
+    """
+    p, n_h = hs_re.shape
+    need = span + SUPER - 1
+    reps = -(-need // m)
+
+    def circ(hp):
+        base = jnp.concatenate(
+            [hp, jnp.zeros((p, m - n_h), hp.dtype)], axis=-1)
+        return jnp.tile(base, (1, reps))[:, :need]
+
+    return jnp.stack([circ(hs_re), circ(hs_im)], axis=1)
+
+
+def _coarse_rank_xla(ws1, ws2, lmat, h_ext, b: int, group: int,
+                     num_lags: int):
+    """Pure-XLA twin of ops/pallas_stein.fused_stein_rank — the CPU
+    (and numerical-reference) path: same math, same staircase layout,
+    materialized in HBM instead of VMEM."""
+    from caf_cookoff_tpu.ops.pallas_stein import FUSED_TILE
+
+    span = h_ext.shape[-1] - (SUPER - 1)
+    hank = jnp.concatenate([
+        jnp.stack([h_ext[:, 0, e:e + span] for e in range(SUPER)], axis=1),
+        jnp.stack([h_ext[:, 1, e:e + span] for e in range(SUPER)], axis=1),
+    ], axis=1)                                        # (P, 2*SUPER, span)
+    co = jnp.einsum("pbe,pes->pbs", lmat, hank)       # (P, 2B, span)
+    m_pad = -(-num_lags // FUSED_TILE) * FUSED_TILE
+    n_super = b // group
+    g_top = jnp.concatenate(
+        [co[:, s * group:(s + 1) * group, s * SUPER:s * SUPER + m_pad]
+         for s in range(n_super)], axis=1)
+    g_bot = jnp.concatenate(
+        [co[:, b + s * group:b + (s + 1) * group,
+            s * SUPER:s * SUPER + m_pad]
+         for s in range(n_super)], axis=1)
+    g = jnp.concatenate([g_top, g_bot], axis=1)       # (P, 2B, m_pad)
+    rr = jnp.einsum("kb,pbm->pkm", ws1, g)
+    ri = jnp.einsum("kb,pbm->pkm", ws2, g)
+    mag2 = rr * rr + ri * ri
+    mag2 = jnp.where(jnp.arange(m_pad)[None, None, :] < num_lags,
+                     mag2, -1.0)
+    vals = jnp.max(mag2, axis=-1)                     # (P, K)
+    idxs = jnp.argmax(mag2, axis=-1).astype(jnp.int32)
+    return vals.T, idxs.T
 
 
 @functools.partial(
@@ -128,17 +160,23 @@ def _batched_stein_peak_jit(ns_re, ns_im, hs_re, hs_im, freqs_hz,
                             sample_rate, xcor_len, block_len, backend,
                             refine: bool, interpret: bool):
     from caf_cookoff_tpu.ops.pallas_stein import (
-        batched_synth_rank,
+        fused_span,
+        fused_stein_rank,
         stein_synthesis_weights,
     )
 
     b = ns_re.shape[-1] // block_len
-    co, group = _conv_segment_correlations(ns_re, ns_im, hs_re, hs_im,
-                                           block_len, xcor_len)
+    lmat, group = _needle_operator(ns_re, ns_im, block_len)
+    span = fused_span(b, group, xcor_len)
+    h_ext = _haystack_extension(hs_re, hs_im, xcor_len, span)
     ws1, ws2 = stein_synthesis_weights(freqs_hz, sample_rate, b, block_len)
-    vals, idxs = batched_synth_rank(ws1, ws2, co.astype(jnp.bfloat16),
-                                    b, group, xcor_len,
-                                    interpret=interpret)     # (K, P) each
+    if interpret:
+        # CPU path: the kernel's pure-XLA twin (HBM-materialized).
+        vals, idxs = _coarse_rank_xla(ws1, ws2, lmat, h_ext, b, group,
+                                      xcor_len)               # (K, P)
+    else:
+        vals, idxs = fused_stein_rank(ws1, ws2, lmat, h_ext, b, group,
+                                      xcor_len)               # (K, P)
     vals_t = vals.T                                          # (P, K)
     if not refine:
         best = jnp.argmax(vals_t, axis=1)                    # (P,)
@@ -193,10 +231,10 @@ def batched_stein_peak(needles, haystacks, freqs_hz, sample_rate, *,
     d = _pow2_block_len(sample_rate, freqs, block_len)
     n = ns_re.shape[-1]
     m = xcor_length(n)
-    from caf_cookoff_tpu.ops.pallas_stein import TILE_M
+    from caf_cookoff_tpu.ops.pallas_stein import FUSED_TILE
 
-    if m % TILE_M:
-        raise ValueError(f"xcor length {m} not a multiple of {TILE_M}")
+    if m % FUSED_TILE:
+        raise ValueError(f"xcor length {m} not a multiple of {FUSED_TILE}")
     # Pad the NEEDLE to whole super-blocks (appended zero blocks add
     # nothing to any correlation); the haystack and M are untouched, so
     # lag semantics match the single-pair engine exactly.

@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from caf_cookoff_tpu.config import default_backend, xcor_length
+from caf_cookoff_tpu.config import default_backend, is_pow2, xcor_length
 from caf_cookoff_tpu.ops import splitfft
 from caf_cookoff_tpu.ops.peak import CafPeak, find_peak_2d
 
@@ -136,20 +136,36 @@ def _stein_peak_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate,
         synth_prec = None
 
     if refine and fused:
-        # Fused Pallas synthesis+rank: the (2K, M) synthesized rows
-        # never touch HBM — only per-bin (max, arg) pairs come back.
+        # Fully fused Pallas path (stage A folded in): Hankel stage-A
+        # dot + synthesis + rank in one VMEM-resident program — neither
+        # the segment correlations nor the (2K, M) synthesized rows
+        # ever touch HBM.  (The round-1 synthesis-only fusion lost to
+        # XLA, 70 vs 55 us; folding stage A is what changed the
+        # economics — see ARCHITECTURE.md §7.)
+        from caf_cookoff_tpu.models.batched_stein import (
+            _haystack_extension,
+            _needle_operator,
+        )
         from caf_cookoff_tpu.ops.pallas_stein import (
+            fused_span,
+            fused_stein_rank,
             stein_synthesis_weights,
-            synth_rank,
         )
 
-        g = _segment_correlations((n_re, n_im), (h_re, h_im), xcor_len,
-                                  block_len, coarse_backend)
-        ws1, ws2 = stein_synthesis_weights(
-            freqs_hz, sample_rate, g[0].shape[0], block_len)
-        vals, _ = synth_rank(ws1, ws2, g[0], g[1],
-                             interpret=jax.default_backend() == "cpu")
-        rowmax_coarse = vals
+        pad = (-n_re.shape[-1]) % 128
+        nr = jnp.pad(n_re, (0, pad))[None]
+        ni = jnp.pad(n_im, (0, pad))[None]
+        b = nr.shape[-1] // block_len
+        lmat, group = _needle_operator(nr, ni, block_len)
+        span = fused_span(b, group, xcor_len)
+        h_ext = _haystack_extension(h_re[None], h_im[None], xcor_len,
+                                    span)
+        ws1, ws2 = stein_synthesis_weights(freqs_hz, sample_rate, b,
+                                           block_len)
+        vals, _ = fused_stein_rank(
+            ws1, ws2, lmat, h_ext, b, group, xcor_len,
+            interpret=jax.default_backend() == "cpu")
+        rowmax_coarse = vals[:, 0]
     else:
         rows = _stein_rows((n_re, n_im), (h_re, h_im), freqs_hz,
                            sample_rate, xcor_len, block_len,
@@ -374,11 +390,25 @@ def stein_caf_peak(needle, haystack, freqs_hz, sample_rate, *,
     block_len = _auto_block_len(sample_rate, freqs, block_len)
     xl = xcor_length(n_re.shape[-1])
     if fused is None:
-        # Measured on v5e: XLA already fuses the |.|^2 + row-max epilogue
-        # into the synthesis matmul, and its schedule beats the
-        # hand-tiled kernel (55 vs 70 us/surface) — default off; the
-        # kernel remains available for experimentation.
+        # Round 1's synthesis-only fusion lost to XLA (70 vs 55 us) and
+        # defaulted off; the round-2 kernel folds stage A in as well
+        # (fused_stein_rank) — measured standings in ARCHITECTURE.md §7.
         fused = False
+    if fused:
+        # The fused kernel's super-block layout needs a pow2 block
+        # length dividing 128 (batched_stein engine constraint).
+        d = min(block_len, 128)
+        while not is_pow2(d):
+            d &= d - 1
+        if d < 8:
+            raise ValueError(
+                f"block length {block_len} rounds below 8 for the fused "
+                "kernel; use fused=False")
+        block_len = d
+        if xl % 512:
+            raise ValueError(
+                f"fused kernel needs a 512-multiple correlation length, "
+                f"got {xl}; use fused=False")
     peak = _stein_peak_jit(n_re, n_im, h_re, h_im, jnp.asarray(freqs),
                            float(sample_rate), xl, block_len, backend,
                            refine, fused)

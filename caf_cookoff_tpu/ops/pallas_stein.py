@@ -105,40 +105,60 @@ def synth_rank(ws1, ws2, g_re, g_im, interpret: bool = False):
     return vals[:k, 0], idxs[:k, 0]
 
 
-def _batched_synth_rank_kernel(ws1_ref, ws2_ref, co_ref, vals_ref,
-                               idxs_ref, gs_ref, vacc_ref, iacc_ref, *,
-                               num_blocks: int, group: int, tile: int,
-                               num_chunks: int, num_lags: int):
-    """One program = one pair: staircase-extract + synthesize + rank.
+SUPER = 128  # super-block width = the TPU lane tile
+# Stage-B lag tile of the fused kernel: 256 (not TILE_M) keeps the
+# synthesis temporaries inside the 16 MB scoped-VMEM budget alongside
+# the co/hank scratch (measured: 512 tiles OOM by ~1 MB).
+FUSED_TILE = 256
 
-    ``co_ref`` holds the pair's segment-correlation planes in
-    super-block-aligned layout: row ``b`` (< B: real; >= B: imag) of a
-    needle block inside super-block ``s = b // group`` carries
-    ``G[b, tau]`` at column ``s*128 + tau`` — the extraction offsets are
-    all 128-lane-aligned, so the per-chunk gather is ``2*n_super``
-    cheap aligned copies into the ``gs`` scratch, after which synthesis
-    is two dense MXU matmuls whose |.|^2 + per-bin max epilogue never
-    leaves VMEM.
+
+def _fused_stein_kernel(ws1_ref, ws2_ref, l_ref, h_ref, vals_ref,
+                        idxs_ref, co_ref, hank_ref, gs_ref, vacc_ref,
+                        iacc_ref, *, num_blocks: int, group: int,
+                        tile: int, num_chunks: int, num_lags: int,
+                        span: int, a_chunks: int):
+    """One program = one pair, the ENTIRE Stein pipeline in VMEM.
+
+    Stage A builds the Hankel operator rows (shifted copies of the
+    ~100 KB haystack extension — the only HBM read that scales with M)
+    in scratch and computes ALL segment correlations with one stacked
+    (2B, 2*SUPER) x (2*SUPER, span) MXU dot per column chunk; stage B
+    is the staircase-extract + synthesis + |.|^2/per-bin-max epilogue.
+    Nothing pair-sized ever touches HBM: the XLA grouped-conv stage A
+    this replaces measured 53.6 ms for 64 pairs — the fused dot does
+    the same 26 GFLOP inside the kernel's compute budget.
     """
+    cdtype = co_ref.dtype
+    a_w = span // a_chunks
+    for a in range(a_chunks):
+        c0 = a * a_w
+        for e in range(SUPER):
+            hank_ref[e, :] = h_ref[0, 0, c0 + e:c0 + e + a_w].astype(cdtype)
+            hank_ref[SUPER + e, :] = h_ref[0, 1,
+                                           c0 + e:c0 + e + a_w].astype(cdtype)
+        z = jnp.dot(l_ref[0], hank_ref[:],
+                    preferred_element_type=jnp.float32)
+        co_ref[:, c0:c0 + a_w] = z.astype(cdtype)
+
     b = num_blocks
     n_super = b // group
     for c in range(num_chunks):
         coff = c * tile
         for s in range(n_super):
             r0 = s * group
-            src = s * 128 + coff
-            gs_ref[r0:r0 + group, :] = co_ref[0, r0:r0 + group,
+            src = s * SUPER + coff
+            gs_ref[r0:r0 + group, :] = co_ref[r0:r0 + group,
                                               src:src + tile]
             gs_ref[b + r0:b + r0 + group, :] = co_ref[
-                0, b + r0:b + r0 + group, src:src + tile]
+                b + r0:b + r0 + group, src:src + tile]
         gs = gs_ref[:]
         rr = jnp.dot(ws1_ref[:], gs, preferred_element_type=jnp.float32)
         ri = jnp.dot(ws2_ref[:], gs, preferred_element_type=jnp.float32)
-        mag2 = rr * rr + ri * ri                        # (Kp, tile)
+        mag2 = rr * rr + ri * ri
         kp = mag2.shape[0]
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (kp, tile), 1) + coff
         mag2 = jnp.where(col_iota < num_lags, mag2, -1.0)
-        colmax = jnp.max(mag2, axis=1, keepdims=True)   # (Kp, 1)
+        colmax = jnp.max(mag2, axis=1, keepdims=True)
         colarg = jnp.min(jnp.where(mag2 >= colmax, col_iota, _BIG_IDX),
                          axis=1, keepdims=True)
         if c == 0:
@@ -149,10 +169,6 @@ def _batched_synth_rank_kernel(ws1_ref, ws2_ref, co_ref, vals_ref,
             take = colmax > prev
             vacc_ref[:] = jnp.where(take, colmax, prev)
             iacc_ref[:] = jnp.where(take, colarg, iacc_ref[:])
-    # The (Kp, P) outputs are one shared revisited block; each program
-    # lands its pair's column via a lane-masked read-modify-write
-    # (lane-1 output blocks and unaligned lane-dynamic stores are both
-    # unlowerable; a full-width select is cheap VPU work).
     pid = pl.program_id(0)
     kp, p = vals_ref.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, (kp, p), 1)
@@ -161,35 +177,49 @@ def _batched_synth_rank_kernel(ws1_ref, ws2_ref, co_ref, vals_ref,
     idxs_ref[:] = jnp.where(mine, iacc_ref[:], idxs_ref[:])
 
 
+def fused_span(num_blocks: int, group: int, num_lags: int,
+               a_chunks: int = 4) -> int:
+    """Column span of the staircase layout, padded so stage-A chunks
+    stay lane-aligned: callers size the haystack extension to
+    ``span + SUPER - 1`` samples."""
+    n_super = num_blocks // group
+    m_pad = -(-num_lags // FUSED_TILE) * FUSED_TILE
+    span = (n_super - 1) * SUPER + m_pad
+    quantum = a_chunks * SUPER
+    return -(-span // quantum) * quantum
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("num_blocks", "group", "num_lags", "interpret"))
-def batched_synth_rank(ws1, ws2, conv_out, num_blocks: int, group: int,
-                       num_lags: int, interpret: bool = False):
-    """Per-(pair, bin) (max |R|^2, arg lag) over a batch of pairs.
+    static_argnames=("num_blocks", "group", "num_lags", "interpret",
+                     "a_chunks"))
+def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, group: int,
+                     num_lags: int, interpret: bool = False,
+                     a_chunks: int = 4):
+    """Per-(pair, bin) (max |R|^2, arg lag) — fully fused batch engine.
 
-    ``conv_out``: (P, 2B, L) bf16 segment correlations in staircase
-    layout (see :func:`_batched_synth_rank_kernel`); ``ws1``/``ws2``:
-    (K, 2B) stacked synthesis weights shared by every pair.  Returns
-    ((K, P) values, (K, P) lag indices).  The (K, P*M) synthesized
-    surface exists only tile-by-tile in VMEM — at the config-2 shape
-    that is ~1.7 GB of HBM traffic the XLA path cannot avoid.
+    ``lmat``: (P, 2B, 2*SUPER) stacked needle-tap operator (Gr rows then
+    Gi rows; see models/batched_stein.py); ``h_ext``: (P, 2, span+127)
+    circularly-extended haystack planes; ``ws1``/``ws2``: (K, 2B)
+    synthesis weights.  Returns ((K, P) values, (K, P) lag indices).
     """
     k, b2 = ws1.shape
-    p, rows, span = conv_out.shape
-    if rows != b2:
-        raise ValueError(f"conv rows {rows} != stacked blocks {b2}")
+    p = lmat.shape[0]
     pad = (-k) % ROW_PAD
     if pad:
         ws1 = jnp.pad(ws1, ((0, pad), (0, 0)))
         ws2 = jnp.pad(ws2, ((0, pad), (0, 0)))
     kp = k + pad
-    m_pad = -(-num_lags // TILE_M) * TILE_M
-    num_chunks = m_pad // TILE_M
+    span = fused_span(num_blocks, group, num_lags, a_chunks)
+    if h_ext.shape != (p, 2, span + SUPER - 1):
+        raise ValueError(f"h_ext shape {h_ext.shape} != "
+                         f"{(p, 2, span + SUPER - 1)}")
+    m_pad = -(-num_lags // FUSED_TILE) * FUSED_TILE
     kernel = functools.partial(
-        _batched_synth_rank_kernel, num_blocks=b2 // 2,
-        group=group, tile=TILE_M, num_chunks=num_chunks,
-        num_lags=num_lags)
+        _fused_stein_kernel, num_blocks=num_blocks, group=group,
+        tile=FUSED_TILE, num_chunks=m_pad // FUSED_TILE,
+        num_lags=num_lags, span=span, a_chunks=a_chunks)
+    cdtype = jnp.bfloat16
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
     vals, idxs = pl.pallas_call(
@@ -197,7 +227,9 @@ def batched_synth_rank(ws1, ws2, conv_out, num_blocks: int, group: int,
         grid=(p,),
         in_specs=[
             full((kp, b2)), full((kp, b2)),
-            pl.BlockSpec((1, rows, span), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, b2, 2 * SUPER), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, span + SUPER - 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -211,12 +243,19 @@ def batched_synth_rank(ws1, ws2, conv_out, num_blocks: int, group: int,
             jax.ShapeDtypeStruct((kp, p), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((b2, TILE_M), conv_out.dtype),
+            pltpu.VMEM((b2, span), cdtype),
+            pltpu.VMEM((2 * SUPER, span // a_chunks), cdtype),
+            pltpu.VMEM((b2, FUSED_TILE), cdtype),
             pltpu.VMEM((kp, 1), jnp.float32),
             pltpu.VMEM((kp, 1), jnp.int32),
         ],
+        # The default scoped-VMEM budget is 16 MB; the co/hank scratch
+        # plus Mosaic's unrolled-loop temporaries need ~18-19 MB of the
+        # chip's 128 MB VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
-    )(ws1.astype(conv_out.dtype), ws2.astype(conv_out.dtype), conv_out)
+    )(ws1.astype(cdtype), ws2.astype(cdtype), lmat.astype(cdtype), h_ext)
     return vals[:k], idxs[:k]
 
 

@@ -116,9 +116,10 @@ def test_c128_matmul_goldens(chirp, idx, grid, want_freq, want_lag):
     under x64 (the reference computes c128 end-to-end,
     caf_rust/src/utils.rs:10-35).  Constants are built in float64
     (ops/splitfft.py _dft_constants_np), so the same stacked-real-matmul
-    four-step runs at full f64 on CPU.  On the axon TPU runtime f64
-    buffers are rejected like complex ones — c128 is a host-side parity
-    regime, not an on-chip mode (documented in ARCHITECTURE.md)."""
+    four-step runs at full f64.  The axon TPU runtime accepts f64
+    buffers and matmuls (verified), but TPU f64 is software-emulated
+    and slow — c128 is the parity regime, c64+rank-then-score the
+    production one (ARCHITECTURE.md)."""
     import jax
 
     needle, haystack, _ = chirp(idx)
