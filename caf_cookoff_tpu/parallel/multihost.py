@@ -61,3 +61,57 @@ def process_info() -> str:
     return (f"process {jax.process_index()}/{jax.process_count()}, "
             f"{len(jax.local_devices())} local / "
             f"{len(jax.devices())} global devices")
+
+
+def put_global(x, mesh, spec):
+    """Form a GLOBAL array on a multi-host mesh from host-local numpy.
+
+    In multi-controller JAX a host cannot jit over data it merely holds
+    as numpy — every process must contribute its addressable shards of
+    one global array.  Each host passes the (identical) full-value
+    array; ``make_array_from_callback`` slices out the shards this
+    process owns.  ``spec=P()`` replicates, ``P('doppler')`` shards the
+    leading axis, etc.
+    """
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    x = np.asarray(x)
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
+def multihost_caf_peak(needle, haystack, freqs_hz, sample_rate, mesh,
+                       *, backend: str = "matmul"):
+    """(freq_hz, lag, value) with doppler bins sharded across HOSTS.
+
+    The multi-controller twin of
+    :func:`caf_cookoff_tpu.parallel.sharded_caf_peak`: every process
+    calls this with the same host-local inputs; signals replicate,
+    the padded doppler grid shards over the global mesh, and the fully
+    replicated peak triple is readable on every host.  Proven by the
+    2-process CPU-backend test (``tests/test_multihost_2proc.py``).
+    """
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from caf_cookoff_tpu.config import xcor_length
+    from caf_cookoff_tpu.parallel.mesh import AXIS_DOPPLER
+    from caf_cookoff_tpu.parallel.sharded import (
+        _sharded_peak_jit,
+        _split_host,
+        pad_axis_to,
+    )
+
+    n_re, n_im = _split_host(needle)
+    h_re, h_im = _split_host(haystack)
+    freqs_p = pad_axis_to(np.asarray(freqs_hz, dtype=n_re.dtype),
+                          mesh.shape[AXIS_DOPPLER])
+    rep = lambda a: put_global(a, mesh, P())
+    peak = _sharded_peak_jit(
+        rep(n_re), rep(n_im), rep(h_re), rep(h_im),
+        put_global(freqs_p, mesh, P(AXIS_DOPPLER)),
+        float(sample_rate), mesh, xcor_length(n_re.shape[-1]), backend)
+    return (float(freqs_p[int(peak.freq_idx)]), int(peak.lag_idx),
+            float(peak.value))
