@@ -176,7 +176,8 @@ def _batched_stein_peak_jit(ns_re, ns_im, hs_re, hs_im, freqs_hz,
                                       xcor_len)               # (K, P)
     else:
         vals, idxs = fused_stein_rank(ws1, ws2, lmat, h_ext, b, group,
-                                      xcor_len)               # (K, P)
+                                      xcor_len,
+                                      want_idxs=not refine)   # (K, P)
     vals_t = vals.T                                          # (P, K)
     if not refine:
         best = jnp.argmax(vals_t, axis=1)                    # (P,)

@@ -164,7 +164,7 @@ def _stein_peak_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate,
                                            block_len)
         vals, _ = fused_stein_rank(
             ws1, ws2, lmat, h_ext, b, group, xcor_len,
-            interpret=jax.default_backend() == "cpu")
+            interpret=jax.default_backend() == "cpu", want_idxs=False)
         rowmax_coarse = vals[:, 0]
     else:
         rows = _stein_rows((n_re, n_im), (h_re, h_im), freqs_hz,
@@ -389,26 +389,25 @@ def stein_caf_peak(needle, haystack, freqs_hz, sample_rate, *,
     (n_re, n_im), (h_re, h_im), freqs = _prep(needle, haystack, freqs_hz)
     block_len = _auto_block_len(sample_rate, freqs, block_len)
     xl = xcor_length(n_re.shape[-1])
+    # Fused-kernel eligibility: pow2 block length in [8, 128] (the
+    # super-block layout) and a 512-multiple correlation length.
+    d_fused = min(block_len, 128)
+    while d_fused and not is_pow2(d_fused):
+        d_fused &= d_fused - 1
+    eligible = refine and d_fused >= 8 and xl % 512 == 0
     if fused is None:
-        # Round 1's synthesis-only fusion lost to XLA (70 vs 55 us) and
-        # defaulted off; the round-2 kernel folds stage A in as well
-        # (fused_stein_rank) — measured standings in ARCHITECTURE.md §7.
-        fused = False
+        # Round 1's synthesis-only fusion lost to XLA (70 vs 55 us);
+        # with stage A folded in (fused_stein_rank) the kernel WINS —
+        # 42.7 vs 58.6 us/surface measured on v5e — so it is the TPU
+        # default wherever eligible (ARCHITECTURE.md §7).
+        fused = eligible and jax.default_backend() != "cpu"
     if fused:
-        # The fused kernel's super-block layout needs a pow2 block
-        # length dividing 128 (batched_stein engine constraint).
-        d = min(block_len, 128)
-        while not is_pow2(d):
-            d &= d - 1
-        if d < 8:
+        if not eligible:
             raise ValueError(
-                f"block length {block_len} rounds below 8 for the fused "
-                "kernel; use fused=False")
-        block_len = d
-        if xl % 512:
-            raise ValueError(
-                f"fused kernel needs a 512-multiple correlation length, "
-                f"got {xl}; use fused=False")
+                f"fused kernel needs refine=True, a pow2 block length "
+                f">= 8 (got {block_len} -> {d_fused}) and a 512-multiple "
+                f"correlation length (got {xl}); use fused=False")
+        block_len = d_fused
     peak = _stein_peak_jit(n_re, n_im, h_re, h_im, jnp.asarray(freqs),
                            float(sample_rate), xl, block_len, backend,
                            refine, fused)

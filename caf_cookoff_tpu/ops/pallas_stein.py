@@ -106,69 +106,96 @@ def synth_rank(ws1, ws2, g_re, g_im, interpret: bool = False):
 
 
 SUPER = 128  # super-block width = the TPU lane tile
-# Stage-B lag tile of the fused kernel: 256 (not TILE_M) keeps the
-# synthesis temporaries inside the 16 MB scoped-VMEM budget alongside
-# the co/hank scratch (measured: 512 tiles OOM by ~1 MB).
-FUSED_TILE = 256
+# Stage-B lag tile of the fused kernel (fits the raised VMEM budget).
+FUSED_TILE = 512
+
+
+_SEED_ROWS = 16  # bf16 sublane tile: Hankel rows are built 16 at a time
 
 
 def _fused_stein_kernel(ws1_ref, ws2_ref, l_ref, h_ref, vals_ref,
-                        idxs_ref, co_ref, hank_ref, gs_ref, vacc_ref,
-                        iacc_ref, *, num_blocks: int, group: int,
-                        tile: int, num_chunks: int, num_lags: int,
-                        span: int, a_chunks: int):
+                        idxs_ref, co_ref, hank_ref, seed_ref, g_ref,
+                        vacc_ref, iacc_ref, *, num_blocks: int,
+                        group: int, tile: int, num_chunks: int,
+                        num_lags: int, span: int, a_chunks: int,
+                        want_idxs: bool):
     """One program = one pair, the ENTIRE Stein pipeline in VMEM.
 
     Stage A builds the Hankel operator rows (shifted copies of the
     ~100 KB haystack extension — the only HBM read that scales with M)
     in scratch and computes ALL segment correlations with one stacked
-    (2B, 2*SUPER) x (2*SUPER, span) MXU dot per column chunk; stage B
-    is the staircase-extract + synthesis + |.|^2/per-bin-max epilogue.
-    Nothing pair-sized ever touches HBM: the XLA grouped-conv stage A
-    this replaces measured 53.6 ms for 64 pairs — the fused dot does
-    the same 26 GFLOP inside the kernel's compute budget.
+    (2B, 2*SUPER) x (2*SUPER, span) MXU dot per column chunk.  The
+    Hankel build is slab-wise: 8 seed rows (consecutive single-sample
+    shifts), then every further 8-row slab is a lane-shifted copy of
+    the seed — 24 full-sublane ops per plane per chunk instead of 128
+    single-row ops that waste 7/8 of the VPU (measured 77 -> ~35
+    us/pair).  The staircase is then un-sheared ONCE into an aligned G
+    buffer, and stage B is contiguous synthesis + |.|^2/per-bin-max
+    over G tiles.  Nothing pair-sized ever touches HBM: the XLA
+    grouped-conv stage A this replaces measured 53.6 ms for 64 pairs.
+    ``want_idxs=False`` (the rank-then-score path, where the refine
+    stage re-derives the lag) skips the per-bin argmax pass.
     """
     cdtype = co_ref.dtype
     a_w = span // a_chunks
+    sr = _SEED_ROWS
+    # Valid seed width: slab k reads seed cols [sr*k, sr*k + a_w), max
+    # start sr*(SUPER//sr - 1) = SUPER - sr — so the last seed row's
+    # read ends exactly at h_ext's final sample (span + SUPER - 2).
+    wv = a_w + SUPER - sr
     for a in range(a_chunks):
         c0 = a * a_w
-        for e in range(SUPER):
-            hank_ref[e, :] = h_ref[0, 0, c0 + e:c0 + e + a_w].astype(cdtype)
-            hank_ref[SUPER + e, :] = h_ref[0, 1,
-                                           c0 + e:c0 + e + a_w].astype(cdtype)
+        for plane in range(2):
+            base = plane * SUPER
+            for r in range(sr):
+                seed_ref[r, :wv] = h_ref[0, plane,
+                                         c0 + r:c0 + r + wv].astype(cdtype)
+            for k in range(SUPER // sr):
+                hank_ref[base + sr * k:base + sr * (k + 1), :] = \
+                    seed_ref[:, sr * k:sr * k + a_w]
         z = jnp.dot(l_ref[0], hank_ref[:],
                     preferred_element_type=jnp.float32)
         co_ref[:, c0:c0 + a_w] = z.astype(cdtype)
 
     b = num_blocks
     n_super = b // group
+    m_pad = num_chunks * tile
+    for s in range(n_super):
+        r0 = s * group
+        src = s * SUPER
+        g_ref[r0:r0 + group, :] = co_ref[r0:r0 + group, src:src + m_pad]
+        g_ref[b + r0:b + r0 + group, :] = co_ref[b + r0:b + r0 + group,
+                                                 src:src + m_pad]
     for c in range(num_chunks):
         coff = c * tile
-        for s in range(n_super):
-            r0 = s * group
-            src = s * SUPER + coff
-            gs_ref[r0:r0 + group, :] = co_ref[r0:r0 + group,
-                                              src:src + tile]
-            gs_ref[b + r0:b + r0 + group, :] = co_ref[
-                b + r0:b + r0 + group, src:src + tile]
-        gs = gs_ref[:]
+        gs = g_ref[:, coff:coff + tile]
         rr = jnp.dot(ws1_ref[:], gs, preferred_element_type=jnp.float32)
         ri = jnp.dot(ws2_ref[:], gs, preferred_element_type=jnp.float32)
         mag2 = rr * rr + ri * ri
         kp = mag2.shape[0]
-        col_iota = jax.lax.broadcasted_iota(jnp.int32, (kp, tile), 1) + coff
-        mag2 = jnp.where(col_iota < num_lags, mag2, -1.0)
+        if coff + tile > num_lags:              # only the tail tile masks
+            col_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (kp, tile), 1) + coff
+            mag2 = jnp.where(col_iota < num_lags, mag2, -1.0)
         colmax = jnp.max(mag2, axis=1, keepdims=True)
-        colarg = jnp.min(jnp.where(mag2 >= colmax, col_iota, _BIG_IDX),
-                         axis=1, keepdims=True)
+        if want_idxs:
+            col_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (kp, tile), 1) + coff
+            colarg = jnp.min(
+                jnp.where(mag2 >= colmax, col_iota, _BIG_IDX),
+                axis=1, keepdims=True)
         if c == 0:
             vacc_ref[:] = colmax
-            iacc_ref[:] = colarg
+            if want_idxs:
+                iacc_ref[:] = colarg
+            else:
+                iacc_ref[:] = jnp.zeros_like(iacc_ref)
         else:
             prev = vacc_ref[:]
             take = colmax > prev
             vacc_ref[:] = jnp.where(take, colmax, prev)
-            iacc_ref[:] = jnp.where(take, colarg, iacc_ref[:])
+            if want_idxs:
+                iacc_ref[:] = jnp.where(take, colarg, iacc_ref[:])
     pid = pl.program_id(0)
     kp, p = vals_ref.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, (kp, p), 1)
@@ -192,16 +219,18 @@ def fused_span(num_blocks: int, group: int, num_lags: int,
 @functools.partial(
     jax.jit,
     static_argnames=("num_blocks", "group", "num_lags", "interpret",
-                     "a_chunks"))
+                     "a_chunks", "want_idxs"))
 def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, group: int,
                      num_lags: int, interpret: bool = False,
-                     a_chunks: int = 4):
+                     a_chunks: int = 4, want_idxs: bool = True):
     """Per-(pair, bin) (max |R|^2, arg lag) — fully fused batch engine.
 
     ``lmat``: (P, 2B, 2*SUPER) stacked needle-tap operator (Gr rows then
     Gi rows; see models/batched_stein.py); ``h_ext``: (P, 2, span+127)
     circularly-extended haystack planes; ``ws1``/``ws2``: (K, 2B)
-    synthesis weights.  Returns ((K, P) values, (K, P) lag indices).
+    synthesis weights.  Returns ((K, P) values, (K, P) lag indices —
+    zeros when ``want_idxs=False``, the rank-then-score path where the
+    refine stage re-derives lags and the argmax pass is dead weight).
     """
     k, b2 = ws1.shape
     p = lmat.shape[0]
@@ -218,7 +247,8 @@ def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, group: int,
     kernel = functools.partial(
         _fused_stein_kernel, num_blocks=num_blocks, group=group,
         tile=FUSED_TILE, num_chunks=m_pad // FUSED_TILE,
-        num_lags=num_lags, span=span, a_chunks=a_chunks)
+        num_lags=num_lags, span=span, a_chunks=a_chunks,
+        want_idxs=want_idxs)
     cdtype = jnp.bfloat16
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
@@ -245,7 +275,8 @@ def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, group: int,
         scratch_shapes=[
             pltpu.VMEM((b2, span), cdtype),
             pltpu.VMEM((2 * SUPER, span // a_chunks), cdtype),
-            pltpu.VMEM((b2, FUSED_TILE), cdtype),
+            pltpu.VMEM((_SEED_ROWS, span // a_chunks + SUPER), cdtype),
+            pltpu.VMEM((b2, m_pad), cdtype),
             pltpu.VMEM((kp, 1), jnp.float32),
             pltpu.VMEM((kp, 1), jnp.int32),
         ],

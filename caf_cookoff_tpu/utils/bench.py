@@ -39,12 +39,14 @@ def _make_step(backend: str, sample_rate: float, xcor_len: int,
         from caf_cookoff_tpu.models.stein import _stein_peak_jit
 
         refine = backend != "stein-raw"
-        inner = "matmul" if jax.default_backend() != "cpu" else "xla"
+        on_tpu = jax.default_backend() != "cpu"
+        inner = "matmul" if on_tpu else "xla"
+        fused = refine and on_tpu      # measured 42.7 vs 58.6 us on v5e
 
         def step(carry, n_re, n_im, h_re, h_im, freqs):
             pk = _stein_peak_jit.__wrapped__(
                 n_re + carry, n_im, h_re, h_im, freqs, sample_rate,
-                xcor_len, block_len, inner, refine)
+                xcor_len, block_len, inner, refine, fused)
             return pk.value
 
         return step
@@ -154,9 +156,16 @@ def flops_model(backend: str, k: int, needle_len: int, m: int,
     phasor = 2.0 * k * needle_len * 8.0       # sincos + shift multiply
     if backend.startswith("stein"):
         b = -(-needle_len // block_len)
-        stage_a = (2 * b + 1) * t_mm
+        if backend == "stein-raw":     # unfused: FFT-based stage A
+            stage_a = (2 * b + 1) * t_mm
+            refine = 0.0
+        else:
+            # Fused-kernel stage A (the TPU path): one direct-
+            # correlation dot, 2B x 2*SUPER x span real MACs
+            # (span ~ N + M); FFTs eliminated.
+            stage_a = 2.0 * (2 * b) * 256 * (needle_len + m)
+            refine = 8 * (2 * t_mm + 8.0 * m)
         synth = 8.0 * k * b * m
-        refine = 0.0 if backend == "stein-raw" else 8 * (2 * t_mm + 8.0 * m)
         return stage_a + synth + refine + k * m * 3.0
     transform = t_fft if backend == "xla" else t_mm
     base = (2 * k + 1) * transform + elementwise + phasor
