@@ -145,38 +145,54 @@ def config3_wideband():
 
 
 def config4_stream16():
-    """16 pairs x 1024 bins x 32768 lags (one streamed slice)."""
+    """16 pairs x 1024 bins x 32768 lags: the windowed fused engine
+    (batched_stein_os_peak) — every (pair, lag-window) is one fused
+    kernel program, vs the round-1 lax.map-of-scans (1.03 ms/pair)."""
     import jax
     import jax.numpy as jnp
 
+    from caf_cookoff_tpu.models.batched_stein import (
+        _batched_stein_os_jit,
+        batched_stein_os_peak,
+    )
+    from caf_cookoff_tpu.models.stein import stein_overlap_save_peak
     from caf_cookoff_tpu.ops.splitfft import split_array
 
     pairs, n, lags, k = 16, 4096, 32768, 1024
     rng = np.random.default_rng(2)
     needles = (rng.standard_normal((pairs, n))
                + 1j * rng.standard_normal((pairs, n))).astype(np.complex64)
-    hays = (rng.standard_normal((pairs, lags + n))
-            + 1j * rng.standard_normal((pairs, lags + n))).astype(np.complex64)
+    hays = (1e-4 * (rng.standard_normal((pairs, lags + n))
+                    + 1j * rng.standard_normal((pairs, lags + n))
+                    )).astype(np.complex64)
+    freqs_np = np.linspace(-500, 500, k, endpoint=False).astype(np.float32)
+    t = np.arange(n)
+    emitters = []
+    for b in range(pairs):
+        lag = 777 + b * 2011
+        f_hz = float(freqs_np[61 * (b + 1)])
+        hays[b, lag:lag + n] += (needles[b] * np.exp(
+            2j * np.pi * f_hz * t / FS)).astype(np.complex64)[: lags + n - lag]
+        emitters.append((f_hz, lag))
+    # Correctness gate: every pair recovers its injected emitter.
+    fr, lg, _ = batched_stein_os_peak(needles, hays, freqs_np, FS)
+    for b in range(pairs):
+        assert (float(fr[b]), int(lg[b])) == emitters[b], (
+            b, fr[b], lg[b], emitters[b])
     ns = tuple(map(jnp.asarray, split_array(needles)))
     hs = tuple(map(jnp.asarray, split_array(hays)))
-    freqs = jnp.asarray(
-        np.linspace(-500, 500, k, endpoint=False).astype(np.float32))
-
-    from caf_cookoff_tpu.models.stein import _stein_os_scan_jit
-    from jax import lax
-
-    def one(pair):
-        n_re, n_im, h_re, h_im = pair
-        pk = _stein_os_scan_jit.__wrapped__(
-            n_re, n_im, h_re, h_im, freqs, FS, n, lags, 24, "matmul",
-            True)
-        return pk.value
+    freqs = jnp.asarray(freqs_np)
+    m = 2 * n
+    windows = -(-lags // m)
+    interpret = jax.default_backend() == "cpu"
 
     def step(carry):
-        vals = lax.map(one, (ns[0] + carry, ns[1], hs[0], hs[1]))
-        return jnp.sum(vals) * 1e-30
+        pk = _batched_stein_os_jit.__wrapped__(
+            ns[0] + carry, ns[1], hs[0], hs[1], freqs, FS, m, 16,
+            "matmul", windows, lags, interpret)
+        return jnp.sum(pk.value) * 1e-30
 
-    ms = _chain(step, lambda: jnp.float32(0), iters=2)
+    ms = _chain(step, lambda: jnp.float32(0), iters=4)
     return {"metric": "config4_stream16_1024x32768_ms_per_pair",
             "value": round(ms / pairs, 3), "unit": "ms",
             "slice_total_ms": round(ms, 2)}

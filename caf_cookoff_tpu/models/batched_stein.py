@@ -209,6 +209,148 @@ def _batched_stein_peak_jit(ns_re, ns_im, hs_re, hs_im, freqs_hz,
     return jax.vmap(pick)(rowmax, cand, lags)
 
 
+def _os_window_extensions(hs_re, hs_im, v: int, windows: int, span: int):
+    """(P*W, 2, span+SUPER-1) linear (non-circular) per-window slices.
+
+    Window ``w`` of a pair covers lags [w*V, w*V + V); its extension is
+    the raw capture from sample ``w*V`` (correlations read real
+    neighboring samples — overlap-save's implicit halo), zero-padded at
+    the capture tail so trailing lags score 0 and never win.
+    """
+    p = hs_re.shape[0]
+    need = (windows - 1) * v + span + SUPER - 1
+    pad = need - hs_re.shape[-1]
+    if pad > 0:
+        hs_re = jnp.pad(hs_re, ((0, 0), (0, pad)))
+        hs_im = jnp.pad(hs_im, ((0, 0), (0, pad)))
+    win_len = span + SUPER - 1
+    slices = [jnp.stack([hs_re[:, w * v:w * v + win_len],
+                         hs_im[:, w * v:w * v + win_len]], axis=1)
+              for w in range(windows)]                # each (P, 2, L)
+    return jnp.stack(slices, axis=1).reshape(p * windows, 2, win_len)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("xcor_len", "block_len", "backend", "windows",
+                     "total_lags", "interpret"))
+def _batched_stein_os_jit(ns_re, ns_im, hs_re, hs_im, freqs_hz,
+                          sample_rate, xcor_len, block_len, backend,
+                          windows: int, total_lags: int,
+                          interpret: bool):
+    """Coarse windowed scan + on-device top-k exact refinement."""
+    from caf_cookoff_tpu.ops.pallas_stein import (
+        fused_span,
+        fused_stein_rank,
+        stein_synthesis_weights,
+    )
+
+    p = ns_re.shape[0]
+    b = ns_re.shape[-1] // block_len
+    v = xcor_len                      # lags per window
+    lmat, group = _needle_operator(ns_re, ns_im, block_len)
+    span = fused_span(b, group, v)
+    h_ext = _os_window_extensions(hs_re, hs_im, v, windows, span)
+    ws1, ws2 = stein_synthesis_weights(freqs_hz, sample_rate, b,
+                                       block_len)
+    if interpret:
+        lmat_rep = jnp.repeat(lmat, windows, axis=0)
+        vals, idxs = _coarse_rank_xla(ws1, ws2, lmat_rep, h_ext, b,
+                                      group, v)
+    else:
+        vals, idxs = fused_stein_rank(ws1, ws2, lmat, h_ext, b, group, v,
+                                      windows=windows)
+    k = freqs_hz.shape[0]
+    vals = vals.reshape(k, p, windows)
+    idxs = idxs.reshape(k, p, windows)
+    glob = idxs + jnp.arange(windows, dtype=jnp.int32) * v
+    valid = glob < total_lags
+    vals = jnp.where(valid, vals, -1.0)
+    # Per (bin, pair): best window -> per-pair coarse ranking over bins.
+    wbest = jnp.argmax(vals, axis=-1)                    # (K, P)
+    take_w = lambda a: jnp.take_along_axis(
+        a, wbest[..., None], axis=-1)[..., 0]
+    rowmax = take_w(vals)                                # (K, P)
+    rowlag = take_w(glob)                                # (K, P)
+    r = min(_REFINE_BINS, k)
+    vals_t = rowmax.T                                    # (P, K)
+    _, cand = jax.lax.top_k(vals_t, r)                   # (P, r)
+    # Exact re-score: a needle-length capture slice around each pair's
+    # coarse winning lag (the stein_overlap_save_peak refine contract),
+    # on-device via dynamic_slice — no host round-trip.
+    best_bin = jnp.argmax(vals_t, axis=-1)               # (P,)
+    best_lag = jnp.take_along_axis(rowlag.T, best_bin[:, None],
+                                   axis=1)[:, 0]         # (P,)
+    n = ns_re.shape[-1]
+    hay_len = hs_re.shape[-1]
+    start = jnp.clip(best_lag - 64, 0, max(hay_len - n, 0))
+
+    def rescore(nr, ni, hr, hi, s, fsel):
+        wr = jax.lax.dynamic_slice(hr, (s,), (n,))
+        wi = jax.lax.dynamic_slice(hi, (s,), (n,))
+        exact = splitfft.mag2(_surface_rows_split(
+            (nr, ni), (wr, wi), fsel, sample_rate, xcor_len, backend))
+        return jnp.max(exact, axis=-1), jnp.argmax(
+            exact, axis=-1).astype(jnp.int32)
+
+    rowmax_e, lag_e = jax.vmap(rescore)(
+        ns_re, ns_im, hs_re, hs_im, start, freqs_hz[cand])  # (P, r)
+
+    def pick(rm, cd, lg, s):
+        best = jnp.lexsort((cd.astype(jnp.int32), -rm))[0]
+        return CafPeak(value=rm[best],
+                       freq_idx=cd[best].astype(jnp.int32),
+                       lag_idx=(s + lg[best]).astype(jnp.int32))
+
+    return jax.vmap(pick)(rowmax_e, cand, lag_e, start)
+
+
+def batched_stein_os_peak(needles, haystacks, freqs_hz, sample_rate, *,
+                          num_lags: Optional[int] = None,
+                          block_len: int = 64,
+                          backend: Optional[str] = None
+                          ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Long-capture per-pair peaks: (freqs (P,), lags (P,), values (P,)).
+
+    BASELINE config 4's workload (16 pairs x 1024 bins x 32768 lags):
+    each pair's lag axis splits into M-lag overlap-save windows and
+    every (pair, window) runs as one fused-kernel program — the batch
+    and window axes together keep the MXU saturated, vs the round-1
+    ``lax.map``-of-scans path.  Coarse ranking is window-global; the
+    exact top-k re-score happens on a needle-length slice at the coarse
+    winning lag (the :func:`stein_overlap_save_peak` refine contract).
+    """
+    backend = backend or default_backend()
+    needles = np.asarray(needles)
+    haystacks = np.asarray(haystacks)
+    if needles.ndim != 2 or haystacks.ndim != 2 \
+            or needles.shape[0] != haystacks.shape[0]:
+        raise ValueError(
+            f"need (P, N) needles and (P, L) haystacks, got "
+            f"{needles.shape} vs {haystacks.shape}")
+    n = needles.shape[-1]
+    if haystacks.shape[-1] <= n:
+        raise ValueError("use batched_stein_peak for equal-length pairs")
+    ns_re, ns_im = splitfft.split_array(needles)
+    hs_re, hs_im = splitfft.split_array(haystacks)
+    freqs = np.asarray(freqs_hz, dtype=ns_re.dtype)
+    d = _pow2_block_len(sample_rate, freqs, block_len)
+    m = xcor_length(n)
+    total_lags = num_lags or haystacks.shape[-1] - n + 1
+    windows = -(-total_lags // m)
+    pad = (-n) % SUPER
+    if pad:
+        ns_re = np.pad(ns_re, ((0, 0), (0, pad)))
+        ns_im = np.pad(ns_im, ((0, 0), (0, pad)))
+    interpret = jax.default_backend() == "cpu"
+    peak = _batched_stein_os_jit(
+        jnp.asarray(ns_re), jnp.asarray(ns_im), jnp.asarray(hs_re),
+        jnp.asarray(hs_im), jnp.asarray(freqs), float(sample_rate), m, d,
+        backend, windows, total_lags, interpret)
+    return (freqs[np.asarray(peak.freq_idx)], np.asarray(peak.lag_idx),
+            np.asarray(peak.value))
+
+
 def batched_stein_peak(needles, haystacks, freqs_hz, sample_rate, *,
                        block_len: int = 64, refine: bool = True,
                        backend: Optional[str] = None

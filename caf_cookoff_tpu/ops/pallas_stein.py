@@ -219,30 +219,40 @@ def fused_span(num_blocks: int, group: int, num_lags: int,
 @functools.partial(
     jax.jit,
     static_argnames=("num_blocks", "group", "num_lags", "interpret",
-                     "a_chunks", "want_idxs"))
+                     "a_chunks", "want_idxs", "windows"))
 def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, group: int,
                      num_lags: int, interpret: bool = False,
-                     a_chunks: int = 4, want_idxs: bool = True):
+                     a_chunks: int = 4, want_idxs: bool = True,
+                     windows: int = 1):
     """Per-(pair, bin) (max |R|^2, arg lag) — fully fused batch engine.
 
     ``lmat``: (P, 2B, 2*SUPER) stacked needle-tap operator (Gr rows then
-    Gi rows; see models/batched_stein.py); ``h_ext``: (P, 2, span+127)
-    circularly-extended haystack planes; ``ws1``/``ws2``: (K, 2B)
-    synthesis weights.  Returns ((K, P) values, (K, P) lag indices —
-    zeros when ``want_idxs=False``, the rank-then-score path where the
-    refine stage re-derives lags and the argmax pass is dead weight).
+    Gi rows; see models/batched_stein.py); ``h_ext``: (P*windows, 2,
+    span+127) haystack extensions; ``ws1``/``ws2``: (K, 2B) synthesis
+    weights.  Returns ((K, P*windows) values, (K, P*windows) lag
+    indices — zeros when ``want_idxs=False``, the rank-then-score path
+    where the refine stage re-derives lags and the argmax pass is dead
+    weight).
+
+    ``windows > 1`` is the long-capture mode: each pair contributes
+    ``windows`` consecutive overlap-save lag windows as separate grid
+    programs, all sharing the pair's needle operator (program ``i``
+    reads ``lmat[i // windows]``); lag indices are window-local.
     """
     k, b2 = ws1.shape
-    p = lmat.shape[0]
+    p_eff = h_ext.shape[0]
+    if lmat.shape[0] * windows != p_eff:
+        raise ValueError(f"{lmat.shape[0]} pairs x {windows} windows != "
+                         f"{p_eff} h_ext slices")
     pad = (-k) % ROW_PAD
     if pad:
         ws1 = jnp.pad(ws1, ((0, pad), (0, 0)))
         ws2 = jnp.pad(ws2, ((0, pad), (0, 0)))
     kp = k + pad
     span = fused_span(num_blocks, group, num_lags, a_chunks)
-    if h_ext.shape != (p, 2, span + SUPER - 1):
+    if h_ext.shape[1:] != (2, span + SUPER - 1):
         raise ValueError(f"h_ext shape {h_ext.shape} != "
-                         f"{(p, 2, span + SUPER - 1)}")
+                         f"(*, 2, {span + SUPER - 1})")
     m_pad = -(-num_lags // FUSED_TILE) * FUSED_TILE
     kernel = functools.partial(
         _fused_stein_kernel, num_blocks=num_blocks, group=group,
@@ -250,6 +260,7 @@ def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, group: int,
         num_lags=num_lags, span=span, a_chunks=a_chunks,
         want_idxs=want_idxs)
     cdtype = jnp.bfloat16
+    p = p_eff
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
     vals, idxs = pl.pallas_call(
@@ -257,7 +268,8 @@ def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, group: int,
         grid=(p,),
         in_specs=[
             full((kp, b2)), full((kp, b2)),
-            pl.BlockSpec((1, b2, 2 * SUPER), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, b2, 2 * SUPER),
+                         lambda i: (i // windows, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, span + SUPER - 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),

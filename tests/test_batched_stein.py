@@ -79,6 +79,53 @@ def test_batched_wide_span_small_blocks():
     assert (float(fr[0]), int(lg[0])) == (f_true, lag)
 
 
+def test_batched_os_matches_single_chip():
+    """Windowed long-capture engine (config 4): per-pair answers match
+    the single-chip overlap-save engine, including an emitter at the
+    FINAL valid lag and one whose window straddles a window boundary."""
+    from caf_cookoff_tpu.models.batched_stein import batched_stein_os_peak
+    from caf_cookoff_tpu.models.overlap_save import overlap_save_peak
+
+    rng = np.random.default_rng(8)
+    p, n, total = 3, 4096, 32768 + 4096
+    lags = [300, 8190, 32768]          # 8190 straddles the 8192 boundary
+    f_true = [-375.0, 0.0, 375.0]
+    needles = (rng.standard_normal((p, n))
+               + 1j * rng.standard_normal((p, n))).astype(np.complex64)
+    hays = (1e-4 * (rng.standard_normal((p, total))
+                    + 1j * rng.standard_normal((p, total))
+                    )).astype(np.complex64)
+    t = np.arange(n)
+    for b in range(p):
+        span = min(n, total - lags[b])
+        hays[b, lags[b]:lags[b] + span] += (
+            needles[b] * np.exp(2j * np.pi * f_true[b] * t / FS)
+        ).astype(np.complex64)[:span]
+    freqs = np.arange(-500.0, 500.0, 125.0, dtype=np.float32)
+    fr, lg, _ = batched_stein_os_peak(needles, hays, freqs, FS)
+    for b in range(p):
+        want = overlap_save_peak(needles[b], hays[b], freqs, FS,
+                                 backend="xla")
+        assert (float(fr[b]), int(lg[b])) == want[:2] == (
+            f_true[b], lags[b])
+
+
+def test_batched_os_golden_fixture(chirp):
+    """Full-capture golden search through the windowed engine."""
+    from caf_cookoff_tpu.models.batched_stein import batched_stein_os_peak
+    from caf_cookoff_tpu.utils.io import load_c64
+
+    import pathlib
+
+    data = pathlib.Path(__file__).resolve().parents[1] / "data"
+    needle = load_c64(data / "chirp_0_raw.c64")
+    full_hay = load_c64(data / "chirp_0_T+202samp_F+69.25Hz.c64")
+    freqs = np.arange(-100.0, 100.0, 0.25, dtype=np.float32)
+    fr, lg, _ = batched_stein_os_peak(needle[None], full_hay[None],
+                                      freqs, FS)
+    assert (float(fr[0]), int(lg[0])) == (69.25, 202)
+
+
 def test_fused_kernel_matches_xla_twin():
     """The Pallas kernel (interpret mode, small shape) against its
     pure-XLA twin: identical ranking and lag indices, near-identical
