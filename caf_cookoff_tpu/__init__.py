@@ -20,6 +20,10 @@ Public API mirrors the reference's surface: ``caf_surface`` /
 """
 
 from caf_cookoff_tpu.config import CafConfig, FreqGrid
+from caf_cookoff_tpu.models.batched_stein import (
+    batched_stein_os_peak,
+    batched_stein_peak,
+)
 from caf_cookoff_tpu.models.filterbank import (
     FilterbankCAF,
     amb_surf,
@@ -30,7 +34,7 @@ from caf_cookoff_tpu.models.filterbank import (
 from caf_cookoff_tpu.ops.shift import apply_fdoa, freq_shift, phasor_bank
 from caf_cookoff_tpu.ops.xcor import xcor, xcor_pair
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "CafConfig",
@@ -38,6 +42,8 @@ __all__ = [
     "FilterbankCAF",
     "amb_surf",
     "apply_fdoa",
+    "batched_stein_os_peak",
+    "batched_stein_peak",
     "caf_peak",
     "caf_surface",
     "find_peak",
