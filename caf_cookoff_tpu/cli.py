@@ -344,6 +344,68 @@ def cmd_capture(args) -> int:
     return 0
 
 
+def cmd_batch(args) -> int:
+    """Many (needle, capture) pairs in one fused program — the
+    config-2/4 engines behind a CLI (the reference processes exactly
+    one hardcoded pair per run)."""
+    from caf_cookoff_tpu.models.batched_stein import (
+        batched_stein_os_peak,
+        batched_stein_peak,
+    )
+
+    parsed = []
+    for spec in args.pairs:
+        if ":" not in spec:
+            print(f"error: pair {spec!r} is not needle:capture",
+                  file=sys.stderr)
+            return 2
+        parsed.append(spec.split(":", 1))
+    needles, captures, rates = [], [], []
+    for n_path, c_path in parsed:
+        nd, n_fs = _load_signal(n_path)
+        cp, c_fs = _load_signal(c_path)
+        needles.append(nd)
+        captures.append(cp)
+        rates.extend([n_fs, c_fs])
+    fs = _effective_fs(args, *rates)
+    n_lens = {len(n) for n in needles}
+    c_lens = {len(c) for c in captures}
+    if len(n_lens) != 1:
+        print(f"error: needles must share one length, got {n_lens}",
+              file=sys.stderr)
+        return 2
+    n = n_lens.pop()
+    freqs = _grid(args).frequencies(np.float32)
+    full = args.full_haystack and max(c_lens) > n
+    if full:
+        pad_to = max(c_lens)
+        captures = [np.pad(c, (0, pad_to - len(c))) for c in captures]
+        fr, lg, vv = batched_stein_os_peak(
+            np.stack(needles), np.stack(captures), freqs, fs)
+    else:
+        captures = [c[:n] for c in captures]
+        if any(len(c) < n for c in captures):
+            print("error: capture shorter than needle", file=sys.stderr)
+            return 2
+        fr, lg, vv = batched_stein_peak(
+            np.stack(needles), np.stack(captures), freqs, fs)
+    records = []
+    for i, (n_path, c_path) in enumerate(parsed):
+        records.append({
+            "needle": n_path, "capture": c_path,
+            "freq_hz": float(fr[i]), "lag_samples": int(lg[i]),
+            "lag_ms": int(lg[i]) / fs * 1e3, "peak_value": float(vv[i]),
+        })
+    if args.json:
+        print(json.dumps(records, indent=2))
+        return 0
+    for r in records:
+        print(f"{r['needle']} x {r['capture']}: "
+              f"{r['freq_hz']:+9.3f} Hz @ lag {r['lag_samples']:>7d} "
+              f"({r['lag_ms']:.4f} ms)  peak {r['peak_value']:.5g}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     from caf_cookoff_tpu.utils.bench import (
         apply_shift_microbench,
@@ -461,6 +523,17 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--device", type=int, default=None,
                    help="sounddevice input index")
     c.set_defaults(fn=cmd_capture)
+
+    bt = sub.add_parser("batch", help="CAF many needle:capture pairs in "
+                        "one fused batched program")
+    bt.add_argument("pairs", nargs="+", metavar="NEEDLE:CAPTURE",
+                    help="colon-separated path pairs (.c64 or .sigmf)")
+    _add_grid_args(bt)
+    bt.add_argument("--full-haystack", action="store_true",
+                    help="search whole captures (windowed fused "
+                    "overlap-save engine)")
+    bt.add_argument("--json", action="store_true")
+    bt.set_defaults(fn=cmd_batch)
 
     b = sub.add_parser("bench", help="README-style strategy table")
     _add_grid_args(b)

@@ -127,3 +127,39 @@ def test_dump_surface_go_parity(fixture_pairs, tmp_path, capsys):
     surf = load_surf(raw_path, num_rows=400)
     assert surf.shape == (400, 8192)
     assert surf.dtype == np.float64
+
+
+def test_batch_command(fixture_pairs, capsys):
+    """caf-tpu batch: several needle:capture pairs through the fused
+    batched engine, golden answers per pair."""
+    n0, h0 = fixture_pairs[0]
+    n3, h3 = fixture_pairs[3]
+    rc = main(["batch", f"{n0}:{h0}", f"{n3}:{h3}",
+               "--freq-step", "0.25", "--json"])
+    assert rc == 0
+    import json as _json
+
+    records = _json.loads(capsys.readouterr().out)
+    assert (records[0]["freq_hz"], records[0]["lag_samples"]) == (69.25, 202)
+    assert (records[1]["freq_hz"], records[1]["lag_samples"]) == (-76.25, 151)
+
+
+def test_batch_command_full_haystack(fixture_pairs, capsys):
+    n0, h0 = fixture_pairs[0]
+    rc = main(["batch", f"{n0}:{h0}", "--full-haystack",
+               "--freq-step", "0.25"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "lag     202" in out
+
+
+def test_bench_harness_cpu(tmp_path, capsys):
+    """run_benchmarks: golden gating + timing rows on CPU for the
+    engine families that are fast in interpret-free CPU paths."""
+    from caf_cookoff_tpu.utils.bench import run_benchmarks
+
+    rows = run_benchmarks(backends=("xla", "stein"), rounds=2, iters=4)
+    for row in rows:
+        assert "error" not in row, row
+        assert row["golden"] == "exact"
+        assert row["ms"] > 0
