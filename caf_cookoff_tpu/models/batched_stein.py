@@ -50,8 +50,8 @@ from caf_cookoff_tpu.models.filterbank import _surface_rows_split
 from caf_cookoff_tpu.models.stein import _REFINE_BINS, _auto_block_len
 from caf_cookoff_tpu.ops import splitfft
 from caf_cookoff_tpu.ops.peak import CafPeak
-
-SUPER = 128  # super-block width: the TPU lane tile
+# The super-block width is the kernel's layout contract — one source.
+from caf_cookoff_tpu.ops.pallas_stein import SUPER
 
 
 def _pow2_block_len(sample_rate: float, freqs_hz: np.ndarray,

@@ -147,12 +147,13 @@ def _stein_peak_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate,
             _needle_operator,
         )
         from caf_cookoff_tpu.ops.pallas_stein import (
+            SUPER,
             fused_span,
             fused_stein_rank,
             stein_synthesis_weights,
         )
 
-        pad = (-n_re.shape[-1]) % 128
+        pad = (-n_re.shape[-1]) % SUPER
         nr = jnp.pad(n_re, (0, pad))[None]
         ni = jnp.pad(n_im, (0, pad))[None]
         b = nr.shape[-1] // block_len

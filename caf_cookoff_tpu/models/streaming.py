@@ -130,10 +130,15 @@ class StreamingCAF:
             self._chunk_len = valid
         fixed = self._chunk_len
         if valid > fixed:
+            # Oversized chunk: process in slices; the reported local
+            # peak is the best across ALL slices (the documented
+            # "this chunk's peak" contract), not the last slice's.
             best = None
             for off in range(0, valid, fixed):
-                best = self._step(ch_re[off:off + fixed],
-                                  ch_im[off:off + fixed])
+                local = self._step(ch_re[off:off + fixed],
+                                   ch_im[off:off + fixed])
+                if best is None or local[2] > best[2]:
+                    best = local
             return best
         return self._step(ch_re, ch_im)
 

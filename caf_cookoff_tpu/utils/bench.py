@@ -22,7 +22,7 @@ from caf_cookoff_tpu.config import BENCH_GRID, FreqGrid, xcor_length
 
 
 def _make_step(backend: str, sample_rate: float, xcor_len: int,
-               needle_len: int, block_len: int = 64):
+               needle_len: int, grid_hint, block_len: int = 64):
     """Traceable one-surface peak step for any backend name.
 
     Returns ``step(carry, n_re, n_im, h_re, h_im, freqs) -> value`` that
@@ -36,12 +36,25 @@ def _make_step(backend: str, sample_rate: float, xcor_len: int,
     import jax.numpy as jnp
 
     if backend.startswith("stein"):
-        from caf_cookoff_tpu.models.stein import _stein_peak_jit
+        from caf_cookoff_tpu.config import is_pow2
+        from caf_cookoff_tpu.models.stein import (
+            _auto_block_len,
+            _stein_peak_jit,
+        )
 
         refine = backend != "stein-raw"
         on_tpu = jax.default_backend() != "cpu"
         inner = "matmul" if on_tpu else "xla"
-        fused = refine and on_tpu      # measured 42.7 vs 58.6 us on v5e
+        # Same engine configuration caf_peak would run: the sinc-
+        # envelope block clamp and the fused-kernel eligibility check —
+        # so the timed program is exactly the golden-gated one.
+        block_len = _auto_block_len(sample_rate, grid_hint, block_len)
+        d_f = min(block_len, 128)
+        while d_f and not is_pow2(d_f):
+            d_f &= d_f - 1
+        fused = (refine and on_tpu and d_f >= 8 and xcor_len % 512 == 0)
+        if fused:
+            block_len = d_f
 
         def step(carry, n_re, n_im, h_re, h_im, freqs):
             pk = _stein_peak_jit.__wrapped__(
@@ -136,6 +149,18 @@ _TIER_PASSES = {"bf16": 1.0, "high": 3.0, "": 3.0, "highest": 6.0,
                 "refine": 1.0}
 
 
+def _tier_passes(backend: str) -> float:
+    if backend.startswith("matmul"):
+        return _TIER_PASSES.get(backend.partition("-")[2] or "high", 1.0)
+    if backend.startswith("pallas"):
+        return _TIER_PASSES.get(backend.partition("-")[2] or "high", 1.0)
+    if backend == "stein-raw":
+        return 3.0                     # exact HIGH-tier throughout
+    if backend.startswith("stein"):
+        return 1.0                     # fused bf16 coarse + tiny refine
+    return 1.0                         # xla: FFT, no multi-pass model
+
+
 def flops_model(backend: str, k: int, needle_len: int, m: int,
                 block_len: int = 64) -> float:
     """Algorithmic FLOPs of one surface+peak for a backend.
@@ -183,10 +208,7 @@ def _mfu(backend: str, flops: float, ms: float, device) -> Dict:
     if peak is None or device.platform == "cpu":
         return {}
     tflops = flops / (ms * 1e-3) / 1e12
-    tier = backend.partition("-")[2] if backend.startswith("matmul") else (
-        backend.partition("-")[2] or "" if backend.startswith("pallas")
-        else "bf16" if backend.startswith("stein") else "")
-    passes = _TIER_PASSES.get(tier, 1.0)
+    passes = _tier_passes(backend)
     return {
         "tflops": round(tflops, 2),
         "mfu_pct": round(100.0 * tflops * 1e12 / peak, 2),
@@ -306,7 +328,8 @@ def run_benchmarks(grid: FreqGrid = BENCH_GRID,
                         f"golden check failed: got ({freq}, {lag}), "
                         f"truth ({truth.freq_hz}, {truth.lag_samples})")
                 row["golden"] = "exact" if golden else "one-bin-off"
-            step = _make_step(backend, sample_rate, xcor_len, n)
+            step = _make_step(backend, sample_rate, xcor_len, n,
+                              freqs_np)
             row["ms"] = round(
                 _chain_time_ms(step, n_re, n_im, h_re, h_im, freqs,
                                iters, max(rounds, 2)), 4)
