@@ -152,13 +152,11 @@ def _coarse_rank_xla(ws1, ws2, lmat, h_ext, b: int, group: int,
     return vals.T, idxs.T
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("xcor_len", "block_len", "backend", "refine",
-                     "interpret"))
-def _batched_stein_peak_jit(ns_re, ns_im, hs_re, hs_im, freqs_hz,
-                            sample_rate, xcor_len, block_len, backend,
-                            refine: bool, interpret: bool):
+def _batched_stein_core(ns_re, ns_im, hs_re, hs_im, freqs_hz,
+                        sample_rate, xcor_len, block_len, backend,
+                        refine: bool, interpret: bool):
+    """Traceable batch pipeline (also the ``shard_map`` body of
+    :func:`caf_cookoff_tpu.parallel.sharded_batched_stein_peak`)."""
     from caf_cookoff_tpu.ops.pallas_stein import (
         fused_span,
         fused_stein_rank,
@@ -207,6 +205,12 @@ def _batched_stein_peak_jit(ns_re, ns_im, hs_re, hs_im, freqs_hz,
                        lag_idx=lg[best])
 
     return jax.vmap(pick)(rowmax, cand, lags)
+
+
+_batched_stein_peak_jit = functools.partial(
+    jax.jit,
+    static_argnames=("xcor_len", "block_len", "backend", "refine",
+                     "interpret"))(_batched_stein_core)
 
 
 def _os_window_extensions(hs_re, hs_im, v: int, windows: int, span: int):

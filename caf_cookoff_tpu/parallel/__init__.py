@@ -20,6 +20,7 @@ from caf_cookoff_tpu.parallel.sharded import (
     batched_caf_peak,
     batched_overlap_save_peak,
     estimate_hbm_per_chip,
+    sharded_batched_stein_peak,
     sharded_caf_peak,
     sharded_caf_surface,
     sharded_overlap_save_peak,
@@ -37,6 +38,7 @@ __all__ = [
     "factor_devices",
     "global_peak",
     "make_mesh",
+    "sharded_batched_stein_peak",
     "sharded_caf_peak",
     "sharded_caf_surface",
     "sharded_overlap_save_peak",

@@ -325,6 +325,76 @@ def batched_caf_peak(needles, haystacks, freqs_hz, sample_rate, mesh: Mesh,
             np.asarray(peak.value))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "xcor_len", "block_len", "backend",
+                     "interpret"))
+def _sharded_batched_stein_jit(ns_re, ns_im, hs_re, hs_im, freqs,
+                               sample_rate, mesh, xcor_len, block_len,
+                               backend, interpret):
+    from caf_cookoff_tpu.models.batched_stein import _batched_stein_core
+
+    def body(ns_re, ns_im, hs_re, hs_im, freqs):
+        return _batched_stein_core(ns_re, ns_im, hs_re, hs_im, freqs,
+                                   sample_rate, xcor_len, block_len,
+                                   backend, True, interpret)
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(AXIS_PAIR), P(AXIS_PAIR), P(AXIS_PAIR), P(AXIS_PAIR),
+                  P()),
+        out_specs=CafPeak(P(AXIS_PAIR), P(AXIS_PAIR), P(AXIS_PAIR)),
+    )(ns_re, ns_im, hs_re, hs_im, freqs)
+
+
+def sharded_batched_stein_peak(needles, haystacks, freqs_hz, sample_rate,
+                               mesh: Mesh, *, block_len: int = 64,
+                               backend: Optional[str] = None):
+    """Per-pair peaks with the FUSED batch engine sharded over ``pair``.
+
+    The fastest single-chip engine (ops/pallas_stein.fused_stein_rank,
+    0.0163 ms/surface at batch 64 on one v5e) scaled out: each chip
+    runs the fused kernel on its local pair block — pure data
+    parallelism, zero collectives, so scaling efficiency is bounded
+    only by batch divisibility.  Doppler bins replicate (the synthesis
+    weights are O(K*B), trivial).
+    """
+    from caf_cookoff_tpu.models.batched_stein import (
+        _pow2_block_len,
+        SUPER,
+    )
+
+    backend = backend or default_backend()
+    needles = np.asarray(needles)
+    haystacks = np.asarray(haystacks)
+    if needles.ndim != 2 or haystacks.shape != needles.shape:
+        raise ValueError(
+            f"need matching (B, N) batches, got {needles.shape} vs "
+            f"{haystacks.shape}")
+    pair_shards = mesh.shape[AXIS_PAIR]
+    if needles.shape[0] % pair_shards:
+        raise ValueError(
+            f"batch {needles.shape[0]} not divisible by pair axis "
+            f"{pair_shards}")
+    ns_re, ns_im = _split_host(needles)
+    hs_re, hs_im = _split_host(haystacks)
+    freqs = np.asarray(freqs_hz, dtype=ns_re.dtype)
+    d = _pow2_block_len(sample_rate, freqs, block_len)
+    n = ns_re.shape[-1]
+    pad = (-n) % SUPER
+    if pad:
+        ns_re = np.pad(ns_re, ((0, 0), (0, pad)))
+        ns_im = np.pad(ns_im, ((0, 0), (0, pad)))
+    # The XLA-twin path on CPU meshes (incl. virtual-device dryruns in
+    # a TPU-default process): what runs must match where the MESH is.
+    interpret = mesh.devices.flat[0].platform == "cpu"
+    peak = _sharded_batched_stein_jit(
+        ns_re, ns_im, hs_re, hs_im, freqs, float(sample_rate), mesh,
+        xcor_length(n), d, backend, interpret)
+    return (freqs[np.asarray(peak.freq_idx)], np.asarray(peak.lag_idx),
+            np.asarray(peak.value))
+
+
 # ---------------------------------------------------------------------------
 # Time-sharded overlap-save engine (long haystacks over the mesh)
 # ---------------------------------------------------------------------------

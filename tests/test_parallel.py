@@ -235,3 +235,23 @@ def test_stein_sharded_matches_single(chirp):
     sharded = sharded_stein_peak(needle, haystack, freqs, FS,
                                  _mesh(doppler=8))
     assert sharded[:2] == single[:2] == (-76.25, 151)
+
+
+def test_sharded_batched_stein_pairs(chirp):
+    """The fused batch engine sharded over the pair axis: every pair's
+    peak matches its single-pair Stein answer."""
+    from caf_cookoff_tpu.models.stein import stein_caf_peak
+    from caf_cookoff_tpu.parallel import sharded_batched_stein_peak
+
+    freqs = GRID.frequencies(np.float32)
+    idxs = [0, 3, 5, 7]
+    needles, haystacks, singles = [], [], []
+    for i in idxs:
+        n, h, _ = chirp(i)
+        needles.append(n)
+        haystacks.append(h)
+        singles.append(stein_caf_peak(n, h, freqs, FS)[:2])
+    fr, lg, _ = sharded_batched_stein_peak(
+        np.stack(needles), np.stack(haystacks), freqs, FS, _mesh(pair=4))
+    for b, want in enumerate(singles):
+        assert (float(fr[b]), int(lg[b])) == want
