@@ -59,6 +59,23 @@ def test_pallas_surface_matches_matmul_on_chip(chirp):
     np.testing.assert_allclose(got / scale, want / scale, atol=5e-3)
 
 
+def test_batched_os_on_chip(chirp):
+    """The windowed long-capture fused engine compiled on chip: golden
+    full-capture search (no truncation)."""
+    import pathlib
+
+    from caf_cookoff_tpu.models.batched_stein import batched_stein_os_peak
+    from caf_cookoff_tpu.utils.io import load_c64
+
+    data = pathlib.Path(__file__).resolve().parents[1] / "data"
+    needle = load_c64(data / "chirp_0_raw.c64")
+    full_hay = load_c64(data / "chirp_0_T+202samp_F+69.25Hz.c64")
+    freqs = FreqGrid(-100.0, 100.0, 0.25).frequencies(np.float32)
+    fr, lg, _ = batched_stein_os_peak(needle[None], full_hay[None],
+                                      freqs, FS)
+    assert (float(fr[0]), int(lg[0])) == (69.25, 202)
+
+
 def test_batched_stein_on_chip(chirp):
     """The config-2 engine (grouped conv + batched Pallas kernel)
     compiled on the chip: golden parity for a 4-pair batch."""
