@@ -67,6 +67,64 @@ def _stream_step_jit(sc_re, sc_im, tail_re, tail_im, ch_re, ch_im,
     return new_best, local, new_tail
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_blocks", "group", "chunk_len", "needle_pad",
+                     "halo", "interpret"))
+def _stein_stream_step_jit(ws1, ws2, lmat, tail_re, tail_im, ch_re,
+                           ch_im, best_value, best_freq, best_lag,
+                           bw_re, bw_im, bw_start, base_lag, valid_len,
+                           num_blocks, group, chunk_len, needle_pad,
+                           halo, interpret):
+    """One stein-mode streaming step: fused kernel over [tail | chunk].
+
+    The window's lags [base_lag, base_lag + chunk_len) run through
+    :func:`caf_cookoff_tpu.ops.pallas_stein.fused_stein_rank` at P=1 —
+    per-chunk cost is one kernel program instead of K inverse FFTs.
+    Bins whose best lag falls past ``valid_len`` (zero-padded short
+    chunks: incomplete data) are masked; those lags re-scan with full
+    data next chunk.  Alongside the best triple, the step carries the
+    ``needle_pad``-sample window slice AROUND the running best lag so
+    :meth:`StreamingCAF.best` can re-score it exactly without the
+    engine retaining capture history.
+    """
+    from caf_cookoff_tpu.ops.pallas_stein import SUPER, fused_span, \
+        fused_stein_rank
+
+    window = (jnp.concatenate([tail_re, ch_re]),
+              jnp.concatenate([tail_im, ch_im]))
+    win_len = halo + chunk_len
+    ext_len = max(win_len, needle_pad)
+    span = fused_span(num_blocks, group, chunk_len)
+    need = span + SUPER - 1
+    h_ext = jnp.stack([jnp.pad(window[0], (0, max(0, need - win_len))),
+                       jnp.pad(window[1], (0, max(0, need - win_len)))]
+                      )[None, :, :need]
+    vals, idxs = fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks,
+                                  group, chunk_len, interpret=interpret)
+    vals = jnp.where(idxs[:, 0] < valid_len, vals[:, 0], -jnp.inf)
+    k_loc = jnp.argmax(vals).astype(jnp.int32)
+    tau_loc = idxs[k_loc, 0]
+    local = CafPeak(vals[k_loc], k_loc, tau_loc + base_lag)
+    take = local.value > best_value
+    new_best = CafPeak(
+        value=jnp.where(take, local.value, best_value),
+        freq_idx=jnp.where(take, local.freq_idx, best_freq),
+        lag_idx=jnp.where(take, local.lag_idx, best_lag),
+    )
+    # Window slice around the winning lag for the exact final re-score.
+    wpad = tuple(jnp.pad(p, (0, ext_len - win_len)) for p in window)
+    ws = jnp.clip(tau_loc - 64, 0, ext_len - needle_pad)
+    cand = tuple(jax.lax.dynamic_slice(p, (ws,), (needle_pad,))
+                 for p in wpad)
+    new_bw = tuple(jnp.where(take, c, b) for c, b in zip(cand,
+                                                         (bw_re, bw_im)))
+    new_bw_start = jnp.where(take, base_lag + ws, bw_start)
+    new_tail = tuple(
+        jax.lax.dynamic_slice(p, (valid_len,), (halo,)) for p in window)
+    return new_best, local, new_tail, new_bw, new_bw_start
+
+
 class StreamingCAF:
     """Stateful chunk-at-a-time CAF over one (needle, capture) pair.
 
@@ -74,24 +132,67 @@ class StreamingCAF:
     >>> for chunk in capture_chunks:          # equal-length c64 chunks
     ...     chunk_peak = s.process(chunk)     # this chunk's local peak
     >>> freq, lag, value = s.best()           # global running peak
+
+    ``backend='stein'`` selects the fused-kernel per-chunk path (one
+    Pallas program per chunk instead of K inverse FFTs); per-chunk
+    local peaks report the coarse (bin-ranked) frequency, and
+    :meth:`best` re-scores the carried best window exactly.
     """
 
     def __init__(self, needle, freqs_hz, sample_rate, *,
                  chunk_len: Optional[int] = None,
                  backend: Optional[str] = None):
-        self.backend = backend or default_backend()
+        backend = backend or default_backend()
+        self._stein = backend.startswith("stein")
+        if backend.startswith(("stein", "pallas")):
+            # Engine-level names: the streaming transforms themselves
+            # run on a split-FFT tier; 'stein*' flips the fused mode.
+            backend = ("matmul" if jax.default_backend() != "cpu"
+                       else "xla")
+        self.backend = backend
         n_re, n_im = splitfft.split_array(needle)
         self.needle_len = int(n_re.shape[-1])
         self.sample_rate = float(sample_rate)
         self._freqs = np.asarray(freqs_hz, dtype=n_re.dtype)
         m = xcor_length(self.needle_len)
-        sc = jax.jit(
-            needle_spectra_conj, static_argnames=("fft_len", "backend")
-        )((jnp.asarray(n_re), jnp.asarray(n_im)), jnp.asarray(self._freqs),
-          self.sample_rate, fft_len=m, backend=self.backend)
-        self._sc_re, self._sc_im = sc
-        halo = self.needle_len - 1
         rdt = n_re.dtype
+        if self._stein:
+            from caf_cookoff_tpu.models.batched_stein import (
+                _needle_operator,
+                _pow2_block_len,
+            )
+            from caf_cookoff_tpu.ops.pallas_stein import (
+                SUPER,
+                stein_synthesis_weights,
+            )
+
+            self._block_len = _pow2_block_len(self.sample_rate,
+                                              self._freqs, 64)
+            pad = (-self.needle_len) % SUPER
+            np_re = np.pad(n_re, (0, pad))
+            np_im = np.pad(n_im, (0, pad))
+            self._needle_pad = self.needle_len + pad
+            self._n_planes = (jnp.asarray(np_re), jnp.asarray(np_im))
+            self._num_blocks = self._needle_pad // self._block_len
+            self._group = SUPER // self._block_len
+            # One-time eager build (host-sized: (1, 2B, 2*SUPER)).
+            self._lmat, _ = _needle_operator(np_re[None], np_im[None],
+                                             self._block_len)
+            self._ws = stein_synthesis_weights(
+                jnp.asarray(self._freqs), self.sample_rate,
+                self._num_blocks, self._block_len)
+            self._interpret = jax.default_backend() == "cpu"
+            self._bw = (jnp.zeros(self._needle_pad, rdt),
+                        jnp.zeros(self._needle_pad, rdt))
+            self._bw_start = jnp.asarray(0, jnp.int32)
+        else:
+            sc = jax.jit(
+                needle_spectra_conj, static_argnames=("fft_len", "backend")
+            )((jnp.asarray(n_re), jnp.asarray(n_im)),
+              jnp.asarray(self._freqs), self.sample_rate, fft_len=m,
+              backend=self.backend)
+            self._sc_re, self._sc_im = sc
+        halo = self.needle_len - 1
         self._tail = (jnp.zeros(halo, rdt), jnp.zeros(halo, rdt))
         self._best = CafPeak(jnp.asarray(-np.inf, rdt),
                              jnp.asarray(0, jnp.int32),
@@ -149,11 +250,25 @@ class StreamingCAF:
             pad = fixed - valid
             ch_re = np.pad(np.asarray(ch_re), (0, pad))
             ch_im = np.pad(np.asarray(ch_im), (0, pad))
-        best, local, tail = _stream_step_jit(
-            self._sc_re, self._sc_im, self._tail[0], self._tail[1],
-            jnp.asarray(ch_re), jnp.asarray(ch_im),
-            self._best.value, self._best.freq_idx, self._best.lag_idx,
-            self._base_lag, valid, self.needle_len, fixed, self.backend)
+        if self._stein:
+            best, local, tail, bw, bw_start = _stein_stream_step_jit(
+                self._ws[0], self._ws[1], self._lmat,
+                self._tail[0], self._tail[1],
+                jnp.asarray(ch_re), jnp.asarray(ch_im),
+                self._best.value, self._best.freq_idx,
+                self._best.lag_idx, self._bw[0], self._bw[1],
+                self._bw_start, self._base_lag, valid,
+                self._num_blocks, self._group, fixed,
+                self._needle_pad, self.needle_len - 1, self._interpret)
+            self._bw = bw
+            self._bw_start = bw_start
+        else:
+            best, local, tail = _stream_step_jit(
+                self._sc_re, self._sc_im, self._tail[0], self._tail[1],
+                jnp.asarray(ch_re), jnp.asarray(ch_im),
+                self._best.value, self._best.freq_idx,
+                self._best.lag_idx, self._base_lag, valid,
+                self.needle_len, fixed, self.backend)
         self._best = best
         self._tail = tail
         self._samples_seen += valid
@@ -162,6 +277,22 @@ class StreamingCAF:
                 int(local.lag_idx), float(local.value))
 
     def best(self) -> Tuple[float, int, float]:
-        """Global running (freq_hz, lag, value) over everything seen."""
-        return (float(self._freqs[int(self._best.freq_idx)]),
-                int(self._best.lag_idx), float(self._best.value))
+        """Global running (freq_hz, lag, value) over everything seen.
+
+        In stein mode the coarse running best only RANKED bins; the
+        carried best window is re-scored here with exact filterbank
+        rows (the rank-then-score contract), restoring bin-exact
+        frequency and lag.
+        """
+        if not self._stein or not np.isfinite(float(self._best.value)):
+            return (float(self._freqs[int(self._best.freq_idx)]),
+                    int(self._best.lag_idx), float(self._best.value))
+        from caf_cookoff_tpu.models.filterbank import _peak_split_jit
+
+        peak = _peak_split_jit(
+            self._n_planes[0], self._n_planes[1], self._bw[0],
+            self._bw[1], jnp.asarray(self._freqs), self.sample_rate,
+            xcor_length(self._needle_pad), self.backend)
+        return (float(self._freqs[int(peak.freq_idx)]),
+                int(self._bw_start) + int(peak.lag_idx),
+                float(peak.value))

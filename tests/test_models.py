@@ -137,3 +137,26 @@ def test_streaming_pinned_chunk_len():
     freq, got_lag, _ = s.best()
     assert (freq, got_lag) == (f_true, lag)
     assert s.samples_seen == total
+
+
+def test_streaming_stein_mode_matches_overlap_save():
+    """backend='stein' streaming: fused per-chunk coarse scan + exact
+    best-window re-score equals the overlap-save engine's answer, with
+    uneven chunk lengths handled by the same pinned executable."""
+    rng = np.random.default_rng(23)
+    n, total, lag, f_true = 512, 8192, 5321, 750.0
+    needle = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+    capture = _make_capture(needle, lag, f_true, total, FS, seed=24)
+    freqs = np.arange(-1000.0, 1000.0, 125.0, dtype=np.float32)
+    want = overlap_save_peak(needle, capture, freqs, FS)
+
+    s = StreamingCAF(needle, freqs, FS, backend="stein")
+    for i in range(0, total, 1024):
+        s.process(capture[i:i + 1024])
+    assert s.best()[:2] == want[:2] == (f_true, lag)
+
+    s2 = StreamingCAF(needle, freqs, FS, backend="stein", chunk_len=1024)
+    for a, b in [(0, 700), (700, 701), (701, 6000), (6000, total)]:
+        s2.process(capture[a:b])
+    assert s2.best()[:2] == (f_true, lag)

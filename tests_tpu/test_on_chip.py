@@ -94,3 +94,22 @@ def test_batched_stein_on_chip(chirp):
                                    freqs, FS)
     for b, i in enumerate(idxs):
         assert (float(fr[b]), int(lg[b])) == wants[i]
+
+
+def test_streaming_stein_on_chip(chirp):
+    """Stein-mode streaming compiled on chip: chunked full-capture
+    golden search."""
+    import pathlib
+
+    from caf_cookoff_tpu.models.streaming import StreamingCAF
+    from caf_cookoff_tpu.utils.io import load_c64
+
+    data = pathlib.Path(__file__).resolve().parents[1] / "data"
+    needle = load_c64(data / "chirp_0_raw.c64")
+    capture = load_c64(data / "chirp_0_T+202samp_F+69.25Hz.c64")
+    freqs = FreqGrid(-100.0, 100.0, 0.25).frequencies(np.float32)
+    s = StreamingCAF(needle, freqs, FS, backend="stein", chunk_len=2048)
+    for i in range(0, len(capture), 2048):
+        s.process(capture[i:i + 2048])
+    freq, lag, _ = s.best()
+    assert (freq, lag) == (69.25, 202)
