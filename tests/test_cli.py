@@ -163,3 +163,16 @@ def test_bench_harness_cpu(tmp_path, capsys):
         assert "error" not in row, row
         assert row["golden"] == "exact"
         assert row["ms"] > 0
+
+
+def test_bench_harness_wide_grid_stein(tmp_path):
+    """A wide doppler span must time the SAME engine configuration the
+    golden gate validated (clamped block length, fused only when
+    eligible) — not a hardwired block-64 program (self-review #4)."""
+    from caf_cookoff_tpu.config import FreqGrid
+    from caf_cookoff_tpu.utils.bench import run_benchmarks
+
+    rows = run_benchmarks(grid=FreqGrid(-1400.0, 1400.0, 100.0),
+                          backends=("stein",), rounds=2, iters=2)
+    assert "error" not in rows[0], rows[0]
+    assert rows[0]["ms"] > 0
