@@ -296,8 +296,12 @@ def run_benchmarks(grid: FreqGrid = BENCH_GRID,
     haystack = load_c64(haystack_path, count=len(needle))
     truth = parse_ground_truth(haystack_path)
     freqs_np = grid.frequencies(np.float32)
+    # Gate only when the grid can actually RESOLVE the fixture: the
+    # truth frequency in range AND the step inside the doppler mainlobe
+    # (fs/N) — a coarser grid legitimately shifts the correlation lag.
     covers_truth = (freqs_np[0] - 1e-9 <= truth.freq_hz
-                    <= freqs_np[-1] + grid.step_hz)
+                    <= freqs_np[-1] + grid.step_hz
+                    and grid.step_hz <= sample_rate / len(needle))
 
     device = jax.devices()[0]
     n_re, n_im = (jax.device_put(p, device) for p in split_array(needle))

@@ -176,3 +176,6 @@ def test_bench_harness_wide_grid_stein(tmp_path):
                           backends=("stein",), rounds=2, iters=2)
     assert "error" not in rows[0], rows[0]
     assert rows[0]["ms"] > 0
+    # 100 Hz steps cannot resolve the fixture's 69.25 Hz truth — the
+    # gate must skip rather than fail (or worse, pass a broken config).
+    assert "golden" not in rows[0]
