@@ -45,7 +45,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from caf_cookoff_tpu.config import default_backend, is_pow2, xcor_length
+from caf_cookoff_tpu.config import default_backend, floor_pow2, xcor_length
 from caf_cookoff_tpu.models.filterbank import _surface_rows_split
 from caf_cookoff_tpu.models.stein import _REFINE_BINS, _auto_block_len
 from caf_cookoff_tpu.ops import splitfft
@@ -59,9 +59,8 @@ def _pow2_block_len(sample_rate: float, freqs_hz: np.ndarray,
     """Largest power-of-two block length within the sinc-envelope limit
     (:func:`caf_cookoff_tpu.models.stein._auto_block_len`), capped at
     ``SUPER`` so super-blocks tile the 128-lane axis."""
-    d = min(_auto_block_len(sample_rate, freqs_hz, requested), SUPER)
-    while not is_pow2(d):
-        d &= d - 1                       # clear lowest set bit
+    d = floor_pow2(min(_auto_block_len(sample_rate, freqs_hz, requested),
+                       SUPER))
     if d < 8:
         raise ValueError("block length below 8 after pow2 rounding")
     return d

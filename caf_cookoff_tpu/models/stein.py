@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from caf_cookoff_tpu.config import default_backend, is_pow2, xcor_length
+from caf_cookoff_tpu.config import default_backend, floor_pow2, xcor_length
 from caf_cookoff_tpu.ops import splitfft
 from caf_cookoff_tpu.ops.peak import CafPeak, find_peak_2d
 
@@ -392,9 +392,7 @@ def stein_caf_peak(needle, haystack, freqs_hz, sample_rate, *,
     xl = xcor_length(n_re.shape[-1])
     # Fused-kernel eligibility: pow2 block length in [8, 128] (the
     # super-block layout) and a 512-multiple correlation length.
-    d_fused = min(block_len, 128)
-    while d_fused and not is_pow2(d_fused):
-        d_fused &= d_fused - 1
+    d_fused = floor_pow2(min(block_len, 128))
     eligible = refine and d_fused >= 8 and xl % 512 == 0
     if fused is None:
         # Round 1's synthesis-only fusion lost to XLA (70 vs 55 us);

@@ -1,21 +1,29 @@
-"""Fused Stein synthesis + per-bin rank kernel.
+"""Fully fused Stein pipeline kernel (stage A + synthesis + rank).
 
-The XLA Stein path materializes the synthesized rows ``R = W @ G``
-((2K, M) float32, ~26 MB at the reference shape) just to take |.|^2 and
-a per-bin max — an HBM round-trip that rivals the matmul time.  This
-kernel fuses the synthesis matmul with the magnitude/argmax epilogue:
-per M-tile it computes both row planes on the MXU, squares on the VPU,
-and folds a running (per-bin max, argmax) accumulator in VMEM; only the
-(K,) peak values and lag indices ever reach HBM.
+The XLA Stein path materializes the segment correlations ``G`` and the
+synthesized rows ``R = W @ G`` ((2K, M) float32, ~26 MB at the
+reference shape) in HBM; :func:`fused_stein_rank` keeps EVERYTHING
+pair-sized in VMEM.  Per pair (one grid program):
 
-Split-complex synthesis with single-side stacking (so each LHS tiles
-contiguously):
+1. **Stage A** — segment correlations as a direct MXU dot: Hankel rows
+   (shifted copies of the ~100 KB haystack extension) are built in
+   scratch slab-wise and contracted against the stacked needle-tap
+   operator, (2B, 2*SUPER) x (2*SUPER, span) — no FFTs at all (direct
+   D-tap correlation beats any transform at D <= 128).
+2. **Staircase un-shear** into a lane-aligned G buffer.
+3. **Synthesis + rank** — per lag tile, the two stacked split-complex
+   matmuls
 
-    Rr = [Wr | -Wi] @ [Gr; Gi]        ws1 (K, 2B) @ gs (2B, M)
-    Ri = [Wi |  Wr] @ [Gr; Gi]        ws2 (K, 2B) @ gs (2B, M)
+       Rr = [Wr | -Wi] @ [Gr; Gi]        ws1 (K, 2B) @ gs (2B, tile)
+       Ri = [Wi |  Wr] @ [Gr; Gi]        ws2 (K, 2B) @ gs (2B, tile)
 
-Used by the Stein peak path on TPU (coarse ranking stage — bf16 dots;
-exactness comes from the usual top-k re-score)."""
+   with the |.|^2 / per-bin-max epilogue folded in VMEM; only (K,)
+   values (and optionally lag indices) reach HBM.
+
+Exactness comes from the engines' top-k re-score (rank-then-score);
+the kernel itself runs at bf16 MXU rate.  Measured v5e standings:
+0.0163 ms/surface at batch 64 (config 2, ~90% bf16 peak), 42.7 us at
+P=1 vs 58.6 us for the XLA coarse path."""
 
 from __future__ import annotations
 
@@ -29,87 +37,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BIG_IDX = np.int32(2**30)
 
-# M-tile width: 512 lanes x (K-padded) rows keeps the working set ~3 MB.
-TILE_M = 512
-ROW_PAD = 128  # K padded to a multiple of this (f32 sublane-friendly)
-
-
-def _synth_rank_kernel(ws1_ref, ws2_ref, gs_ref, vals_ref, idxs_ref):
-    j = pl.program_id(0)
-    gs = gs_ref[:]                                  # (2B, TILE_M)
-    rr = jnp.dot(ws1_ref[:].astype(jnp.bfloat16), gs.astype(jnp.bfloat16),
-                 preferred_element_type=jnp.float32)
-    ri = jnp.dot(ws2_ref[:].astype(jnp.bfloat16), gs.astype(jnp.bfloat16),
-                 preferred_element_type=jnp.float32)
-    mag2 = rr * rr + ri * ri                        # (K, TILE_M)
-    k, tm = mag2.shape
-    colmax = jnp.max(mag2, axis=1, keepdims=True)   # (K, 1)
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (k, tm), 1)
-    colarg = jnp.min(jnp.where(mag2 >= colmax, col_iota, _BIG_IDX),
-                     axis=1, keepdims=True) + j * tm
-
-    @pl.when(j == 0)
-    def _():
-        vals_ref[:] = colmax
-        idxs_ref[:] = colarg
-
-    @pl.when(j > 0)
-    def _():
-        prev = vals_ref[:]
-        take = colmax > prev
-        vals_ref[:] = jnp.where(take, colmax, prev)
-        idxs_ref[:] = jnp.where(take, colarg, idxs_ref[:])
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def synth_rank(ws1, ws2, g_re, g_im, interpret: bool = False):
-    """Per-bin (max |R|^2, arg lag) of ``R = W @ [Gr; Gi]``.
-
-    ``ws1``/``ws2``: (K, 2B) stacked synthesis weights; ``g_re``/``g_im``:
-    (B, M) segment-correlation planes.  Returns ((K,), (K,)) —
-    unnormalized values (global 1/M^2 scale is argmax-irrelevant).
-    """
-    k, b2 = ws1.shape
-    m = g_re.shape[-1]
-    if m % TILE_M:
-        raise ValueError(f"lag axis {m} not a multiple of {TILE_M}")
-    pad = (-k) % ROW_PAD
-    if pad:
-        ws1 = jnp.pad(ws1, ((0, pad), (0, 0)))
-        ws2 = jnp.pad(ws2, ((0, pad), (0, 0)))
-    kp = k + pad
-    gs = jnp.concatenate([g_re, g_im], axis=0)      # (2B, M)
-
-    full = lambda shape: pl.BlockSpec(
-        shape, lambda j: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
-    vals, idxs = pl.pallas_call(
-        _synth_rank_kernel,
-        grid=(m // TILE_M,),
-        in_specs=[
-            full((kp, b2)), full((kp, b2)),
-            pl.BlockSpec((b2, TILE_M), lambda j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((kp, 1), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((kp, 1), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((kp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((kp, 1), jnp.int32),
-        ),
-        interpret=interpret,
-    )(ws1, ws2, gs)
-    return vals[:k, 0], idxs[:k, 0]
-
-
-SUPER = 128  # super-block width = the TPU lane tile
-# Stage-B lag tile of the fused kernel (fits the raised VMEM budget).
-FUSED_TILE = 512
-
-
+ROW_PAD = 128   # K padded to a multiple of this (f32 sublane-friendly)
+SUPER = 128     # super-block width = the TPU lane tile
+FUSED_TILE = 512  # stage-B lag tile (512 lanes x K-padded rows ~2 MB)
 _SEED_ROWS = 16  # bf16 sublane tile: Hankel rows are built 16 at a time
 
 
@@ -125,11 +55,12 @@ def _fused_stein_kernel(ws1_ref, ws2_ref, l_ref, h_ref, vals_ref,
     ~100 KB haystack extension — the only HBM read that scales with M)
     in scratch and computes ALL segment correlations with one stacked
     (2B, 2*SUPER) x (2*SUPER, span) MXU dot per column chunk.  The
-    Hankel build is slab-wise: 8 seed rows (consecutive single-sample
-    shifts), then every further 8-row slab is a lane-shifted copy of
-    the seed — 24 full-sublane ops per plane per chunk instead of 128
-    single-row ops that waste 7/8 of the VPU (measured 77 -> ~35
-    us/pair).  The staircase is then un-sheared ONCE into an aligned G
+    Hankel build is slab-wise: 16 seed rows (consecutive single-sample
+    shifts), then every further 16-row slab is a lane-shifted copy of
+    the seed — 24 ops per plane per chunk instead of 128 single-row
+    ops that waste most of the VPU's sublanes (measured 77 -> 16
+    us/pair together with the argmax skip).  The staircase is then
+    un-sheared ONCE into an aligned G
     buffer, and stage B is contiguous synthesis + |.|^2/per-bin-max
     over G tiles.  Nothing pair-sized ever touches HBM: the XLA
     grouped-conv stage A this replaces measured 53.6 ms for 64 pairs.

@@ -36,7 +36,7 @@ def _make_step(backend: str, sample_rate: float, xcor_len: int,
     import jax.numpy as jnp
 
     if backend.startswith("stein"):
-        from caf_cookoff_tpu.config import is_pow2
+        from caf_cookoff_tpu.config import floor_pow2
         from caf_cookoff_tpu.models.stein import (
             _auto_block_len,
             _stein_peak_jit,
@@ -49,9 +49,7 @@ def _make_step(backend: str, sample_rate: float, xcor_len: int,
         # envelope block clamp and the fused-kernel eligibility check —
         # so the timed program is exactly the golden-gated one.
         block_len = _auto_block_len(sample_rate, grid_hint, block_len)
-        d_f = min(block_len, 128)
-        while d_f and not is_pow2(d_f):
-            d_f &= d_f - 1
+        d_f = floor_pow2(min(block_len, 128))
         fused = (refine and on_tpu and d_f >= 8 and xcor_len % 512 == 0)
         if fused:
             block_len = d_f
@@ -150,15 +148,12 @@ _TIER_PASSES = {"bf16": 1.0, "high": 3.0, "": 3.0, "highest": 6.0,
 
 
 def _tier_passes(backend: str) -> float:
-    if backend.startswith("matmul"):
-        return _TIER_PASSES.get(backend.partition("-")[2] or "high", 1.0)
-    if backend.startswith("pallas"):
+    if backend.startswith(("matmul", "pallas")):
         return _TIER_PASSES.get(backend.partition("-")[2] or "high", 1.0)
     if backend == "stein-raw":
         return 3.0                     # exact HIGH-tier throughout
-    if backend.startswith("stein"):
-        return 1.0                     # fused bf16 coarse + tiny refine
-    return 1.0                         # xla: FFT, no multi-pass model
+    # stein (fused bf16 coarse) and xla (FFT): no multi-pass model.
+    return 1.0
 
 
 def flops_model(backend: str, k: int, needle_len: int, m: int,

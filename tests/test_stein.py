@@ -138,9 +138,9 @@ def test_stein_needle_shorter_than_block():
     assert (freq, lag) == (0.0, 7)
 
 
-def test_fused_synth_rank_matches_unfused(chirp):
-    """The experimental Pallas synthesis+rank kernel (interpret mode)
-    agrees with the XLA coarse path end-to-end."""
+def test_fused_kernel_matches_unfused(chirp):
+    """The fully fused Pallas kernel path (interpret mode) agrees with
+    the XLA coarse path end-to-end."""
     needle, haystack, _ = chirp(0)
     freqs = FreqGrid(-100.0, 100.0, 0.25).frequencies(np.float32)
     a = stein_caf_peak(needle, haystack, freqs, FS, fused=False)
