@@ -114,6 +114,13 @@ def _stein_surface_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate,
     return splitfft.mag2(rows)
 
 
+# Candidate count for the exact re-score.  Caveat: candidates are the
+# top-k coarse per-bin maxima WITHOUT non-max suppression, so on grids
+# much finer than the doppler mainlobe (fs/N) all k can cluster on one
+# emitter's skirt; a distant competitor within ~6% of the winner could
+# then be missed.  Adjacent near-tie flips (the common coarse error)
+# and isolated distant ties (tests) are both covered; full multi-peak
+# extraction should use ops/peak.find_peaks on a surface instead.
 _REFINE_BINS = 8
 
 

@@ -1,0 +1,51 @@
+"""Randomized cross-engine consistency (seeded, deterministic).
+
+The reference pins one fixture through all seven strategies
+(``caf_rust/tests/test.rs:15-145``); this sweeps randomized workloads
+— random needle lengths, on-grid dopplers, lags incl. edges — through
+every exact engine family and requires identical (freq, lag).  The
+kind of coverage a fixed fixture set cannot give.
+"""
+
+import numpy as np
+import pytest
+
+from caf_cookoff_tpu.models.batched_stein import batched_stein_peak
+from caf_cookoff_tpu.models.filterbank import caf_peak
+from caf_cookoff_tpu.models.stein import stein_caf_peak
+
+FS = 48_000.0
+
+CASES = [
+    # (seed, n, lag, f_idx, grid_start, grid_step, grid_bins)
+    (0, 1024, 0, 3, -400.0, 50.0, 16),          # zero lag
+    (1, 2048, 1792, 11, -100.0, 12.5, 16),      # late lag, 12% overlap
+    (2, 1000, 421, 7, -750.0, 125.0, 12),       # non-pow2 needle
+    (3, 4096, 96, 0, -100.0, 25.0, 8),          # grid edge bin
+    (4, 512, 300, 15, -1000.0, 125.0, 16),      # last grid bin
+    (5, 8192, 5000, 5, -50.0, 6.25, 16),        # long needle, fine grid
+]
+
+
+@pytest.mark.parametrize("seed,n,lag,f_idx,g0,gs,gk", CASES)
+def test_engines_agree_randomized(seed, n, lag, f_idx, g0, gs, gk):
+    rng = np.random.default_rng(seed)
+    freqs = (g0 + gs * np.arange(gk)).astype(np.float32)
+    f_true = float(freqs[f_idx])
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = (1e-4 * (rng.standard_normal(n)
+                   + 1j * rng.standard_normal(n))).astype(np.complex64)
+    span = n - lag
+    hay[lag:] += (needle * np.exp(
+        2j * np.pi * f_true * np.arange(n) / FS)).astype(np.complex64)[:span]
+
+    want = (f_true, lag)
+    for backend in ("xla", "matmul", "matmul-highest"):
+        freq, got_lag, _ = caf_peak(needle, hay, freqs, FS,
+                                    backend=backend)
+        assert (freq, got_lag) == want, (backend, freq, got_lag)
+    freq, got_lag, _ = stein_caf_peak(needle, hay, freqs, FS)
+    assert (freq, got_lag) == want, ("stein", freq, got_lag)
+    fr, lg, _ = batched_stein_peak(needle[None], hay[None], freqs, FS)
+    assert (float(fr[0]), int(lg[0])) == want, ("batched", fr[0], lg[0])
