@@ -186,18 +186,124 @@ def _stein_peak_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate,
     # bins (the same failure mode as single-pass bf16 in the Pallas
     # kernel); re-scoring the top candidates with the exact filterbank
     # rows restores bin-exact answers at ~2% extra cost.
+    return _refine_topk((n_re, n_im), (h_re, h_im), freqs_hz,
+                        rowmax_coarse, sample_rate, xcor_len, backend)
+
+
+def _refine_topk(needle, haystack, freqs_all, rowmax_coarse, sample_rate,
+                 xcor_len: int, backend: str) -> CafPeak:
+    """Exact top-k re-score of the coarse per-bin ranking (the
+    rank-then-score closer shared by the plain and banded paths)."""
     from caf_cookoff_tpu.models.filterbank import _surface_rows_split
 
-    _, cand = jax.lax.top_k(rowmax_coarse, _REFINE_BINS)
+    k = min(_REFINE_BINS, rowmax_coarse.shape[0])
+    _, cand = jax.lax.top_k(rowmax_coarse, k)
     exact = splitfft.mag2(_surface_rows_split(
-        (n_re, n_im), (h_re, h_im), freqs_hz[cand], sample_rate, xcor_len,
-        backend))                                       # (P, M)
+        needle, haystack, freqs_all[cand], sample_rate, xcor_len,
+        backend))                                       # (k, M)
     rowmax = jnp.max(exact, axis=-1)
     # Highest exact value wins; exact ties break toward the lowest bin.
     best = jnp.lexsort((cand.astype(jnp.int32), -rowmax))[0]
     return CafPeak(value=rowmax[best],
                    freq_idx=cand[best].astype(jnp.int32),
                    lag_idx=jnp.argmax(exact[best]).astype(jnp.int32))
+
+
+def _plan_bands(sample_rate: float, freqs_hz: np.ndarray):
+    """Band partition for wide-span grids, or ``None`` if infeasible.
+
+    Only uniform grids band cleanly (every band then shares ONE
+    relative grid, so the whole sweep is a single batched kernel call
+    with the band axis as the pair axis).  Bands are sized so the
+    relative |f| stays within the pow2-32-segment envelope.
+    """
+    from caf_cookoff_tpu.config import floor_pow2
+
+    k = len(freqs_hz)
+    if k < 2:
+        return None
+    diffs = np.diff(np.asarray(freqs_hz, np.float64))
+    g = float(diffs[0])
+    if g <= 0 or not np.allclose(diffs, g, rtol=1e-5, atol=1e-9):
+        return None
+    kb = max(1, int(2.0 * (sample_rate / 128.0) / g))   # target D = 32
+    d = 0
+    while kb >= 1:
+        rel_max = (kb - 1) / 2.0 * g
+        d = floor_pow2(min(128, int(sample_rate / (4.0 * rel_max))
+                           if rel_max > 0 else 128))
+        if d >= 8:
+            break
+        kb //= 2
+    s = -(-k // kb)
+    f0 = float(freqs_hz[0])
+    freqs_pad = (f0 + g * np.arange(s * kb)).astype(np.float32)
+    centers = (f0 + g * (np.arange(s) * kb + (kb - 1) / 2.0)).astype(
+        np.float32)
+    rel = (g * (np.arange(kb) - (kb - 1) / 2.0)).astype(np.float32)
+    return {"block_len": d, "kb": kb, "bands": s, "freqs_pad": freqs_pad,
+            "centers": centers, "rel": rel}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("xcor_len", "block_len", "backend", "num_bins",
+                     "interpret"))
+def _banded_stein_peak_jit(n_re, n_im, h_re, h_im, freqs_pad, centers,
+                           rel, sample_rate, xcor_len, block_len,
+                           backend, num_bins, interpret):
+    """Wide-span Stein: band centers as the batch axis.
+
+    Frequency-shifting the needle to a band center then searching the
+    RELATIVE grid is exactly the absolute-frequency filterbank (shift
+    composition is exact); only the segmented coarse approximation is
+    per-band.  All bands share one relative grid, so the sweep is one
+    batched fused-kernel call (bands = pairs); the exact top-k re-score
+    runs on absolute frequencies as usual.
+    """
+    from caf_cookoff_tpu.models.batched_stein import (
+        _coarse_rank_xla,
+        _haystack_extension,
+        _needle_operator,
+    )
+    from caf_cookoff_tpu.ops.pallas_stein import (
+        SUPER,
+        fused_span,
+        fused_stein_rank,
+        stein_synthesis_weights,
+    )
+
+    s = centers.shape[0]
+    n = n_re.shape[-1]
+    t = jnp.arange(n, dtype=n_re.dtype)
+    ph = ((2.0 * jnp.pi) / jnp.asarray(sample_rate, n_re.dtype)
+          ) * centers[:, None] * t[None, :]
+    cs, sn = jnp.cos(ph), jnp.sin(ph)
+    ns_re = n_re[None] * cs - n_im[None] * sn
+    ns_im = n_re[None] * sn + n_im[None] * cs
+    pad = (-n) % SUPER
+    if pad:
+        ns_re = jnp.pad(ns_re, ((0, 0), (0, pad)))
+        ns_im = jnp.pad(ns_im, ((0, 0), (0, pad)))
+    b = (n + pad) // block_len
+    lmat, group = _needle_operator(ns_re, ns_im, block_len)
+    span = fused_span(b, group, xcor_len)
+    h_ext = _haystack_extension(
+        jnp.broadcast_to(h_re[None], (s, h_re.shape[-1])),
+        jnp.broadcast_to(h_im[None], (s, h_im.shape[-1])),
+        xcor_len, span)
+    ws1, ws2 = stein_synthesis_weights(rel, sample_rate, b, block_len)
+    if interpret:
+        vals, _ = _coarse_rank_xla(ws1, ws2, lmat, h_ext, b, group,
+                                   xcor_len)            # (Kb, S)
+    else:
+        vals, _ = fused_stein_rank(ws1, ws2, lmat, h_ext, b, group,
+                                   xcor_len, want_idxs=False)
+    flat = vals.T.reshape(-1)                           # bin = s*Kb + j
+    flat = jnp.where(jnp.arange(flat.shape[0]) < num_bins, flat,
+                     -jnp.inf)
+    return _refine_topk((n_re, n_im), (h_re, h_im), freqs_pad, flat,
+                        sample_rate, xcor_len, backend)
 
 
 def _auto_block_len(sample_rate: float, freqs_hz: np.ndarray,
@@ -388,15 +494,34 @@ def stein_caf_peak(needle, haystack, freqs_hz, sample_rate, *,
 
     ``refine=True`` (default) re-scores the top candidate bins with the
     exact filterbank rows, restoring bin-exact golden answers.
-    ``fused`` selects the Pallas synthesis+rank kernel (defaults to on
-    for TPU when the lag axis tiles cleanly, off on CPU).
-    """
-    import jax as _jax
+    ``fused`` selects the fully fused Pallas kernel (defaults to on for
+    TPU when the shapes are eligible, off on CPU).
 
+    Doppler spans past the single-segment envelope (|f| > fs/32) run
+    the BANDED path: the uniform grid splits into bands, the needle is
+    shifted to each band center (exact — shift composition), and the
+    bands sweep as the batch axis of one fused-kernel call, so the
+    segmented engine covers arbitrary spans.
+    """
     backend = backend or default_backend()
     (n_re, n_im), (h_re, h_im), freqs = _prep(needle, haystack, freqs_hz)
-    block_len = _auto_block_len(sample_rate, freqs, block_len)
     xl = xcor_length(n_re.shape[-1])
+    try:
+        block_len = _auto_block_len(sample_rate, freqs, block_len)
+    except ValueError:
+        # Banded auto-path only: an explicit fused flag pins the
+        # single-band engines, which genuinely cannot take the span.
+        plan = _plan_bands(sample_rate, freqs) if refine and fused is None \
+            else None
+        if plan is None or xl % 512:
+            raise
+        peak = _banded_stein_peak_jit(
+            n_re, n_im, h_re, h_im, jnp.asarray(plan["freqs_pad"]),
+            jnp.asarray(plan["centers"]), jnp.asarray(plan["rel"]),
+            float(sample_rate), xl, plan["block_len"], backend,
+            len(freqs), jax.default_backend() == "cpu")
+        return (float(plan["freqs_pad"][int(peak.freq_idx)]),
+                int(peak.lag_idx), float(peak.value))
     # Fused-kernel eligibility: pow2 block length in [8, 128] (the
     # super-block layout) and a 512-multiple correlation length.
     d_fused = floor_pow2(min(block_len, 128))

@@ -146,3 +146,54 @@ def test_fused_kernel_matches_unfused(chirp):
     a = stein_caf_peak(needle, haystack, freqs, FS, fused=False)
     b = stein_caf_peak(needle, haystack, freqs, FS, fused=True)
     assert a[:2] == b[:2] == (69.25, 202)
+
+
+def test_banded_wide_span_matches_filterbank():
+    """Spans far past the single-segment envelope (old guard: raise)
+    run the banded path and match the exact filterbank engine."""
+    rng = np.random.default_rng(12)
+    n = 4096
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    for f_true, lag, g0, gs, gk in [(4300.0, 512, -6000.0, 100.0, 120),
+                                    (-9750.0, 64, -10000.0, 250.0, 80)]:
+        hay = np.zeros(n, np.complex64)
+        hay[lag:] = (needle * np.exp(
+            2j * np.pi * f_true * np.arange(n) / FS)
+        ).astype(np.complex64)[: n - lag]
+        freqs = (g0 + gs * np.arange(gk)).astype(np.float32)
+        from caf_cookoff_tpu.models.filterbank import caf_peak
+
+        exact = caf_peak(needle, hay, freqs, FS, backend="matmul")
+        banded = stein_caf_peak(needle, hay, freqs, FS)
+        assert banded[:2] == exact[:2] == (f_true, lag)
+
+
+def test_banded_emitters_in_different_bands():
+    """Two emitters landing in different bands: the global top-k ranks
+    across bands and the exact re-score picks the true winner."""
+    rng = np.random.default_rng(13)
+    n = 4096
+    t = np.arange(n)
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = np.zeros(n, np.complex64)
+    strong = (needle * np.exp(2j * np.pi * 5200.0 * t / FS))
+    weak = 0.7 * (needle * np.exp(2j * np.pi * -4400.0 * t / FS))
+    hay[100:] = (strong + weak).astype(np.complex64)[: n - 100]
+    freqs = np.arange(-6000.0, 6000.0, 200.0, dtype=np.float32)
+    freq, lag, _ = stein_caf_peak(needle, hay, freqs, FS)
+    assert (freq, lag) == (5200.0, 100)
+
+
+def test_banded_rejected_for_nonuniform_or_explicit_fused():
+    rng = np.random.default_rng(14)
+    n = 1024
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    wide_nonuniform = np.array([-9000.0, -100.0, 50.0, 8000.0], np.float32)
+    with pytest.raises(ValueError):
+        stein_caf_peak(needle, needle, wide_nonuniform, FS)
+    wide = np.arange(-9000.0, 9000.0, 500.0, dtype=np.float32)
+    with pytest.raises(ValueError):
+        stein_caf_peak(needle, needle, wide, FS, fused=False)
