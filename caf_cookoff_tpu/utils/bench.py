@@ -46,9 +46,33 @@ def _make_step(backend: str, sample_rate: float, xcor_len: int,
         on_tpu = jax.default_backend() != "cpu"
         inner = "matmul" if on_tpu else "xla"
         # Same engine configuration caf_peak would run: the sinc-
-        # envelope block clamp and the fused-kernel eligibility check —
-        # so the timed program is exactly the golden-gated one.
-        block_len = _auto_block_len(sample_rate, grid_hint, block_len)
+        # envelope block clamp, the fused-kernel eligibility check, and
+        # the banded wide-span path — so the timed program is exactly
+        # the golden-gated one.
+        try:
+            block_len = _auto_block_len(sample_rate, grid_hint, block_len)
+        except ValueError:
+            from caf_cookoff_tpu.models.stein import (
+                _banded_stein_peak_jit,
+                _plan_bands,
+            )
+
+            plan = _plan_bands(sample_rate, grid_hint) if refine else None
+            if plan is None or xcor_len % 512:
+                raise
+            fp = jnp.asarray(plan["freqs_pad"])
+            ce = jnp.asarray(plan["centers"])
+            rel = jnp.asarray(plan["rel"])
+            num_bins = len(grid_hint)
+
+            def step(carry, n_re, n_im, h_re, h_im, freqs):
+                pk = _banded_stein_peak_jit.__wrapped__(
+                    n_re + carry, n_im, h_re, h_im, fp, ce, rel,
+                    sample_rate, xcor_len, plan["block_len"], inner,
+                    num_bins, not on_tpu)
+                return pk.value
+
+            return step
         d_f = floor_pow2(min(block_len, 128))
         fused = (refine and on_tpu and d_f >= 8 and xcor_len % 512 == 0)
         if fused:

@@ -179,3 +179,15 @@ def test_bench_harness_wide_grid_stein(tmp_path):
     # 100 Hz steps cannot resolve the fixture's 69.25 Hz truth — the
     # gate must skip rather than fail (or worse, pass a broken config).
     assert "golden" not in rows[0]
+
+
+def test_bench_harness_banded_wide_span():
+    """Grids past the single-segment envelope route through the banded
+    path in the harness too (matching what caf_peak would run)."""
+    from caf_cookoff_tpu.config import FreqGrid
+    from caf_cookoff_tpu.utils.bench import run_benchmarks
+
+    rows = run_benchmarks(grid=FreqGrid(-6000.0, 6000.0, 150.0),
+                          backends=("stein",), rounds=2, iters=2)
+    assert "error" not in rows[0], rows[0]
+    assert rows[0]["ms"] > 0
