@@ -113,3 +113,23 @@ def test_streaming_stein_on_chip(chirp):
         s.process(capture[i:i + 2048])
     freq, lag, _ = s.best()
     assert (freq, lag) == (69.25, 202)
+
+
+def test_banded_wide_span_on_chip():
+    """Banded Stein (16 bands as the kernel's batch axis) compiled on
+    chip: exact wide-span answer vs the matmul filterbank."""
+    rng = np.random.default_rng(12)
+    n = 4096
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    f_true, lag = 4300.0, 512
+    hay = np.zeros(n, np.complex64)
+    hay[lag:] = (needle * np.exp(
+        2j * np.pi * f_true * np.arange(n) / FS)
+    ).astype(np.complex64)[: n - lag]
+    freqs = np.arange(-6000.0, 6000.0, 100.0, dtype=np.float32)
+    from caf_cookoff_tpu.models.stein import stein_caf_peak
+
+    banded = stein_caf_peak(needle, hay, freqs, FS)
+    exact = caf_peak(needle, hay, freqs, FS, backend="matmul")
+    assert banded[:2] == exact[:2] == (f_true, lag)
