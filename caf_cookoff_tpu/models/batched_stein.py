@@ -184,8 +184,15 @@ def _batched_stein_core(ns_re, ns_im, hs_re, hs_im, freqs_hz,
                        freq_idx=best.astype(jnp.int32),
                        lag_idx=take(idxs).astype(jnp.int32))
 
-    k = freqs_hz.shape[0]
-    r = min(_REFINE_BINS, k)
+    return _batched_refine(ns_re, ns_im, hs_re, hs_im, freqs_hz, vals_t,
+                           sample_rate, xcor_len, backend)
+
+
+def _batched_refine(ns_re, ns_im, hs_re, hs_im, freqs_all, vals_t,
+                    sample_rate, xcor_len: int, backend: str) -> CafPeak:
+    """Per-pair exact top-k re-score of a (P, K) coarse ranking —
+    shared by the plain and banded batch paths."""
+    r = min(_REFINE_BINS, int(vals_t.shape[1]))
     _, cand = jax.lax.top_k(vals_t, r)                       # (P, r)
 
     def rescore(nr, ni, hr, hi, fsel):
@@ -195,7 +202,7 @@ def _batched_stein_core(ns_re, ns_im, hs_re, hs_im, freqs_hz,
         return rowmax, jnp.argmax(exact, axis=-1).astype(jnp.int32)
 
     rowmax, lags = jax.vmap(rescore)(
-        ns_re, ns_im, hs_re, hs_im, freqs_hz[cand])          # (P, r) each
+        ns_re, ns_im, hs_re, hs_im, freqs_all[cand])         # (P, r) each
 
     def pick(rm, cd, lg):
         best = jnp.lexsort((cd.astype(jnp.int32), -rm))[0]
@@ -210,6 +217,61 @@ _batched_stein_peak_jit = functools.partial(
     jax.jit,
     static_argnames=("xcor_len", "block_len", "backend", "refine",
                      "interpret"))(_batched_stein_core)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("xcor_len", "block_len", "backend", "num_bins",
+                     "interpret"))
+def _banded_batched_jit(ns_re, ns_im, hs_re, hs_im, freqs_pad, centers,
+                        rel, sample_rate, xcor_len, block_len, backend,
+                        num_bins, interpret):
+    """Wide-span batch: (pair, band) as the kernel's batch axis.
+
+    Same construction as the single-pair banded path
+    (models/stein.py:_banded_stein_peak_jit) with every pair's needle
+    shifted to every band center; the exact per-pair re-score runs on
+    absolute frequencies with the unshifted needles.
+    """
+    from caf_cookoff_tpu.ops.pallas_stein import (
+        fused_span,
+        fused_stein_rank,
+        stein_synthesis_weights,
+    )
+
+    p, n = ns_re.shape
+    s = centers.shape[0]
+    t = jnp.arange(n, dtype=ns_re.dtype)
+    ph = ((2.0 * jnp.pi) / jnp.asarray(sample_rate, ns_re.dtype)
+          ) * centers[None, :, None] * t[None, None, :]      # (1, S, n)
+    cs, sn = jnp.cos(ph), jnp.sin(ph)
+    sr = (ns_re[:, None, :] * cs - ns_im[:, None, :] * sn).reshape(
+        p * s, n)
+    si = (ns_re[:, None, :] * sn + ns_im[:, None, :] * cs).reshape(
+        p * s, n)
+    pad = (-n) % SUPER
+    if pad:
+        sr = jnp.pad(sr, ((0, 0), (0, pad)))
+        si = jnp.pad(si, ((0, 0), (0, pad)))
+    b = (n + pad) // block_len
+    lmat, group = _needle_operator(sr, si, block_len)
+    span = fused_span(b, group, xcor_len)
+    h_ext = _haystack_extension(jnp.repeat(hs_re, s, axis=0),
+                                jnp.repeat(hs_im, s, axis=0),
+                                xcor_len, span)
+    ws1, ws2 = stein_synthesis_weights(rel, sample_rate, b, block_len)
+    if interpret:
+        vals, _ = _coarse_rank_xla(ws1, ws2, lmat, h_ext, b, group,
+                                   xcor_len)                 # (Kb, P*S)
+    else:
+        vals, _ = fused_stein_rank(ws1, ws2, lmat, h_ext, b, group,
+                                   xcor_len, want_idxs=False)
+    kb = rel.shape[0]
+    flat = vals.T.reshape(p, s * kb)                # bin = s_idx*Kb + j
+    flat = jnp.where(jnp.arange(s * kb)[None, :] < num_bins, flat,
+                     -jnp.inf)
+    return _batched_refine(ns_re, ns_im, hs_re, hs_im, freqs_pad, flat,
+                           sample_rate, xcor_len, backend)
 
 
 def _os_window_extensions(hs_re, hs_im, v: int, windows: int, span: int):
@@ -374,13 +436,31 @@ def batched_stein_peak(needles, haystacks, freqs_hz, sample_rate, *,
     ns_re, ns_im = splitfft.split_array(needles)
     hs_re, hs_im = splitfft.split_array(haystacks)
     freqs = np.asarray(freqs_hz, dtype=ns_re.dtype)
-    d = _pow2_block_len(sample_rate, freqs, block_len)
     n = ns_re.shape[-1]
     m = xcor_length(n)
     from caf_cookoff_tpu.ops.pallas_stein import FUSED_TILE
 
     if m % FUSED_TILE:
         raise ValueError(f"xcor length {m} not a multiple of {FUSED_TILE}")
+    interpret = jax.default_backend() == "cpu"
+    try:
+        d = _pow2_block_len(sample_rate, freqs, block_len)
+    except ValueError:
+        # Wide-span batch: band the grid, (pair, band) as the batch
+        # axis — same construction as the single-pair banded path.
+        from caf_cookoff_tpu.models.stein import _plan_bands
+
+        plan = _plan_bands(sample_rate, freqs) if refine else None
+        if plan is None:
+            raise
+        peak = _banded_batched_jit(
+            jnp.asarray(ns_re), jnp.asarray(ns_im), jnp.asarray(hs_re),
+            jnp.asarray(hs_im), jnp.asarray(plan["freqs_pad"]),
+            jnp.asarray(plan["centers"]), jnp.asarray(plan["rel"]),
+            float(sample_rate), m, plan["block_len"], backend,
+            len(freqs), interpret)
+        return (plan["freqs_pad"][np.asarray(peak.freq_idx)],
+                np.asarray(peak.lag_idx), np.asarray(peak.value))
     # Pad the NEEDLE to whole super-blocks (appended zero blocks add
     # nothing to any correlation); the haystack and M are untouched, so
     # lag semantics match the single-pair engine exactly.
@@ -388,7 +468,6 @@ def batched_stein_peak(needles, haystacks, freqs_hz, sample_rate, *,
     if pad:
         ns_re = np.pad(ns_re, ((0, 0), (0, pad)))
         ns_im = np.pad(ns_im, ((0, 0), (0, pad)))
-    interpret = jax.default_backend() == "cpu"
     peak = _batched_stein_peak_jit(
         jnp.asarray(ns_re), jnp.asarray(ns_im), jnp.asarray(hs_re),
         jnp.asarray(hs_im), jnp.asarray(freqs), float(sample_rate), m, d,

@@ -24,6 +24,8 @@ CASES = [
     (3, 4096, 96, 0, -100.0, 25.0, 8),          # grid edge bin
     (4, 512, 300, 15, -1000.0, 125.0, 16),      # last grid bin
     (5, 8192, 5000, 5, -50.0, 6.25, 16),        # long needle, fine grid
+    (6, 2048, 777, 9, -8000.0, 1000.0, 16),     # wide span (banded)
+    (7, 4096, 1234, 21, -5000.0, 250.0, 40),    # wide span, denser
 ]
 
 
