@@ -174,8 +174,11 @@ def config4_stream16():
         hays[b, lag:lag + n] += (needles[b] * np.exp(
             2j * np.pi * f_hz * t / FS)).astype(np.complex64)[: lags + n - lag]
         emitters.append((f_hz, lag))
-    # Correctness gate: every pair recovers its injected emitter.
-    fr, lg, _ = batched_stein_os_peak(needles, hays, freqs_np, FS)
+    # Correctness gate: every pair recovers its injected emitter —
+    # num_lags pinned so the gated and timed programs use the SAME
+    # window count (the default L-n+1 would be lags+1 -> one extra).
+    fr, lg, _ = batched_stein_os_peak(needles, hays, freqs_np, FS,
+                                      num_lags=lags)
     for b in range(pairs):
         assert (float(fr[b]), int(lg[b])) == emitters[b], (
             b, fr[b], lg[b], emitters[b])
@@ -189,7 +192,7 @@ def config4_stream16():
     def step(carry):
         pk = _batched_stein_os_jit.__wrapped__(
             ns[0] + carry, ns[1], hs[0], hs[1], freqs, FS, m, 16,
-            "matmul", windows, lags, interpret)
+            "matmul", windows, lags, n, interpret)
         return jnp.sum(pk.value) * 1e-30
 
     ms = _chain(step, lambda: jnp.float32(0), iters=4)

@@ -414,8 +414,15 @@ def cmd_batch(args) -> int:
     backend = _resolve_backend(args.backend)
     freqs = _grid(args).frequencies(np.float32)
     full = args.full_haystack and max(c_lens) > n
+    if any(len(c) < n for c in captures):
+        print("error: capture shorter than needle", file=sys.stderr)
+        return 2
     try:
         if full:
+            if any(len(c) <= n for c in captures):
+                print("error: --full-haystack needs every capture "
+                      "longer than the needle", file=sys.stderr)
+                return 2
             pad_to = max(c_lens)
             captures = [np.pad(c, (0, pad_to - len(c)))
                         for c in captures]
@@ -424,10 +431,6 @@ def cmd_batch(args) -> int:
                 backend=backend)
         else:
             captures = [c[:n] for c in captures]
-            if any(len(c) < n for c in captures):
-                print("error: capture shorter than needle",
-                      file=sys.stderr)
-                return 2
             fr, lg, vv = batched_stein_peak(
                 np.stack(needles), np.stack(captures), freqs, fs,
                 backend=backend)

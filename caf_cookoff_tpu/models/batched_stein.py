@@ -189,10 +189,13 @@ def _batched_stein_core(ns_re, ns_im, hs_re, hs_im, freqs_hz,
 
 
 def _batched_refine(ns_re, ns_im, hs_re, hs_im, freqs_all, vals_t,
-                    sample_rate, xcor_len: int, backend: str) -> CafPeak:
+                    sample_rate, xcor_len: int, backend: str,
+                    num_valid=None) -> CafPeak:
     """Per-pair exact top-k re-score of a (P, K) coarse ranking —
-    shared by the plain and banded batch paths."""
-    r = min(_REFINE_BINS, int(vals_t.shape[1]))
+    shared by the plain and banded batch paths.  ``num_valid`` caps the
+    candidate count so -inf padded bins never enter the re-score."""
+    r = min(_REFINE_BINS, int(vals_t.shape[1]),
+            num_valid or _REFINE_BINS)
     _, cand = jax.lax.top_k(vals_t, r)                       # (P, r)
 
     def rescore(nr, ni, hr, hi, fsel):
@@ -256,22 +259,25 @@ def _banded_batched_jit(ns_re, ns_im, hs_re, hs_im, freqs_pad, centers,
     b = (n + pad) // block_len
     lmat, group = _needle_operator(sr, si, block_len)
     span = fused_span(b, group, xcor_len)
-    h_ext = _haystack_extension(jnp.repeat(hs_re, s, axis=0),
-                                jnp.repeat(hs_im, s, axis=0),
-                                xcor_len, span)
+    # ONE extension per pair: the kernel's share_h index map hands the
+    # same slice to all of a pair's band programs (no x S HBM copies).
+    h_ext = _haystack_extension(hs_re, hs_im, xcor_len, span)
     ws1, ws2 = stein_synthesis_weights(rel, sample_rate, b, block_len)
     if interpret:
-        vals, _ = _coarse_rank_xla(ws1, ws2, lmat, h_ext, b, group,
-                                   xcor_len)                 # (Kb, P*S)
+        vals, _ = _coarse_rank_xla(ws1, ws2, lmat,
+                                   jnp.repeat(h_ext, s, axis=0), b,
+                                   group, xcor_len)          # (Kb, P*S)
     else:
         vals, _ = fused_stein_rank(ws1, ws2, lmat, h_ext, b, group,
-                                   xcor_len, want_idxs=False)
+                                   xcor_len, want_idxs=False,
+                                   share_h=s)
     kb = rel.shape[0]
     flat = vals.T.reshape(p, s * kb)                # bin = s_idx*Kb + j
     flat = jnp.where(jnp.arange(s * kb)[None, :] < num_bins, flat,
                      -jnp.inf)
     return _batched_refine(ns_re, ns_im, hs_re, hs_im, freqs_pad, flat,
-                           sample_rate, xcor_len, backend)
+                           sample_rate, xcor_len, backend,
+                           num_valid=num_bins)
 
 
 def _os_window_extensions(hs_re, hs_im, v: int, windows: int, span: int):
@@ -298,10 +304,10 @@ def _os_window_extensions(hs_re, hs_im, v: int, windows: int, span: int):
 @functools.partial(
     jax.jit,
     static_argnames=("xcor_len", "block_len", "backend", "windows",
-                     "total_lags", "interpret"))
+                     "total_lags", "needle_len", "interpret"))
 def _batched_stein_os_jit(ns_re, ns_im, hs_re, hs_im, freqs_hz,
                           sample_rate, xcor_len, block_len, backend,
-                          windows: int, total_lags: int,
+                          windows: int, total_lags: int, needle_len: int,
                           interpret: bool):
     """Coarse windowed scan + on-device top-k exact refinement."""
     from caf_cookoff_tpu.ops.pallas_stein import (
@@ -346,9 +352,16 @@ def _batched_stein_os_jit(ns_re, ns_im, hs_re, hs_im, freqs_hz,
     best_bin = jnp.argmax(vals_t, axis=-1)               # (P,)
     best_lag = jnp.take_along_axis(rowlag.T, best_bin[:, None],
                                    axis=1)[:, 0]         # (P,)
-    n = ns_re.shape[-1]
+    # Slice the ORIGINAL needle length (ns planes carry SUPER padding):
+    # a padded-length window would overrun short captures and, for
+    # small needles, wrap real samples through the M-point circular
+    # correlation instead of the implicit zero tail.  The near-tie
+    # guard must stay well under the needle length or the window
+    # shifts off the emitter entirely.
+    n = needle_len
     hay_len = hs_re.shape[-1]
-    start = jnp.clip(best_lag - 64, 0, max(hay_len - n, 0))
+    guard = min(64, n // 4)
+    start = jnp.clip(best_lag - guard, 0, max(hay_len - n, 0))
 
     def rescore(nr, ni, hr, hi, s, fsel):
         wr = jax.lax.dynamic_slice(hr, (s,), (n,))
@@ -411,7 +424,7 @@ def batched_stein_os_peak(needles, haystacks, freqs_hz, sample_rate, *,
     peak = _batched_stein_os_jit(
         jnp.asarray(ns_re), jnp.asarray(ns_im), jnp.asarray(hs_re),
         jnp.asarray(hs_im), jnp.asarray(freqs), float(sample_rate), m, d,
-        backend, windows, total_lags, interpret)
+        backend, windows, total_lags, n, interpret)
     return (freqs[np.asarray(peak.freq_idx)], np.asarray(peak.lag_idx),
             np.asarray(peak.value))
 

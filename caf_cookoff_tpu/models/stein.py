@@ -191,12 +191,20 @@ def _stein_peak_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate,
 
 
 def _refine_topk(needle, haystack, freqs_all, rowmax_coarse, sample_rate,
-                 xcor_len: int, backend: str) -> CafPeak:
+                 xcor_len: int, backend: str,
+                 num_valid: Optional[int] = None) -> CafPeak:
     """Exact top-k re-score of the coarse per-bin ranking (the
-    rank-then-score closer shared by the plain and banded paths)."""
+    rank-then-score closer shared by the plain and banded paths).
+
+    ``num_valid`` caps the candidate count when the ranking vector
+    carries -inf padded bins (banded grids): without it, a grid smaller
+    than the refine width would let padded bins into the exact re-score
+    and the returned frequency could lie outside the requested grid.
+    """
     from caf_cookoff_tpu.models.filterbank import _surface_rows_split
 
-    k = min(_REFINE_BINS, rowmax_coarse.shape[0])
+    k = min(_REFINE_BINS, int(rowmax_coarse.shape[0]),
+            num_valid or _REFINE_BINS)
     _, cand = jax.lax.top_k(rowmax_coarse, k)
     exact = splitfft.mag2(_surface_rows_split(
         needle, haystack, freqs_all[cand], sample_rate, xcor_len,
@@ -245,65 +253,20 @@ def _plan_bands(sample_rate: float, freqs_hz: np.ndarray):
             "centers": centers, "rel": rel}
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("xcor_len", "block_len", "backend", "num_bins",
-                     "interpret"))
 def _banded_stein_peak_jit(n_re, n_im, h_re, h_im, freqs_pad, centers,
                            rel, sample_rate, xcor_len, block_len,
                            backend, num_bins, interpret):
-    """Wide-span Stein: band centers as the batch axis.
+    """Wide-span Stein for ONE pair: the P=1 case of the banded batch
+    engine (``models/batched_stein._banded_batched_jit`` — band centers
+    become the fused kernel's batch axis via ``share_h``)."""
+    from caf_cookoff_tpu.models.batched_stein import _banded_batched_jit
 
-    Frequency-shifting the needle to a band center then searching the
-    RELATIVE grid is exactly the absolute-frequency filterbank (shift
-    composition is exact); only the segmented coarse approximation is
-    per-band.  All bands share one relative grid, so the sweep is one
-    batched fused-kernel call (bands = pairs); the exact top-k re-score
-    runs on absolute frequencies as usual.
-    """
-    from caf_cookoff_tpu.models.batched_stein import (
-        _coarse_rank_xla,
-        _haystack_extension,
-        _needle_operator,
-    )
-    from caf_cookoff_tpu.ops.pallas_stein import (
-        SUPER,
-        fused_span,
-        fused_stein_rank,
-        stein_synthesis_weights,
-    )
-
-    s = centers.shape[0]
-    n = n_re.shape[-1]
-    t = jnp.arange(n, dtype=n_re.dtype)
-    ph = ((2.0 * jnp.pi) / jnp.asarray(sample_rate, n_re.dtype)
-          ) * centers[:, None] * t[None, :]
-    cs, sn = jnp.cos(ph), jnp.sin(ph)
-    ns_re = n_re[None] * cs - n_im[None] * sn
-    ns_im = n_re[None] * sn + n_im[None] * cs
-    pad = (-n) % SUPER
-    if pad:
-        ns_re = jnp.pad(ns_re, ((0, 0), (0, pad)))
-        ns_im = jnp.pad(ns_im, ((0, 0), (0, pad)))
-    b = (n + pad) // block_len
-    lmat, group = _needle_operator(ns_re, ns_im, block_len)
-    span = fused_span(b, group, xcor_len)
-    h_ext = _haystack_extension(
-        jnp.broadcast_to(h_re[None], (s, h_re.shape[-1])),
-        jnp.broadcast_to(h_im[None], (s, h_im.shape[-1])),
-        xcor_len, span)
-    ws1, ws2 = stein_synthesis_weights(rel, sample_rate, b, block_len)
-    if interpret:
-        vals, _ = _coarse_rank_xla(ws1, ws2, lmat, h_ext, b, group,
-                                   xcor_len)            # (Kb, S)
-    else:
-        vals, _ = fused_stein_rank(ws1, ws2, lmat, h_ext, b, group,
-                                   xcor_len, want_idxs=False)
-    flat = vals.T.reshape(-1)                           # bin = s*Kb + j
-    flat = jnp.where(jnp.arange(flat.shape[0]) < num_bins, flat,
-                     -jnp.inf)
-    return _refine_topk((n_re, n_im), (h_re, h_im), freqs_pad, flat,
-                        sample_rate, xcor_len, backend)
+    peak = _banded_batched_jit(
+        n_re[None], n_im[None], h_re[None], h_im[None], freqs_pad,
+        centers, rel, sample_rate, xcor_len, block_len, backend,
+        num_bins, interpret)
+    return CafPeak(value=peak.value[0], freq_idx=peak.freq_idx[0],
+                   lag_idx=peak.lag_idx[0])
 
 
 def _auto_block_len(sample_rate: float, freqs_hz: np.ndarray,

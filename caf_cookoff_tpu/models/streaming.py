@@ -185,6 +185,7 @@ class StreamingCAF:
             self._bw = (jnp.zeros(self._needle_pad, rdt),
                         jnp.zeros(self._needle_pad, rdt))
             self._bw_start = jnp.asarray(0, jnp.int32)
+            self._pending = (np.zeros(0, rdt), np.zeros(0, rdt))
         else:
             sc = jax.jit(
                 needle_spectra_conj, static_argnames=("fft_len", "backend")
@@ -230,6 +231,31 @@ class StreamingCAF:
         if self._chunk_len is None:
             self._chunk_len = valid
         fixed = self._chunk_len
+        if self._stein:
+            # The fused kernel's per-bin (max, argmax) cannot be masked
+            # per-lag after the fact: a bin whose argmax fell in a
+            # zero-padded region would be dropped along with its valid
+            # peak.  So stein mode processes only FULL chunks and
+            # buffers remainders; best() flushes the tail, where
+            # masking is semantically right (lags past capture end).
+            pend = self._pending
+            pend = (np.concatenate([pend[0], np.asarray(ch_re)]),
+                    np.concatenate([pend[1], np.asarray(ch_im)]))
+            best = None
+            while pend[0].shape[-1] >= fixed:
+                local = self._step(pend[0][:fixed], pend[1][:fixed])
+                if best is None or local[2] > best[2]:
+                    best = local
+                pend = (pend[0][fixed:], pend[1][fixed:])
+            self._pending = pend
+            if best is None:
+                # Nothing processed this call (all buffered): no new
+                # local peak — report the running coarse best WITHOUT
+                # flushing the buffer (only best() may flush).
+                return (float(self._freqs[int(self._best.freq_idx)]),
+                        int(self._best.lag_idx),
+                        float(self._best.value))
+            return best
         if valid > fixed:
             # Oversized chunk: process in slices; the reported local
             # peak is the best across ALL slices (the documented
@@ -282,8 +308,15 @@ class StreamingCAF:
         In stein mode the coarse running best only RANKED bins; the
         carried best window is re-scored here with exact filterbank
         rows (the rank-then-score contract), restoring bin-exact
-        frequency and lag.
+        frequency and lag.  Any buffered tail samples (short final
+        chunk) are flushed first — masking past-the-end lags is exact
+        at stream end.
         """
+        if self._stein and self._pending[0].shape[-1]:
+            pend = self._pending
+            self._pending = (np.zeros(0, pend[0].dtype),
+                             np.zeros(0, pend[1].dtype))
+            self._step(pend[0], pend[1])
         if not self._stein or not np.isfinite(float(self._best.value)):
             return (float(self._freqs[int(self._best.freq_idx)]),
                     int(self._best.lag_idx), float(self._best.value))

@@ -150,11 +150,11 @@ def fused_span(num_blocks: int, group: int, num_lags: int,
 @functools.partial(
     jax.jit,
     static_argnames=("num_blocks", "group", "num_lags", "interpret",
-                     "a_chunks", "want_idxs", "windows"))
+                     "a_chunks", "want_idxs", "windows", "share_h"))
 def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, group: int,
                      num_lags: int, interpret: bool = False,
                      a_chunks: int = 4, want_idxs: bool = True,
-                     windows: int = 1):
+                     windows: int = 1, share_h: int = 1):
     """Per-(pair, bin) (max |R|^2, arg lag) — fully fused batch engine.
 
     ``lmat``: (P, 2B, 2*SUPER) stacked needle-tap operator (Gr rows then
@@ -169,12 +169,19 @@ def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, group: int,
     ``windows`` consecutive overlap-save lag windows as separate grid
     programs, all sharing the pair's needle operator (program ``i``
     reads ``lmat[i // windows]``); lag indices are window-local.
+    ``share_h > 1`` is the dual (banded mode): ``share_h`` consecutive
+    programs (one per band) share one haystack slice (program ``i``
+    reads ``h_ext[i // share_h]``) with distinct needle operators — no
+    HBM duplication of the capture per band.  Mutually exclusive.
     """
+    if windows > 1 and share_h > 1:
+        raise ValueError("windows and share_h are mutually exclusive")
     k, b2 = ws1.shape
-    p_eff = h_ext.shape[0]
-    if lmat.shape[0] * windows != p_eff:
-        raise ValueError(f"{lmat.shape[0]} pairs x {windows} windows != "
-                         f"{p_eff} h_ext slices")
+    p_eff = max(h_ext.shape[0] * share_h, lmat.shape[0] * windows)
+    if lmat.shape[0] * windows != h_ext.shape[0] * share_h:
+        raise ValueError(
+            f"{lmat.shape[0]} operators x {windows} windows != "
+            f"{h_ext.shape[0]} h_ext slices x {share_h} bands")
     pad = (-k) % ROW_PAD
     if pad:
         ws1 = jnp.pad(ws1, ((0, pad), (0, 0)))
@@ -202,7 +209,8 @@ def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, group: int,
             pl.BlockSpec((1, b2, 2 * SUPER),
                          lambda i: (i // windows, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, span + SUPER - 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 2, span + SUPER - 1),
+                         lambda i: (i // share_h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(

@@ -52,10 +52,10 @@ def _make_step(backend: str, sample_rate: float, xcor_len: int,
         try:
             block_len = _auto_block_len(sample_rate, grid_hint, block_len)
         except ValueError:
-            from caf_cookoff_tpu.models.stein import (
-                _banded_stein_peak_jit,
-                _plan_bands,
+            from caf_cookoff_tpu.models.batched_stein import (
+                _banded_batched_jit,
             )
+            from caf_cookoff_tpu.models.stein import _plan_bands
 
             plan = _plan_bands(sample_rate, grid_hint) if refine else None
             if plan is None or xcor_len % 512:
@@ -66,11 +66,11 @@ def _make_step(backend: str, sample_rate: float, xcor_len: int,
             num_bins = len(grid_hint)
 
             def step(carry, n_re, n_im, h_re, h_im, freqs):
-                pk = _banded_stein_peak_jit.__wrapped__(
-                    n_re + carry, n_im, h_re, h_im, fp, ce, rel,
-                    sample_rate, xcor_len, plan["block_len"], inner,
-                    num_bins, not on_tpu)
-                return pk.value
+                pk = _banded_batched_jit.__wrapped__(
+                    (n_re + carry)[None], n_im[None], h_re[None],
+                    h_im[None], fp, ce, rel, sample_rate, xcor_len,
+                    plan["block_len"], inner, num_bins, not on_tpu)
+                return pk.value[0]
 
             return step
         d_f = floor_pow2(min(block_len, 128))

@@ -184,3 +184,52 @@ def test_batched_shape_validation(grid):
     with pytest.raises(ValueError):
         batched_stein_peak(np.zeros((2, 64), np.complex64),
                            np.zeros((3, 64), np.complex64), grid, FS)
+
+
+def test_batched_os_small_needle_and_short_capture():
+    """Review regressions: the OS refine slices the ORIGINAL needle
+    length (not the SUPER-padded one) — a 64-sample needle (padded to
+    128) must not wrap real samples through the M-point re-score, and a
+    capture barely longer than the needle must not overrun."""
+    from caf_cookoff_tpu.models.batched_stein import batched_stein_os_peak
+
+    rng = np.random.default_rng(17)
+    n, total, lag, f_true = 64, 4096 + 50, 3000, 750.0
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = (1e-4 * (rng.standard_normal(total)
+                   + 1j * rng.standard_normal(total))).astype(np.complex64)
+    hay[lag:lag + n] += (needle * np.exp(
+        2j * np.pi * f_true * np.arange(n) / FS)).astype(np.complex64)
+    freqs = np.arange(-1500.0, 1500.0, 375.0, dtype=np.float32)
+    # A 64-sample needle's doppler mainlobe (fs/n = 750 Hz) spans two
+    # grid steps, so assert parity with the EXACT engine, not the
+    # injection (both can legitimately settle on a neighboring cell).
+    from caf_cookoff_tpu.models.overlap_save import overlap_save_peak
+
+    want = overlap_save_peak(needle, hay, freqs, FS, backend="xla")
+    fr, lg, _ = batched_stein_os_peak(needle[None], hay[None], freqs, FS)
+    assert (float(fr[0]), int(lg[0])) == want[:2]
+    # capture barely longer than needle (dynamic_slice bound check)
+    short = hay[: n + 8]
+    fr2, lg2, _ = batched_stein_os_peak(needle[None], short[None],
+                                        freqs, FS)
+    assert int(lg2[0]) < n + 8
+
+
+def test_banded_tiny_grid_stays_on_grid():
+    """A wide-span grid SMALLER than the refine width: padded bins must
+    never reach the exact re-score (returned freq stays on the grid)."""
+    from caf_cookoff_tpu.models.stein import stein_caf_peak
+
+    rng = np.random.default_rng(18)
+    n = 1024
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    # Emitter just past the last requested bin: the answer must still
+    # be one of the 5 requested frequencies.
+    hay = (needle * np.exp(
+        2j * np.pi * 7400.0 * np.arange(n) / FS)).astype(np.complex64)
+    freqs = np.arange(-5000.0, 7000.0, 2400.0, dtype=np.float32)  # 5 bins
+    freq, _, _ = stein_caf_peak(needle, hay, freqs, FS)
+    assert freq in [float(f) for f in freqs]
