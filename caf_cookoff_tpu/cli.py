@@ -206,7 +206,7 @@ def cmd_run(args) -> int:
     windowed_note = False
     if full:
         total_lags = len(haystack) - n + 1
-        if want_artifacts and len(freqs) * total_lags <= 2 ** 27:
+        if want_artifacts and len(freqs) * total_lags <= 2 ** 26:
             from caf_cookoff_tpu.models.overlap_save import (
                 overlap_save_surface,
             )
