@@ -10,12 +10,12 @@ engine restructures the whole batch around two MXU-shaped stages:
   is a D-tap cross-correlation — and at D = 64 direct evaluation
   (D MACs/lag) beats any FFT factorization (~(n1+n2) MACs/lag at
   M = 8192), so the FFTs of the single-pair engine (``models/stein.py``)
-  disappear entirely.  Blocks are grouped into 128-sample super-blocks
-  (every extraction offset downstream is lane-tile-aligned) and the
-  whole stage is one stacked (2B, 2*SUPER) x (2*SUPER, span) matmul
-  against shifted-haystack Hankel rows.  (An ``lax.conv`` formulation
-  of the same math lowered pathologically on TPU — 53.6 ms for the
-  64-pair batch — hence the explicit operator.)
+  disappear entirely.  Block ``b``'s correlations land at staircase
+  column ``b*D + tau`` and the whole stage is one stacked dense
+  (2B, 2*D) x (2*D, span) matmul against shifted-haystack Hankel rows.
+  (An ``lax.conv`` formulation of the same math lowered pathologically
+  on TPU — 53.6 ms for the 64-pair batch — hence the explicit
+  operator.)
 
 * **Stage B — fused kernel** (``ops/pallas_stein.fused_stein_rank``):
   one program per pair runs BOTH stages in VMEM — Hankel rows built
@@ -58,7 +58,7 @@ def _pow2_block_len(sample_rate: float, freqs_hz: np.ndarray,
                     requested: int) -> int:
     """Largest power-of-two block length within the sinc-envelope limit
     (:func:`caf_cookoff_tpu.models.stein._auto_block_len`), capped at
-    ``SUPER`` so super-blocks tile the 128-lane axis."""
+    ``SUPER`` so SUPER-padded needles split into whole blocks."""
     d = floor_pow2(min(_auto_block_len(sample_rate, freqs_hz, requested),
                        SUPER))
     if d < 8:
@@ -67,35 +67,27 @@ def _pow2_block_len(sample_rate: float, freqs_hz: np.ndarray,
 
 
 def _needle_operator(ns_re, ns_im, d: int):
-    """(P, 2B, 2*SUPER) stacked needle-tap operator for stage A.
+    """(P, 2B, 2*D) DENSE needle-tap operator for stage A.
 
     Row layout: rows [0, B) produce Re(G), rows [B, 2B) Im(G); columns
-    [0, SUPER) act on shifted-haystack real rows, [SUPER, 2*SUPER) on
-    imaginary rows.  Block ``b`` (inside super-block ``s = b // group``,
-    group = SUPER // D) occupies taps [(b % group)*D, (b % group+1)*D),
-    so ``G[b, tau]`` lands at staircase column ``s*SUPER + tau`` — every
-    downstream extraction offset is lane-tile-aligned.  Needles must
-    already be padded to whole super-blocks.
+    [0, D) act on shifted-haystack real rows, [D, 2*D) on imaginary
+    rows.  Block ``b``'s correlations land at staircase column
+    ``b*D + tau`` (the per-block staircase — the kernel's un-shear
+    handles the 64-aligned offsets; an earlier super-block layout
+    zero-padded each row to 128 taps and paid 2x the stage-A MACs at
+    D = 64).  Needles must already be padded to whole blocks.
+    Returns ``(lmat, D)`` — the second element rides to the kernel's
+    ``sup`` argument.
     """
     p, n_pad = ns_re.shape
     b = n_pad // d
-    group = SUPER // d
-    n_super = b // group
-
-    def grouped(x):
-        blocks = x.reshape(p, n_super, group, d)
-        eye = jnp.eye(group, dtype=x.dtype)
-        # out[p, s, q, g, :] nonzero only where q == g
-        t = blocks[:, :, :, None, :] * eye[None, None, :, :, None]
-        return t.reshape(p, b, SUPER)
-
-    tr = grouped(ns_re)                      # Re(conj n) = nr
-    ti = grouped(-ns_im)                     # Im(conj n) = -ni
+    tr = ns_re.reshape(p, b, d)              # Re(conj n) = nr
+    ti = (-ns_im).reshape(p, b, d)           # Im(conj n) = -ni
     # G = sum conj(n)*h: Gr = nr.hr + ni.hi = tr.hr + (-ti).hi;
     #                    Gi = nr.hi - ni.hr = ti.hr + tr.hi.
-    top = jnp.concatenate([tr, -ti], axis=2)   # (P, B, 2*SUPER) Gr rows
+    top = jnp.concatenate([tr, -ti], axis=2)   # (P, B, 2*D) Gr rows
     bot = jnp.concatenate([ti, tr], axis=2)    # Gi rows
-    return jnp.concatenate([top, bot], axis=1), group
+    return jnp.concatenate([top, bot], axis=1), d
 
 
 def _haystack_extension(hs_re, hs_im, m: int, span: int):
@@ -103,8 +95,10 @@ def _haystack_extension(hs_re, hs_im, m: int, span: int):
 
     The M-point FFT correlation of the single-pair engine indexes h
     mod M (zeros in [N, M)); staircase column c reads samples
-    [c, c+SUPER), so the extension tiles the zero-padded period.
-    Columns past the masked lag range are never consumed.
+    [c, c+block_len), so the extension tiles the zero-padded period.
+    Columns past the masked lag range are never consumed.  (The buffer
+    keeps the kernel's span+SUPER-1 sizing contract even when
+    block_len < SUPER.)
     """
     p, n_h = hs_re.shape
     need = span + SUPER - 1
@@ -118,28 +112,26 @@ def _haystack_extension(hs_re, hs_im, m: int, span: int):
     return jnp.stack([circ(hs_re), circ(hs_im)], axis=1)
 
 
-def _coarse_rank_xla(ws1, ws2, lmat, h_ext, b: int, group: int,
+def _coarse_rank_xla(ws1, ws2, lmat, h_ext, b: int, sup: int,
                      num_lags: int):
     """Pure-XLA twin of ops/pallas_stein.fused_stein_rank — the CPU
-    (and numerical-reference) path: same math, same staircase layout,
-    materialized in HBM instead of VMEM."""
+    (and numerical-reference) path: same math, same per-block staircase
+    layout, materialized in HBM instead of VMEM."""
     from caf_cookoff_tpu.ops.pallas_stein import FUSED_TILE
 
     span = h_ext.shape[-1] - (SUPER - 1)
     hank = jnp.concatenate([
-        jnp.stack([h_ext[:, 0, e:e + span] for e in range(SUPER)], axis=1),
-        jnp.stack([h_ext[:, 1, e:e + span] for e in range(SUPER)], axis=1),
-    ], axis=1)                                        # (P, 2*SUPER, span)
+        jnp.stack([h_ext[:, 0, e:e + span] for e in range(sup)], axis=1),
+        jnp.stack([h_ext[:, 1, e:e + span] for e in range(sup)], axis=1),
+    ], axis=1)                                        # (P, 2*sup, span)
     co = jnp.einsum("pbe,pes->pbs", lmat, hank)       # (P, 2B, span)
     m_pad = -(-num_lags // FUSED_TILE) * FUSED_TILE
-    n_super = b // group
-    g_top = jnp.concatenate(
-        [co[:, s * group:(s + 1) * group, s * SUPER:s * SUPER + m_pad]
-         for s in range(n_super)], axis=1)
-    g_bot = jnp.concatenate(
-        [co[:, b + s * group:b + (s + 1) * group,
-            s * SUPER:s * SUPER + m_pad]
-         for s in range(n_super)], axis=1)
+    g_top = jnp.stack(
+        [co[:, blk, blk * sup:blk * sup + m_pad] for blk in range(b)],
+        axis=1)
+    g_bot = jnp.stack(
+        [co[:, b + blk, blk * sup:blk * sup + m_pad] for blk in range(b)],
+        axis=1)
     g = jnp.concatenate([g_top, g_bot], axis=1)       # (P, 2B, m_pad)
     rr = jnp.einsum("kb,pbm->pkm", ws1, g)
     ri = jnp.einsum("kb,pbm->pkm", ws2, g)

@@ -174,10 +174,10 @@ class StreamingCAF:
             self._needle_pad = self.needle_len + pad
             self._n_planes = (jnp.asarray(np_re), jnp.asarray(np_im))
             self._num_blocks = self._needle_pad // self._block_len
-            self._group = SUPER // self._block_len
-            # One-time eager build (host-sized: (1, 2B, 2*SUPER)).
-            self._lmat, _ = _needle_operator(np_re[None], np_im[None],
-                                             self._block_len)
+            # One-time eager build (host-sized: (1, 2B, 2*D)); the
+            # second return rides to the kernel's ``sup`` argument.
+            self._lmat, self._group = _needle_operator(
+                np_re[None], np_im[None], self._block_len)
             self._ws = stein_synthesis_weights(
                 jnp.asarray(self._freqs), self.sample_rate,
                 self._num_blocks, self._block_len)

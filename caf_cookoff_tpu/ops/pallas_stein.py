@@ -8,9 +8,10 @@ pair-sized in VMEM.  Per pair (one grid program):
 1. **Stage A** — segment correlations as a direct MXU dot: Hankel rows
    (shifted copies of the ~100 KB haystack extension) are built in
    scratch slab-wise and contracted against the stacked needle-tap
-   operator, (2B, 2*SUPER) x (2*SUPER, span) — no FFTs at all (direct
+   operator, (2B, 2*D) x (2*D, span) — no FFTs at all (direct
    D-tap correlation beats any transform at D <= 128).
-2. **Staircase un-shear** into a lane-aligned G buffer.
+2. **Per-block staircase un-shear** into a lane-contiguous G buffer
+   (one row copy per block; Mosaic handles the 64-aligned offsets).
 3. **Synthesis + rank** — per lag tile, the two stacked split-complex
    matmuls
 
@@ -20,10 +21,20 @@ pair-sized in VMEM.  Per pair (one grid program):
    with the |.|^2 / per-bin-max epilogue folded in VMEM; only (K,)
    values (and optionally lag indices) reach HBM.
 
+Layout note (round-2 optimization): the original design grouped blocks
+into 128-sample super-blocks so every staircase offset was lane-tile
+aligned — at the cost of zero-padding each operator row to 128 taps
+(HALF the stage-A MACs multiplied structural zeros at D = 64) and a
+16-row slab build over the padded width.  The per-block staircase
+(block ``b``'s correlations land at column ``b*D + tau``) drops the
+zeros entirely: stage A is a dense depth-2D dot, the Hankel scratch
+halves, and the un-shear becomes one row copy per block — measured
+cheap (sub-microsecond granularity deltas) since same-sublane row
+copies need no sublane rotation.
+
 Exactness comes from the engines' top-k re-score (rank-then-score);
-the kernel itself runs at bf16 MXU rate.  Measured v5e standings:
-0.0163 ms/surface at batch 64 (config 2, ~90% bf16 peak), 42.7 us at
-P=1 vs 58.6 us for the XLA coarse path."""
+the kernel itself runs at bf16 MXU rate.  Measured v5e standings are
+in README.md's round-2 tables."""
 
 from __future__ import annotations
 
@@ -37,8 +48,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BIG_IDX = np.int32(2**30)
 
-ROW_PAD = 128   # K padded to a multiple of this (f32 sublane-friendly)
-SUPER = 128     # super-block width = the TPU lane tile
+ROW_PAD = 16    # K padded to a multiple of this (bf16 sublane tile; the
+                # old 128 wasted 28% of stage B at the K=400 grid)
+SUPER = 128     # lane tile: h_ext padding + stage-A chunk quantum
 FUSED_TILE = 512  # stage-B lag tile (512 lanes x K-padded rows ~2 MB)
 _SEED_ROWS = 16  # bf16 sublane tile: Hankel rows are built 16 at a time
 
@@ -46,7 +58,7 @@ _SEED_ROWS = 16  # bf16 sublane tile: Hankel rows are built 16 at a time
 def _fused_stein_kernel(ws1_ref, ws2_ref, l_ref, h_ref, vals_ref,
                         idxs_ref, co_ref, hank_ref, seed_ref, g_ref,
                         vacc_ref, iacc_ref, *, num_blocks: int,
-                        group: int, tile: int, num_chunks: int,
+                        sup: int, tile: int, num_chunks: int,
                         num_lags: int, span: int, a_chunks: int,
                         want_idxs: bool):
     """One program = one pair, the ENTIRE Stein pipeline in VMEM.
@@ -54,34 +66,32 @@ def _fused_stein_kernel(ws1_ref, ws2_ref, l_ref, h_ref, vals_ref,
     Stage A builds the Hankel operator rows (shifted copies of the
     ~100 KB haystack extension — the only HBM read that scales with M)
     in scratch and computes ALL segment correlations with one stacked
-    (2B, 2*SUPER) x (2*SUPER, span) MXU dot per column chunk.  The
-    Hankel build is slab-wise: 16 seed rows (consecutive single-sample
-    shifts), then every further 16-row slab is a lane-shifted copy of
-    the seed — 24 ops per plane per chunk instead of 128 single-row
-    ops that waste most of the VPU's sublanes (measured 77 -> 16
-    us/pair together with the argmax skip).  The staircase is then
-    un-sheared ONCE into an aligned G
-    buffer, and stage B is contiguous synthesis + |.|^2/per-bin-max
-    over G tiles.  Nothing pair-sized ever touches HBM: the XLA
-    grouped-conv stage A this replaces measured 53.6 ms for 64 pairs.
+    (2B, 2*D) x (2*D, span) MXU dot per column chunk.  The Hankel
+    build is slab-wise: ``sr`` seed rows (consecutive single-sample
+    shifts), then every further ``sr``-row slab is a lane-shifted copy
+    of the seed.  The per-block staircase is then un-sheared ONCE into
+    a contiguous G buffer (row ``b`` reads columns ``b*D + tau``), and
+    stage B is contiguous synthesis + |.|^2/per-bin-max over G tiles.
+    Nothing pair-sized ever touches HBM: the XLA grouped-conv stage A
+    this replaces measured 53.6 ms for 64 pairs.
     ``want_idxs=False`` (the rank-then-score path, where the refine
     stage re-derives the lag) skips the per-bin argmax pass.
     """
     cdtype = co_ref.dtype
     a_w = span // a_chunks
-    sr = _SEED_ROWS
+    sr = min(_SEED_ROWS, sup)
     # Valid seed width: slab k reads seed cols [sr*k, sr*k + a_w), max
-    # start sr*(SUPER//sr - 1) = SUPER - sr — so the last seed row's
-    # read ends exactly at h_ext's final sample (span + SUPER - 2).
-    wv = a_w + SUPER - sr
+    # start sr*(sup//sr - 1) = sup - sr — so the last seed row's read
+    # ends exactly at h_ext's final needed sample (span + sup - 2).
+    wv = a_w + sup - sr
     for a in range(a_chunks):
         c0 = a * a_w
         for plane in range(2):
-            base = plane * SUPER
+            base = plane * sup
             for r in range(sr):
                 seed_ref[r, :wv] = h_ref[0, plane,
                                          c0 + r:c0 + r + wv].astype(cdtype)
-            for k in range(SUPER // sr):
+            for k in range(sup // sr):
                 hank_ref[base + sr * k:base + sr * (k + 1), :] = \
                     seed_ref[:, sr * k:sr * k + a_w]
         z = jnp.dot(l_ref[0], hank_ref[:],
@@ -89,14 +99,12 @@ def _fused_stein_kernel(ws1_ref, ws2_ref, l_ref, h_ref, vals_ref,
         co_ref[:, c0:c0 + a_w] = z.astype(cdtype)
 
     b = num_blocks
-    n_super = b // group
     m_pad = num_chunks * tile
-    for s in range(n_super):
-        r0 = s * group
-        src = s * SUPER
-        g_ref[r0:r0 + group, :] = co_ref[r0:r0 + group, src:src + m_pad]
-        g_ref[b + r0:b + r0 + group, :] = co_ref[b + r0:b + r0 + group,
-                                                 src:src + m_pad]
+    for blk in range(b):
+        src = blk * sup
+        g_ref[blk:blk + 1, :] = co_ref[blk:blk + 1, src:src + m_pad]
+        g_ref[b + blk:b + blk + 1, :] = co_ref[b + blk:b + blk + 1,
+                                               src:src + m_pad]
     for c in range(num_chunks):
         coff = c * tile
         gs = g_ref[:, coff:coff + tile]
@@ -135,35 +143,35 @@ def _fused_stein_kernel(ws1_ref, ws2_ref, l_ref, h_ref, vals_ref,
     idxs_ref[:] = jnp.where(mine, iacc_ref[:], idxs_ref[:])
 
 
-def fused_span(num_blocks: int, group: int, num_lags: int,
+def fused_span(num_blocks: int, sup: int, num_lags: int,
                a_chunks: int = 4) -> int:
-    """Column span of the staircase layout, padded so stage-A chunks
-    stay lane-aligned: callers size the haystack extension to
-    ``span + SUPER - 1`` samples."""
-    n_super = num_blocks // group
+    """Column span of the per-block staircase layout (block ``b`` at
+    column ``b*sup``), padded so stage-A chunks stay lane-aligned:
+    callers size the haystack extension to ``span + SUPER - 1``
+    samples (the kernel reads at most ``span + sup - 1``)."""
     m_pad = -(-num_lags // FUSED_TILE) * FUSED_TILE
-    span = (n_super - 1) * SUPER + m_pad
+    span = (num_blocks - 1) * sup + m_pad
     quantum = a_chunks * SUPER
     return -(-span // quantum) * quantum
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_blocks", "group", "num_lags", "interpret",
+    static_argnames=("num_blocks", "sup", "num_lags", "interpret",
                      "a_chunks", "want_idxs", "windows", "share_h"))
-def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, group: int,
+def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, sup: int,
                      num_lags: int, interpret: bool = False,
                      a_chunks: int = 4, want_idxs: bool = True,
                      windows: int = 1, share_h: int = 1):
     """Per-(pair, bin) (max |R|^2, arg lag) — fully fused batch engine.
 
-    ``lmat``: (P, 2B, 2*SUPER) stacked needle-tap operator (Gr rows then
-    Gi rows; see models/batched_stein.py); ``h_ext``: (P*windows, 2,
-    span+127) haystack extensions; ``ws1``/``ws2``: (K, 2B) synthesis
-    weights.  Returns ((K, P*windows) values, (K, P*windows) lag
-    indices — zeros when ``want_idxs=False``, the rank-then-score path
-    where the refine stage re-derives lags and the argmax pass is dead
-    weight).
+    ``lmat``: (P, 2B, 2*sup) dense needle-tap operator (Gr rows then
+    Gi rows; see models/batched_stein.py), ``sup`` = block length;
+    ``h_ext``: (P*windows, 2, span+127) haystack extensions; ``ws1``/
+    ``ws2``: (K, 2B) synthesis weights.  Returns ((K, P*windows)
+    values, (K, P*windows) lag indices — zeros when
+    ``want_idxs=False``, the rank-then-score path where the refine
+    stage re-derives lags and the argmax pass is dead weight).
 
     ``windows > 1`` is the long-capture mode: each pair contributes
     ``windows`` consecutive overlap-save lag windows as separate grid
@@ -182,23 +190,27 @@ def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, group: int,
         raise ValueError(
             f"{lmat.shape[0]} operators x {windows} windows != "
             f"{h_ext.shape[0]} h_ext slices x {share_h} bands")
+    if lmat.shape[2] != 2 * sup:
+        raise ValueError(
+            f"operator width {lmat.shape[2]} != 2*block_len {2 * sup}")
     pad = (-k) % ROW_PAD
     if pad:
         ws1 = jnp.pad(ws1, ((0, pad), (0, 0)))
         ws2 = jnp.pad(ws2, ((0, pad), (0, 0)))
     kp = k + pad
-    span = fused_span(num_blocks, group, num_lags, a_chunks)
+    span = fused_span(num_blocks, sup, num_lags, a_chunks)
     if h_ext.shape[1:] != (2, span + SUPER - 1):
         raise ValueError(f"h_ext shape {h_ext.shape} != "
                          f"(*, 2, {span + SUPER - 1})")
     m_pad = -(-num_lags // FUSED_TILE) * FUSED_TILE
     kernel = functools.partial(
-        _fused_stein_kernel, num_blocks=num_blocks, group=group,
+        _fused_stein_kernel, num_blocks=num_blocks, sup=sup,
         tile=FUSED_TILE, num_chunks=m_pad // FUSED_TILE,
         num_lags=num_lags, span=span, a_chunks=a_chunks,
         want_idxs=want_idxs)
     cdtype = jnp.bfloat16
     p = p_eff
+    sr = min(_SEED_ROWS, sup)
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
     vals, idxs = pl.pallas_call(
@@ -206,7 +218,7 @@ def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, group: int,
         grid=(p,),
         in_specs=[
             full((kp, b2)), full((kp, b2)),
-            pl.BlockSpec((1, b2, 2 * SUPER),
+            pl.BlockSpec((1, b2, 2 * sup),
                          lambda i: (i // windows, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, span + SUPER - 1),
@@ -225,8 +237,8 @@ def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, group: int,
         ),
         scratch_shapes=[
             pltpu.VMEM((b2, span), cdtype),
-            pltpu.VMEM((2 * SUPER, span // a_chunks), cdtype),
-            pltpu.VMEM((_SEED_ROWS, span // a_chunks + SUPER), cdtype),
+            pltpu.VMEM((2 * sup, span // a_chunks), cdtype),
+            pltpu.VMEM((sr, span // a_chunks + sup), cdtype),
             pltpu.VMEM((b2, m_pad), cdtype),
             pltpu.VMEM((kp, 1), jnp.float32),
             pltpu.VMEM((kp, 1), jnp.int32),

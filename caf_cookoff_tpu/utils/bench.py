@@ -205,9 +205,9 @@ def flops_model(backend: str, k: int, needle_len: int, m: int,
             refine = 0.0
         else:
             # Fused-kernel stage A (the TPU path): one direct-
-            # correlation dot, 2B x 2*SUPER x span real MACs
+            # correlation dot, 2B x 2*D x span real MACs
             # (span ~ N + M); FFTs eliminated.
-            stage_a = 2.0 * (2 * b) * 256 * (needle_len + m)
+            stage_a = 2.0 * (2 * b) * (2 * block_len) * (needle_len + m)
             refine = 8 * (2 * t_mm + 8.0 * m)
         synth = 8.0 * k * b * m
         return stage_a + synth + refine + k * m * 3.0
