@@ -113,10 +113,12 @@ def _haystack_extension(hs_re, hs_im, m: int, span: int):
 
 
 def _coarse_rank_xla(ws1, ws2, lmat, h_ext, b: int, sup: int,
-                     num_lags: int):
+                     num_lags: int, num_valid=None):
     """Pure-XLA twin of ops/pallas_stein.fused_stein_rank — the CPU
     (and numerical-reference) path: same math, same per-block staircase
-    layout, materialized in HBM instead of VMEM."""
+    layout, materialized in HBM instead of VMEM.  ``num_valid`` is the
+    kernel's per-program lag bound ((P,) int32 — see the shadowing
+    note there)."""
     from caf_cookoff_tpu.ops.pallas_stein import FUSED_TILE
 
     span = h_ext.shape[-1] - (SUPER - 1)
@@ -136,7 +138,9 @@ def _coarse_rank_xla(ws1, ws2, lmat, h_ext, b: int, sup: int,
     rr = jnp.einsum("kb,pbm->pkm", ws1, g)
     ri = jnp.einsum("kb,pbm->pkm", ws2, g)
     mag2 = rr * rr + ri * ri
-    mag2 = jnp.where(jnp.arange(m_pad)[None, None, :] < num_lags,
+    bound = (num_lags if num_valid is None
+             else jnp.asarray(num_valid, jnp.int32)[:, None, None])
+    mag2 = jnp.where(jnp.arange(m_pad)[None, None, :] < bound,
                      mag2, -1.0)
     vals = jnp.max(mag2, axis=-1)                     # (P, K)
     idxs = jnp.argmax(mag2, axis=-1).astype(jnp.int32)
@@ -234,21 +238,10 @@ def _banded_batched_jit(ns_re, ns_im, hs_re, hs_im, freqs_pad, centers,
         stein_synthesis_weights,
     )
 
-    p, n = ns_re.shape
+    p = ns_re.shape[0]
     s = centers.shape[0]
-    t = jnp.arange(n, dtype=ns_re.dtype)
-    ph = ((2.0 * jnp.pi) / jnp.asarray(sample_rate, ns_re.dtype)
-          ) * centers[None, :, None] * t[None, None, :]      # (1, S, n)
-    cs, sn = jnp.cos(ph), jnp.sin(ph)
-    sr = (ns_re[:, None, :] * cs - ns_im[:, None, :] * sn).reshape(
-        p * s, n)
-    si = (ns_re[:, None, :] * sn + ns_im[:, None, :] * cs).reshape(
-        p * s, n)
-    pad = (-n) % SUPER
-    if pad:
-        sr = jnp.pad(sr, ((0, 0), (0, pad)))
-        si = jnp.pad(si, ((0, 0), (0, pad)))
-    b = (n + pad) // block_len
+    sr, si = _shift_to_centers(ns_re, ns_im, centers, sample_rate)
+    b = sr.shape[-1] // block_len
     lmat, group = _needle_operator(sr, si, block_len)
     span = fused_span(b, group, xcor_len)
     # ONE extension per pair: the kernel's share_h index map hands the
@@ -270,6 +263,26 @@ def _banded_batched_jit(ns_re, ns_im, hs_re, hs_im, freqs_pad, centers,
     return _batched_refine(ns_re, ns_im, hs_re, hs_im, freqs_pad, flat,
                            sample_rate, xcor_len, backend,
                            num_valid=num_bins)
+
+
+def _shift_to_centers(ns_re, ns_im, centers, sample_rate):
+    """(P*S, N_pad) needle planes shifted to every band center (exact —
+    shift composition), padded to whole SUPER tiles, band-major."""
+    p, n = ns_re.shape
+    s = centers.shape[0]
+    t = jnp.arange(n, dtype=ns_re.dtype)
+    ph = ((2.0 * jnp.pi) / jnp.asarray(sample_rate, ns_re.dtype)
+          ) * centers[None, :, None] * t[None, None, :]      # (1, S, n)
+    cs, sn = jnp.cos(ph), jnp.sin(ph)
+    sr = (ns_re[:, None, :] * cs - ns_im[:, None, :] * sn).reshape(
+        p * s, n)
+    si = (ns_re[:, None, :] * sn + ns_im[:, None, :] * cs).reshape(
+        p * s, n)
+    pad = (-n) % SUPER
+    if pad:
+        sr = jnp.pad(sr, ((0, 0), (0, pad)))
+        si = jnp.pad(si, ((0, 0), (0, pad)))
+    return sr, si
 
 
 def _os_window_extensions(hs_re, hs_im, v: int, windows: int, span: int):
@@ -316,13 +329,20 @@ def _batched_stein_os_jit(ns_re, ns_im, hs_re, hs_im, freqs_hz,
     h_ext = _os_window_extensions(hs_re, hs_im, v, windows, span)
     ws1, ws2 = stein_synthesis_weights(freqs_hz, sample_rate, b,
                                        block_len)
+    # Per-window scanned-lag bound: the final window's range may end
+    # mid-window (num_lags cap), and real capture samples past it must
+    # not shadow in-range peaks (per-bin max/argmax — see
+    # fused_stein_rank's num_valid note).
+    per_w = np.clip(total_lags - np.arange(windows) * v, 0, v)
+    num_valid = jnp.asarray(np.tile(per_w, ns_re.shape[0]), jnp.int32)
     if interpret:
         lmat_rep = jnp.repeat(lmat, windows, axis=0)
         vals, idxs = _coarse_rank_xla(ws1, ws2, lmat_rep, h_ext, b,
-                                      group, v)
+                                      group, v, num_valid=num_valid)
     else:
         vals, idxs = fused_stein_rank(ws1, ws2, lmat, h_ext, b, group, v,
-                                      windows=windows)
+                                      windows=windows,
+                                      num_valid=num_valid)
     k = freqs_hz.shape[0]
     vals = vals.reshape(k, p, windows)
     idxs = idxs.reshape(k, p, windows)
@@ -333,38 +353,60 @@ def _batched_stein_os_jit(ns_re, ns_im, hs_re, hs_im, freqs_hz,
     wbest = jnp.argmax(vals, axis=-1)                    # (K, P)
     take_w = lambda a: jnp.take_along_axis(
         a, wbest[..., None], axis=-1)[..., 0]
-    rowmax = take_w(vals)                                # (K, P)
-    rowlag = take_w(glob)                                # (K, P)
-    r = min(_REFINE_BINS, k)
-    vals_t = rowmax.T                                    # (P, K)
-    _, cand = jax.lax.top_k(vals_t, r)                   # (P, r)
-    # Exact re-score: a needle-length capture slice around each pair's
-    # coarse winning lag (the stein_overlap_save_peak refine contract),
-    # on-device via dynamic_slice — no host round-trip.
-    best_bin = jnp.argmax(vals_t, axis=-1)               # (P,)
-    best_lag = jnp.take_along_axis(rowlag.T, best_bin[:, None],
+    rowmax = take_w(vals).T                              # (P, K)
+    rowlag = take_w(glob).T                              # (P, K)
+    return _os_topk_refine(ns_re, ns_im, hs_re, hs_im, freqs_hz,
+                           rowmax, rowlag, sample_rate, xcor_len,
+                           backend, total_lags, needle_len)
+
+
+def _os_topk_refine(ns_re, ns_im, hs_re, hs_im, freqs_all, rowmax,
+                    rowlag, sample_rate, xcor_len: int, backend,
+                    total_lags: int, needle_len: int,
+                    num_valid_bins=None) -> CafPeak:
+    """Windowed-coarse closer: per-pair top-k exact re-score of a
+    (P, K) ranking whose per-bin best lags are ``rowlag``.
+
+    Exact re-score happens on a guard-extended capture slice around
+    each pair's coarse winning lag (the stein_overlap_save_peak refine
+    contract), on-device via dynamic_slice — no host round-trip.
+    ``num_valid_bins`` caps the candidate count when the ranking
+    carries -inf padded bins (banded grids).
+    """
+    r = min(_REFINE_BINS, int(rowmax.shape[1]),
+            num_valid_bins or _REFINE_BINS)
+    _, cand = jax.lax.top_k(rowmax, r)                   # (P, r)
+    best_bin = jnp.argmax(rowmax, axis=-1)               # (P,)
+    best_lag = jnp.take_along_axis(rowlag, best_bin[:, None],
                                    axis=1)[:, 0]         # (P,)
-    # Slice the ORIGINAL needle length (ns planes carry SUPER padding):
-    # a padded-length window would overrun short captures and, for
-    # small needles, wrap real samples through the M-point circular
-    # correlation instead of the implicit zero tail.  The near-tie
+    # Slice a guard-extended window (based on the ORIGINAL needle
+    # length — ns planes may carry SUPER padding): the winning local
+    # lag (~``guard``) then correlates every needle sample against
+    # real data; an n-sample window would truncate the last ``guard``
+    # products to zeros and bias the reported value low.  The near-tie
     # guard must stay well under the needle length or the window
     # shifts off the emitter entirely.
     n = needle_len
     hay_len = hs_re.shape[-1]
-    guard = min(64, n // 4)
-    start = jnp.clip(best_lag - guard, 0, max(hay_len - n, 0))
+    guard = min(64, n // 4, max((hay_len - n) // 2, 0))
+    win = n + 2 * guard
+    start = jnp.clip(best_lag - guard, 0, max(hay_len - win, 0))
+    # Only local lags with full correlation energy may win, and the
+    # absolute lag must stay inside the requested range.
+    local = jnp.arange(xcor_len, dtype=jnp.int32)
 
     def rescore(nr, ni, hr, hi, s, fsel):
-        wr = jax.lax.dynamic_slice(hr, (s,), (n,))
-        wi = jax.lax.dynamic_slice(hi, (s,), (n,))
+        wr = jax.lax.dynamic_slice(hr, (s,), (win,))
+        wi = jax.lax.dynamic_slice(hi, (s,), (win,))
         exact = splitfft.mag2(_surface_rows_split(
             (nr, ni), (wr, wi), fsel, sample_rate, xcor_len, backend))
+        ok = (local <= 2 * guard) & (s + local < total_lags)
+        exact = jnp.where(ok[None, :], exact, -1.0)
         return jnp.max(exact, axis=-1), jnp.argmax(
             exact, axis=-1).astype(jnp.int32)
 
     rowmax_e, lag_e = jax.vmap(rescore)(
-        ns_re, ns_im, hs_re, hs_im, start, freqs_hz[cand])  # (P, r)
+        ns_re, ns_im, hs_re, hs_im, start, freqs_all[cand])  # (P, r)
 
     def pick(rm, cd, lg, s):
         best = jnp.lexsort((cd.astype(jnp.int32), -rm))[0]
@@ -373,6 +415,75 @@ def _batched_stein_os_jit(ns_re, ns_im, hs_re, hs_im, freqs_hz,
                        lag_idx=(s + lg[best]).astype(jnp.int32))
 
     return jax.vmap(pick)(rowmax_e, cand, lag_e, start)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("xcor_len", "block_len", "backend", "windows",
+                     "total_lags", "needle_len", "num_bins", "interpret"))
+def _banded_stein_os_jit(ns_re, ns_im, hs_re, hs_im, freqs_pad, centers,
+                         rel, sample_rate, xcor_len, block_len, backend,
+                         windows: int, total_lags: int, needle_len: int,
+                         num_bins: int, interpret: bool):
+    """Banded long-capture coarse scan: (pair, band, window) programs.
+
+    The windows x share_h composition of the fused kernel: each pair
+    contributes one needle operator per band (needle shifted to the
+    band center) and one haystack extension per overlap-save window —
+    S*W programs per pair, every one a full-size MXU workload.  For
+    fine uniform grids this beats the unbanded windowed engine by
+    design: the block length rises from the envelope-limited
+    ``fs/(4*f_max)`` to ``min(128, sqrt(fs/2g))`` (see
+    models/stein._plan_bands), cutting the dominant synthesis term
+    K*B*M by the same factor.  Exact per-pair re-score on absolute
+    frequencies with the unshifted needles.
+    """
+    from caf_cookoff_tpu.ops.pallas_stein import (
+        fused_span,
+        fused_stein_rank,
+        stein_synthesis_weights,
+    )
+
+    p = ns_re.shape[0]
+    s = centers.shape[0]
+    v = xcor_len
+    sr, si = _shift_to_centers(ns_re, ns_im, centers, sample_rate)
+    b = sr.shape[-1] // block_len
+    lmat, sup = _needle_operator(sr, si, block_len)
+    span = fused_span(b, sup, v)
+    h_ext = _os_window_extensions(hs_re, hs_im, v, windows, span)
+    ws1, ws2 = stein_synthesis_weights(rel, sample_rate, b, block_len)
+    per_w = np.clip(total_lags - np.arange(windows) * v, 0, v)
+    num_valid = jnp.asarray(np.tile(per_w, p * s), jnp.int32)
+    if interpret:
+        lmat_rep = jnp.repeat(lmat, windows, axis=0)
+        l = h_ext.shape[-1]
+        h_rep = jnp.broadcast_to(
+            h_ext.reshape(p, 1, windows, 2, l),
+            (p, s, windows, 2, l)).reshape(p * s * windows, 2, l)
+        vals, idxs = _coarse_rank_xla(ws1, ws2, lmat_rep, h_rep, b, sup,
+                                      v, num_valid=num_valid)
+    else:
+        vals, idxs = fused_stein_rank(ws1, ws2, lmat, h_ext, b, sup, v,
+                                      windows=windows, share_h=s,
+                                      num_valid=num_valid)
+    kb = rel.shape[0]
+    vals = vals.reshape(kb, p, s, windows)
+    idxs = idxs.reshape(kb, p, s, windows)
+    glob = idxs + jnp.arange(windows, dtype=jnp.int32) * v
+    vals = jnp.where(glob < total_lags, vals, -1.0)
+    wbest = jnp.argmax(vals, axis=-1)                    # (Kb, P, S)
+    take_w = lambda a: jnp.take_along_axis(
+        a, wbest[..., None], axis=-1)[..., 0]
+    # Global bin = band*Kb + j (freqs_pad's ascending lattice).
+    rowmax = take_w(vals).transpose(1, 2, 0).reshape(p, s * kb)
+    rowlag = take_w(glob).transpose(1, 2, 0).reshape(p, s * kb)
+    rowmax = jnp.where(jnp.arange(s * kb)[None, :] < num_bins, rowmax,
+                       -jnp.inf)
+    return _os_topk_refine(ns_re, ns_im, hs_re, hs_im, freqs_pad,
+                           rowmax, rowlag, sample_rate, xcor_len,
+                           backend, total_lags, needle_len,
+                           num_valid_bins=num_bins)
 
 
 def batched_stein_os_peak(needles, haystacks, freqs_hz, sample_rate, *,
@@ -387,9 +498,19 @@ def batched_stein_os_peak(needles, haystacks, freqs_hz, sample_rate, *,
     every (pair, window) runs as one fused-kernel program — the batch
     and window axes together keep the MXU saturated, vs the round-1
     ``lax.map``-of-scans path.  Coarse ranking is window-global; the
-    exact top-k re-score happens on a needle-length slice at the coarse
-    winning lag (the :func:`stein_overlap_save_peak` refine contract).
+    exact top-k re-score happens on a guard-extended slice at the
+    coarse winning lag (the :func:`stein_overlap_save_peak` refine
+    contract).
+
+    Uniform grids route through the BANDED windowed engine
+    (``_banded_stein_os_jit``) whenever the band plan's modeled cost —
+    ``s + K_pad/D_band`` vs ``1 + K/D_plain`` MACs per lag column, in
+    units of 4N — wins, which covers both wide spans the single-band
+    envelope cannot take at all and fine grids where banding lifts the
+    block length toward 128 and slashes the dominant synthesis term.
     """
+    from caf_cookoff_tpu.models.stein import _plan_bands
+
     backend = backend or default_backend()
     needles = np.asarray(needles)
     haystacks = np.asarray(haystacks)
@@ -404,15 +525,39 @@ def batched_stein_os_peak(needles, haystacks, freqs_hz, sample_rate, *,
     ns_re, ns_im = splitfft.split_array(needles)
     hs_re, hs_im = splitfft.split_array(haystacks)
     freqs = np.asarray(freqs_hz, dtype=ns_re.dtype)
-    d = _pow2_block_len(sample_rate, freqs, block_len)
+    try:
+        d = _pow2_block_len(sample_rate, freqs, block_len)
+    except ValueError:
+        d = None                     # span needs banding (or raises below)
+    plan = _plan_bands(sample_rate, freqs)
+    use_banded = False
+    if plan is not None:
+        if d is None:
+            use_banded = True
+        else:
+            cost_plain = 1.0 + len(freqs) / d
+            cost_band = (plan["bands"]
+                         + plan["bands"] * plan["kb"] / plan["block_len"])
+            use_banded = cost_band < 0.9 * cost_plain
+    if d is None and not use_banded:
+        _pow2_block_len(sample_rate, freqs, block_len)   # re-raise
     m = xcor_length(n)
     total_lags = num_lags or haystacks.shape[-1] - n + 1
     windows = -(-total_lags // m)
+    interpret = jax.default_backend() == "cpu"
+    if use_banded:
+        peak = _banded_stein_os_jit(
+            jnp.asarray(ns_re), jnp.asarray(ns_im), jnp.asarray(hs_re),
+            jnp.asarray(hs_im), jnp.asarray(plan["freqs_pad"]),
+            jnp.asarray(plan["centers"]), jnp.asarray(plan["rel"]),
+            float(sample_rate), m, plan["block_len"], backend, windows,
+            total_lags, n, len(freqs), interpret)
+        return (plan["freqs_pad"][np.asarray(peak.freq_idx)],
+                np.asarray(peak.lag_idx), np.asarray(peak.value))
     pad = (-n) % SUPER
     if pad:
         ns_re = np.pad(ns_re, ((0, 0), (0, pad)))
         ns_im = np.pad(ns_im, ((0, 0), (0, pad)))
-    interpret = jax.default_backend() == "cpu"
     peak = _batched_stein_os_jit(
         jnp.asarray(ns_re), jnp.asarray(ns_im), jnp.asarray(hs_re),
         jnp.asarray(hs_im), jnp.asarray(freqs), float(sample_rate), m, d,

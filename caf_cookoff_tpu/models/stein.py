@@ -234,7 +234,14 @@ def _plan_bands(sample_rate: float, freqs_hz: np.ndarray):
     g = float(diffs[0])
     if g <= 0 or not np.allclose(diffs, g, rtol=1e-5, atol=1e-9):
         return None
-    kb = max(1, int(2.0 * (sample_rate / 128.0) / g))   # target D = 32
+    # Per lag column, stage A costs ~4N MACs per band (independent of
+    # D: (2B rows)x(2D taps) with B = N/D) and synthesis ~4*K_pad*N/D,
+    # with the band count s ~ K*g*2D/fs — so cost(D) ~ 8KgD/fs + 4K/D,
+    # minimized at D* = sqrt(fs/(2g)).  Fine grids (small g) want the
+    # largest blocks the envelope allows, NOT a fixed target.
+    d_t = floor_pow2(int(min(128.0, max(8.0, np.sqrt(sample_rate
+                                                     / (2.0 * g))))))
+    kb = max(1, int(2.0 * (sample_rate / (4.0 * d_t)) / g))
     d = 0
     while kb >= 1:
         rel_max = (kb - 1) / 2.0 * g
@@ -294,10 +301,17 @@ def _auto_block_len(sample_rate: float, freqs_hz: np.ndarray,
 def _prep(needle, haystack, freqs_hz):
     n = splitfft.split_array(needle)
     h = splitfft.split_array(haystack)
-    if n[0].shape[-1] != h[0].shape[-1]:
+    n_len, h_len = n[0].shape[-1], h[0].shape[-1]
+    # The haystack may run up to the M-point correlation length: the
+    # engines zero-pad it to M anyway, so a slightly-longer window
+    # (e.g. the overlap-save refine's guard-extended slice) just
+    # shrinks the implicit zero tail.  Shorter-than-needle or
+    # longer-than-M inputs are real errors.
+    if h_len < n_len or h_len > xcor_length(n_len):
         raise ValueError(
-            f"needle/haystack length mismatch: {n[0].shape[-1]} vs "
-            f"{h[0].shape[-1]}")
+            f"haystack length {h_len} outside [{n_len}, "
+            f"{xcor_length(n_len)}] for needle length {n_len}; use "
+            "stein_overlap_save_peak for long captures")
     return n, h, np.asarray(freqs_hz, dtype=n[0].dtype)
 
 
@@ -423,14 +437,19 @@ def stein_overlap_save_peak(needle, haystack, freqs_hz, sample_rate, *,
     lag = int(peak.lag_idx)
     if not refine:
         return float(freqs[int(peak.freq_idx)]), lag, float(peak.value)
-    # Exact re-score of a needle-length window starting slightly before
-    # the coarse lag: recovers both the exact frequency bin and any
-    # near-tie lag flip (the window's local lag delta re-derives it).
-    guard = min(lag, 64)
+    # Exact re-score of a guard-extended window starting slightly
+    # before the coarse lag: recovers both the exact frequency bin and
+    # any near-tie lag flip (the window's local lag delta re-derives
+    # it).  The window carries ``n + 2*guard`` samples so the winning
+    # local lag (~``guard``) correlates every needle sample against
+    # real data — an n-sample window would truncate the last ``guard``
+    # products to zeros and bias the reported value low.
+    guard = min(lag, 64, n // 4)
     start = lag - guard
+    win_len = min(n + 2 * guard, xcor_length(n))
     hay_np = np.asarray(haystack)
-    window = np.zeros(n, dtype=hay_np.dtype)
-    avail = min(n, hay_np.shape[-1] - start)
+    window = np.zeros(win_len, dtype=hay_np.dtype)
+    avail = min(win_len, hay_np.shape[-1] - start)
     window[:avail] = hay_np[start:start + avail]
     freq, delta, value = stein_caf_peak(needle, window, freqs, sample_rate,
                                         block_len=block_len,

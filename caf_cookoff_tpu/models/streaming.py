@@ -83,8 +83,8 @@ def _stein_stream_step_jit(ws1, ws2, lmat, tail_re, tail_im, ch_re,
     per-chunk cost is one kernel program instead of K inverse FFTs.
     Bins whose best lag falls past ``valid_len`` (zero-padded short
     chunks: incomplete data) are masked; those lags re-scan with full
-    data next chunk.  Alongside the best triple, the step carries the
-    ``needle_pad``-sample window slice AROUND the running best lag so
+    data next chunk.  Alongside the best triple, the step carries a
+    guard-extended window slice AROUND the running best lag so
     :meth:`StreamingCAF.best` can re-score it exactly without the
     engine retaining capture history.
     """
@@ -94,15 +94,26 @@ def _stein_stream_step_jit(ws1, ws2, lmat, tail_re, tail_im, ch_re,
     window = (jnp.concatenate([tail_re, ch_re]),
               jnp.concatenate([tail_im, ch_im]))
     win_len = halo + chunk_len
-    ext_len = max(win_len, needle_pad)
+    # The carried slice is guard-extended (64 samples each side): the
+    # winning lag sits ~64 samples into the carry, so every needle
+    # sample correlates against real data in best()'s exact re-score
+    # (a needle_pad-sized carry would zero-truncate the last products).
+    carry = needle_pad + 128
+    ext_len = max(win_len, carry)
     span = fused_span(num_blocks, group, chunk_len)
     need = span + SUPER - 1
     h_ext = jnp.stack([jnp.pad(window[0], (0, max(0, need - win_len))),
                        jnp.pad(window[1], (0, max(0, need - win_len)))]
                       )[None, :, :need]
-    vals, idxs = fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks,
-                                  group, chunk_len, interpret=interpret)
-    vals = jnp.where(idxs[:, 0] < valid_len, vals[:, 0], -jnp.inf)
+    # valid_len rides into the kernel as the scanned-lag bound: masking
+    # the per-bin (max, argmax) AFTER the kernel would drop a bin's
+    # valid peak along with a zero-padded-region shadow (see
+    # fused_stein_rank's num_valid note).
+    vals, idxs = fused_stein_rank(
+        ws1, ws2, lmat, h_ext, num_blocks, group, chunk_len,
+        interpret=interpret,
+        num_valid=jnp.reshape(jnp.asarray(valid_len, jnp.int32), (1,)))
+    vals = vals[:, 0]
     k_loc = jnp.argmax(vals).astype(jnp.int32)
     tau_loc = idxs[k_loc, 0]
     local = CafPeak(vals[k_loc], k_loc, tau_loc + base_lag)
@@ -114,8 +125,8 @@ def _stein_stream_step_jit(ws1, ws2, lmat, tail_re, tail_im, ch_re,
     )
     # Window slice around the winning lag for the exact final re-score.
     wpad = tuple(jnp.pad(p, (0, ext_len - win_len)) for p in window)
-    ws = jnp.clip(tau_loc - 64, 0, ext_len - needle_pad)
-    cand = tuple(jax.lax.dynamic_slice(p, (ws,), (needle_pad,))
+    ws = jnp.clip(tau_loc - 64, 0, ext_len - carry)
+    cand = tuple(jax.lax.dynamic_slice(p, (ws,), (carry,))
                  for p in wpad)
     new_bw = tuple(jnp.where(take, c, b) for c, b in zip(cand,
                                                          (bw_re, bw_im)))
@@ -182,10 +193,9 @@ class StreamingCAF:
                 jnp.asarray(self._freqs), self.sample_rate,
                 self._num_blocks, self._block_len)
             self._interpret = jax.default_backend() == "cpu"
-            self._bw = (jnp.zeros(self._needle_pad, rdt),
-                        jnp.zeros(self._needle_pad, rdt))
+            self._bw = (jnp.zeros(self._needle_pad + 128, rdt),
+                        jnp.zeros(self._needle_pad + 128, rdt))
             self._bw_start = jnp.asarray(0, jnp.int32)
-            self._pending = (np.zeros(0, rdt), np.zeros(0, rdt))
         else:
             sc = jax.jit(
                 needle_spectra_conj, static_argnames=("fft_len", "backend")
@@ -231,31 +241,6 @@ class StreamingCAF:
         if self._chunk_len is None:
             self._chunk_len = valid
         fixed = self._chunk_len
-        if self._stein:
-            # The fused kernel's per-bin (max, argmax) cannot be masked
-            # per-lag after the fact: a bin whose argmax fell in a
-            # zero-padded region would be dropped along with its valid
-            # peak.  So stein mode processes only FULL chunks and
-            # buffers remainders; best() flushes the tail, where
-            # masking is semantically right (lags past capture end).
-            pend = self._pending
-            pend = (np.concatenate([pend[0], np.asarray(ch_re)]),
-                    np.concatenate([pend[1], np.asarray(ch_im)]))
-            best = None
-            while pend[0].shape[-1] >= fixed:
-                local = self._step(pend[0][:fixed], pend[1][:fixed])
-                if best is None or local[2] > best[2]:
-                    best = local
-                pend = (pend[0][fixed:], pend[1][fixed:])
-            self._pending = pend
-            if best is None:
-                # Nothing processed this call (all buffered): no new
-                # local peak — report the running coarse best WITHOUT
-                # flushing the buffer (only best() may flush).
-                return (float(self._freqs[int(self._best.freq_idx)]),
-                        int(self._best.lag_idx),
-                        float(self._best.value))
-            return best
         if valid > fixed:
             # Oversized chunk: process in slices; the reported local
             # peak is the best across ALL slices (the documented
@@ -308,15 +293,8 @@ class StreamingCAF:
         In stein mode the coarse running best only RANKED bins; the
         carried best window is re-scored here with exact filterbank
         rows (the rank-then-score contract), restoring bin-exact
-        frequency and lag.  Any buffered tail samples (short final
-        chunk) are flushed first — masking past-the-end lags is exact
-        at stream end.
+        frequency and lag.
         """
-        if self._stein and self._pending[0].shape[-1]:
-            pend = self._pending
-            self._pending = (np.zeros(0, pend[0].dtype),
-                             np.zeros(0, pend[1].dtype))
-            self._step(pend[0], pend[1])
         if not self._stein or not np.isfinite(float(self._best.value)):
             return (float(self._freqs[int(self._best.freq_idx)]),
                     int(self._best.lag_idx), float(self._best.value))

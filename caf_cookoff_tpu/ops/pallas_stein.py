@@ -55,12 +55,10 @@ FUSED_TILE = 512  # stage-B lag tile (512 lanes x K-padded rows ~2 MB)
 _SEED_ROWS = 16  # bf16 sublane tile: Hankel rows are built 16 at a time
 
 
-def _fused_stein_kernel(ws1_ref, ws2_ref, l_ref, h_ref, vals_ref,
-                        idxs_ref, co_ref, hank_ref, seed_ref, g_ref,
-                        vacc_ref, iacc_ref, *, num_blocks: int,
+def _fused_stein_kernel(*refs, num_blocks: int,
                         sup: int, tile: int, num_chunks: int,
                         num_lags: int, span: int, a_chunks: int,
-                        want_idxs: bool):
+                        want_idxs: bool, dyn_valid: bool):
     """One program = one pair, the ENTIRE Stein pipeline in VMEM.
 
     Stage A builds the Hankel operator rows (shifted copies of the
@@ -76,7 +74,18 @@ def _fused_stein_kernel(ws1_ref, ws2_ref, l_ref, h_ref, vals_ref,
     this replaces measured 53.6 ms for 64 pairs.
     ``want_idxs=False`` (the rank-then-score path, where the refine
     stage re-derives the lag) skips the per-bin argmax pass.
+    ``dyn_valid`` adds a per-program lag bound (SMEM scalar): the
+    per-bin (max, argmax) contract means out-of-range lags CANNOT be
+    masked after the kernel — a strong correlation past the bound
+    would shadow the same bin's in-range peak and the whole bin would
+    then be dropped — so the bound must cut inside the scan itself.
     """
+    if dyn_valid:
+        (ws1_ref, ws2_ref, l_ref, h_ref, nl_ref, vals_ref, idxs_ref,
+         co_ref, hank_ref, seed_ref, g_ref, vacc_ref, iacc_ref) = refs
+    else:
+        (ws1_ref, ws2_ref, l_ref, h_ref, vals_ref, idxs_ref,
+         co_ref, hank_ref, seed_ref, g_ref, vacc_ref, iacc_ref) = refs
     cdtype = co_ref.dtype
     a_w = span // a_chunks
     sr = min(_SEED_ROWS, sup)
@@ -112,7 +121,11 @@ def _fused_stein_kernel(ws1_ref, ws2_ref, l_ref, h_ref, vals_ref,
         ri = jnp.dot(ws2_ref[:], gs, preferred_element_type=jnp.float32)
         mag2 = rr * rr + ri * ri
         kp = mag2.shape[0]
-        if coff + tile > num_lags:              # only the tail tile masks
+        if dyn_valid:
+            col_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (kp, tile), 1) + coff
+            mag2 = jnp.where(col_iota < nl_ref[0], mag2, -1.0)
+        elif coff + tile > num_lags:            # only the tail tile masks
             col_iota = jax.lax.broadcasted_iota(
                 jnp.int32, (kp, tile), 1) + coff
             mag2 = jnp.where(col_iota < num_lags, mag2, -1.0)
@@ -162,7 +175,8 @@ def fused_span(num_blocks: int, sup: int, num_lags: int,
 def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, sup: int,
                      num_lags: int, interpret: bool = False,
                      a_chunks: int = 4, want_idxs: bool = True,
-                     windows: int = 1, share_h: int = 1):
+                     windows: int = 1, share_h: int = 1,
+                     num_valid=None):
     """Per-(pair, bin) (max |R|^2, arg lag) — fully fused batch engine.
 
     ``lmat``: (P, 2B, 2*sup) dense needle-tap operator (Gr rows then
@@ -178,12 +192,24 @@ def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, sup: int,
     programs, all sharing the pair's needle operator (program ``i``
     reads ``lmat[i // windows]``); lag indices are window-local.
     ``share_h > 1`` is the dual (banded mode): ``share_h`` consecutive
-    programs (one per band) share one haystack slice (program ``i``
-    reads ``h_ext[i // share_h]``) with distinct needle operators — no
-    HBM duplication of the capture per band.  Mutually exclusive.
+    programs (one per band) share one haystack slice with distinct
+    needle operators — no HBM duplication of the capture per band.
+    The two COMPOSE (banded long captures): programs run band-major,
+    ``i = ((pair*S + band)*W + w)`` with ``S = share_h``, ``W =
+    windows``; ``lmat`` has one entry per (pair, band) and ``h_ext``
+    one slice per (pair, window), so program ``i`` reads
+    ``lmat[i // W]`` and ``h_ext[(i // (S*W))*W + i % W]`` (which
+    degenerates to the two single-mode maps when the other factor
+    is 1).
+
+    ``num_valid`` (optional, traced (P_eff,) int32) bounds the scanned
+    lag range PER PROGRAM — required whenever real samples exist past
+    a program's lag range (an explicit total-lag cap cutting into the
+    final overlap-save window, or a zero-padded short streaming
+    chunk): the per-bin (max, argmax) cannot be masked afterwards
+    without dropping the bin's in-range peak along with the
+    out-of-range shadow.
     """
-    if windows > 1 and share_h > 1:
-        raise ValueError("windows and share_h are mutually exclusive")
     k, b2 = ws1.shape
     p_eff = max(h_ext.shape[0] * share_h, lmat.shape[0] * windows)
     if lmat.shape[0] * windows != h_ext.shape[0] * share_h:
@@ -203,28 +229,41 @@ def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, sup: int,
         raise ValueError(f"h_ext shape {h_ext.shape} != "
                          f"(*, 2, {span + SUPER - 1})")
     m_pad = -(-num_lags // FUSED_TILE) * FUSED_TILE
+    dyn_valid = num_valid is not None
     kernel = functools.partial(
         _fused_stein_kernel, num_blocks=num_blocks, sup=sup,
         tile=FUSED_TILE, num_chunks=m_pad // FUSED_TILE,
         num_lags=num_lags, span=span, a_chunks=a_chunks,
-        want_idxs=want_idxs)
+        want_idxs=want_idxs, dyn_valid=dyn_valid)
     cdtype = jnp.bfloat16
     p = p_eff
     sr = min(_SEED_ROWS, sup)
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    in_specs = [
+        full((kp, b2)), full((kp, b2)),
+        pl.BlockSpec((1, b2, 2 * sup),
+                     lambda i: (i // windows, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, span + SUPER - 1),
+                     lambda i: ((i // (share_h * windows)) * windows
+                                + i % windows, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [ws1.astype(cdtype), ws2.astype(cdtype),
+                lmat.astype(cdtype), h_ext]
+    if dyn_valid:
+        num_valid = jnp.asarray(num_valid, jnp.int32)
+        if num_valid.shape != (p_eff,):
+            raise ValueError(
+                f"num_valid shape {num_valid.shape} != ({p_eff},)")
+        in_specs.append(pl.BlockSpec((1,), lambda i: (i,),
+                                     memory_space=pltpu.SMEM))
+        operands.append(num_valid)
     vals, idxs = pl.pallas_call(
         kernel,
         grid=(p,),
-        in_specs=[
-            full((kp, b2)), full((kp, b2)),
-            pl.BlockSpec((1, b2, 2 * sup),
-                         lambda i: (i // windows, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, span + SUPER - 1),
-                         lambda i: (i // share_h, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((kp, p), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -249,7 +288,7 @@ def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, sup: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
-    )(ws1.astype(cdtype), ws2.astype(cdtype), lmat.astype(cdtype), h_ext)
+    )(*operands)
     return vals[:k], idxs[:k]
 
 

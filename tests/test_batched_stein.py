@@ -233,3 +233,184 @@ def test_banded_tiny_grid_stays_on_grid():
     freqs = np.arange(-5000.0, 7000.0, 2400.0, dtype=np.float32)  # 5 bins
     freq, _, _ = stein_caf_peak(needle, hay, freqs, FS)
     assert freq in [float(f) for f in freqs]
+
+
+def test_batched_os_value_full_energy():
+    """Refined VALUES are the true exact |R|^2 at each pair's winning
+    (bin, lag) — the guard-extended window must not truncate
+    correlation energy (a needle-length slice biased values ~3% low)."""
+    from caf_cookoff_tpu.models.batched_stein import batched_stein_os_peak
+    from tests.test_stein import _exact_value_at
+
+    rng = np.random.default_rng(19)
+    p, n, total = 2, 2048, 16384
+    lags, f_true = [9000, 3333], [250.0, -125.0]
+    needles = (rng.standard_normal((p, n))
+               + 1j * rng.standard_normal((p, n))).astype(np.complex64)
+    hays = (0.01 * (rng.standard_normal((p, total))
+                    + 1j * rng.standard_normal((p, total))
+                    )).astype(np.complex64)
+    t = np.arange(n)
+    for b in range(p):
+        hays[b, lags[b]:lags[b] + n] += (
+            needles[b] * np.exp(2j * np.pi * f_true[b] * t / FS)
+        ).astype(np.complex64)
+    freqs = np.arange(-500.0, 500.0, 125.0, dtype=np.float32)
+    fr, lg, val = batched_stein_os_peak(needles, hays, freqs, FS)
+    for b in range(p):
+        assert (float(fr[b]), int(lg[b])) == (f_true[b], lags[b])
+        oracle = _exact_value_at(needles[b],
+                                 hays[b, lags[b]:lags[b] + n],
+                                 f_true[b], FS)
+        assert float(val[b]) == pytest.approx(oracle, rel=1e-4)
+
+
+def test_batched_os_refine_respects_lag_range():
+    """A stronger emitter JUST past ``num_lags`` falls inside the
+    refine window of the in-range winner; the re-score lag mask must
+    keep the reported lag inside the requested range."""
+    from caf_cookoff_tpu.models.batched_stein import batched_stein_os_peak
+
+    rng = np.random.default_rng(21)
+    n, total, num_lags = 2048, 16384, 9000
+    in_lag, out_lag = 8990, 9040
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = (1e-4 * (rng.standard_normal(total)
+                   + 1j * rng.standard_normal(total))).astype(np.complex64)
+    hay[in_lag:in_lag + n] += (0.5 * needle).astype(np.complex64)
+    hay[out_lag:out_lag + n] += needle
+    freqs = np.arange(-250.0, 250.0, 125.0, dtype=np.float32)
+    fr, lg, _ = batched_stein_os_peak(needle[None], hay[None], freqs, FS,
+                                      num_lags=num_lags)
+    assert int(lg[0]) == in_lag
+    assert int(lg[0]) < num_lags
+
+
+def test_banded_os_wide_span_long_capture():
+    """Wide-span LONG captures (previously the engine family's last
+    uncovered combination — the single-band envelope needs D < 8) run
+    through the banded windowed engine and match the exact overlap-save
+    answer, values included."""
+    from caf_cookoff_tpu.models.batched_stein import batched_stein_os_peak
+    from caf_cookoff_tpu.models.overlap_save import overlap_save_peak
+    from tests.test_stein import _exact_value_at
+
+    rng = np.random.default_rng(33)
+    n, total, lag_true, f_true = 1024, 10240, 6100, -1650.0
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = (1e-3 * (rng.standard_normal(total)
+                   + 1j * rng.standard_normal(total))).astype(np.complex64)
+    hay[lag_true:lag_true + n] += needle * np.exp(
+        2j * np.pi * f_true * np.arange(n) / FS).astype(np.complex64)
+    freqs = np.arange(-2000.0, 2000.0, 50.0, dtype=np.float32)
+    fr, lg, val = batched_stein_os_peak(needle[None], hay[None], freqs, FS)
+    want = overlap_save_peak(needle, hay, freqs, FS, backend="xla")
+    assert (float(fr[0]), int(lg[0])) == want[:2] == (f_true, lag_true)
+    oracle = _exact_value_at(needle, hay[lag_true:lag_true + n], f_true, FS)
+    assert float(val[0]) == pytest.approx(oracle, rel=1e-4)
+
+
+def test_banded_os_fine_grid_matches_plain():
+    """A fine dense grid (the config-3 shape in miniature) routes
+    through the banded windowed engine on cost; answers match the
+    exact engine and the full-energy value oracle, for two pairs with
+    emitters in different bands."""
+    from caf_cookoff_tpu.models.batched_stein import batched_stein_os_peak
+    from caf_cookoff_tpu.models.overlap_save import overlap_save_peak
+    from tests.test_stein import _exact_value_at
+
+    rng = np.random.default_rng(35)
+    p, n, total = 2, 1024, 10240
+    lags, f_true = [6100, 2333], [-375.5, 411.0]
+    needles = (rng.standard_normal((p, n))
+               + 1j * rng.standard_normal((p, n))).astype(np.complex64)
+    hays = (1e-3 * (rng.standard_normal((p, total))
+                    + 1j * rng.standard_normal((p, total))
+                    )).astype(np.complex64)
+    t = np.arange(n)
+    for b in range(p):
+        hays[b, lags[b]:lags[b] + n] += (
+            needles[b] * np.exp(2j * np.pi * f_true[b] * t / FS)
+        ).astype(np.complex64)
+    freqs = np.arange(-500.0, 500.0, 0.5, dtype=np.float32)
+    fr, lg, val = batched_stein_os_peak(needles, hays, freqs, FS)
+    for b in range(p):
+        want = overlap_save_peak(needles[b], hays[b], freqs, FS,
+                                 backend="xla")
+        assert (float(fr[b]), int(lg[b])) == want[:2] == (
+            f_true[b], lags[b])
+        oracle = _exact_value_at(needles[b],
+                                 hays[b, lags[b]:lags[b] + n],
+                                 f_true[b], FS)
+        assert float(val[b]) == pytest.approx(oracle, rel=1e-4)
+
+
+def test_fused_kernel_composed_windows_bands_matches_twin():
+    """windows x share_h COMPOSED (banded long captures): the kernel's
+    program-order index maps — lmat per (pair, band), h_ext per
+    (pair, window), band-major — against the twin fed the explicitly
+    expanded operands, with a per-program lag bound."""
+    import jax.numpy as jnp
+
+    from caf_cookoff_tpu.models.batched_stein import (
+        _coarse_rank_xla,
+        _needle_operator,
+        _os_window_extensions,
+    )
+    from caf_cookoff_tpu.ops.pallas_stein import (
+        fused_span,
+        fused_stein_rank,
+        stein_synthesis_weights,
+    )
+    from caf_cookoff_tpu.ops.splitfft import split_array
+
+    p, s, w, n, d, k = 2, 3, 2, 512, 64, 16
+    v = 1024                                    # lags per window
+    total_lags = w * v - 300                    # short final window
+    # Planted structure (bf16-rounding-proof): impulse needles at a
+    # distinct offset per (pair, band) and two spikes per (pair,
+    # window) — every program's peak lag is then unique and isolated,
+    # so kernel and twin must agree exactly; raw noise would flip
+    # near-tie argmaxes between the kernel's bf16 co buffer and the
+    # twin's f32 one.
+    needles = np.zeros((p * s, n), np.complex64)
+    for j in range(p * s):
+        needles[j, 7 * j] = 1.0
+    hays = np.zeros((p, total_lags + n), np.complex64)
+    for pair in range(p):
+        for win in range(w):
+            base = win * v
+            hays[pair, base + 101 + 13 * pair + 29 * win] = 2.0
+            # In the short final window this spike sits PAST the lag
+            # bound and is stronger — only the in-kernel num_valid
+            # mask keeps the in-range spike on top.
+            hays[pair, base + 903 + 17 * pair] = 3.0 if win else 1.0
+    ns_re, ns_im = map(jnp.asarray, split_array(needles))
+    hs_re, hs_im = map(jnp.asarray, split_array(hays))
+    freqs = jnp.asarray(np.linspace(-100, 100, k).astype(np.float32))
+    b = n // d
+    lmat, sup = _needle_operator(ns_re, ns_im, d)       # (P*S, 2B, 2D)
+    span = fused_span(b, sup, v)
+    h_ext = _os_window_extensions(hs_re, hs_im, v, w, span)  # (P*W, ...)
+    ws1, ws2 = stein_synthesis_weights(freqs, FS, b, d)
+    per_w = np.clip(total_lags - np.arange(w) * v, 0, v)
+    num_valid = jnp.asarray(np.tile(per_w, p * s), jnp.int32)
+    kv, ki = fused_stein_rank(ws1, ws2, lmat, h_ext, b, sup, v,
+                              interpret=True, windows=w, share_h=s,
+                              num_valid=num_valid)
+    # Twin: expand operands to one entry per program, band-major.
+    lmat_rep = jnp.repeat(lmat, w, axis=0)
+    l = h_ext.shape[-1]
+    h_rep = jnp.broadcast_to(
+        h_ext.reshape(p, 1, w, 2, l), (p, s, w, 2, l)
+    ).reshape(p * s * w, 2, l)
+    bf = jnp.bfloat16
+    xv, xi = _coarse_rank_xla(ws1.astype(bf).astype(jnp.float32),
+                              ws2.astype(bf).astype(jnp.float32),
+                              lmat_rep.astype(bf).astype(jnp.float32),
+                              h_rep.astype(bf).astype(jnp.float32),
+                              b, sup, v, num_valid=num_valid)
+    np.testing.assert_array_equal(np.asarray(ki), np.asarray(xi))
+    np.testing.assert_allclose(np.asarray(kv), np.asarray(xv), rtol=2e-2)

@@ -160,3 +160,24 @@ def test_streaming_stein_mode_matches_overlap_save():
     for a, b in [(0, 700), (700, 701), (701, 6000), (6000, total)]:
         s2.process(capture[a:b])
     assert s2.best()[:2] == (f_true, lag)
+
+
+def test_streaming_stein_value_full_energy():
+    """best()'s exact re-score on the carried window reports the true
+    full-energy |R|^2 — the carry is guard-extended past needle_pad so
+    the winning lag's last products don't hit the zero tail."""
+    from tests.test_stein import _exact_value_at
+
+    rng = np.random.default_rng(29)
+    n, total, lag, f_true = 512, 8192, 5321, 750.0
+    needle = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+    capture = _make_capture(needle, lag, f_true, total, FS, seed=24)
+    freqs = np.arange(-1000.0, 1000.0, 125.0, dtype=np.float32)
+    s = StreamingCAF(needle, freqs, FS, backend="stein")
+    for i in range(0, total, 1024):
+        s.process(capture[i:i + 1024])
+    freq, got_lag, value = s.best()
+    assert (freq, got_lag) == (f_true, lag)
+    oracle = _exact_value_at(needle, capture[lag:lag + n], f_true, FS)
+    assert value == pytest.approx(oracle, rel=1e-4)

@@ -197,3 +197,43 @@ def test_banded_rejected_for_nonuniform_or_explicit_fused():
     wide = np.arange(-9000.0, 9000.0, 500.0, dtype=np.float32)
     with pytest.raises(ValueError):
         stein_caf_peak(needle, needle, wide, FS, fused=False)
+
+
+def _exact_value_at(needle, window, freq, fs):
+    """True |R|^2 of ``needle`` vs the full-energy ``window`` at local
+    lag 0 and one frequency — the oracle for refined peak VALUES."""
+    import jax.numpy as jnp
+
+    from caf_cookoff_tpu.config import xcor_length
+    from caf_cookoff_tpu.models.filterbank import _surface_split_jit
+    from caf_cookoff_tpu.ops import splitfft
+
+    nr, ni = splitfft.split_array(needle)
+    wr, wi = splitfft.split_array(window)
+    surf = _surface_split_jit(jnp.asarray(nr), jnp.asarray(ni),
+                              jnp.asarray(wr), jnp.asarray(wi),
+                              jnp.asarray(np.float32([freq])), fs,
+                              xcor_length(len(needle)), "xla")
+    return float(surf[0, 0])
+
+
+def test_stein_os_refined_value_full_energy():
+    """The refined VALUE matches the true exact |R|^2 at the winning
+    (bin, lag): the guard-extended re-score window keeps every needle
+    sample correlating against real data (a needle-length window
+    zero-truncated the last ``guard`` products and biased values low)."""
+    from caf_cookoff_tpu.models.stein import stein_overlap_save_peak
+
+    rng = np.random.default_rng(17)
+    n, total, lag, f_true = 2048, 16384, 9000, 250.0
+    needle = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+    hay = (0.01 * (rng.standard_normal(total)
+                   + 1j * rng.standard_normal(total))).astype(np.complex64)
+    hay[lag:lag + n] += needle * np.exp(
+        2j * np.pi * f_true * np.arange(n) / FS).astype(np.complex64)
+    freqs = np.arange(-500.0, 500.0, 125.0, dtype=np.float32)
+    freq, got_lag, value = stein_overlap_save_peak(needle, hay, freqs, FS)
+    assert (freq, got_lag) == (f_true, lag)
+    oracle = _exact_value_at(needle, hay[lag:lag + n], f_true, FS)
+    assert value == pytest.approx(oracle, rel=1e-4)
