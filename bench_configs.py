@@ -110,34 +110,56 @@ def config2_batch64():
 
 
 def config3_wideband():
-    """2000 bins x 65536 lags: Stein segmented overlap-save, one chip.
+    """2000 bins x 65536 lags: banded windowed-OS fused engine, one chip.
 
-    Doppler span +-500 Hz -> auto segment length 24; per haystack block
-    the scan does ~341 transforms + one synthesis matmul instead of
-    2000 inverse FFTs (the filterbank streaming path measured 38.8 ms;
-    see git history)."""
+    Doppler span +-500 Hz at a 0.5 Hz pitch: the plain Stein envelope
+    caps blocks at fs/(4*f_max)=24 samples, but banding the grid (6
+    bands x 375 bins, needle shifted to each band center) lifts the
+    block length to 128, cutting the dominant synthesis MACs ~4x vs
+    the round-2 scan engine (1.96 ms measured; see git history).  Each
+    (band, lag-window) is one fused-kernel program."""
     import jax
     import jax.numpy as jnp
 
-    from caf_cookoff_tpu.models.stein import _stein_os_scan_jit
+    from caf_cookoff_tpu.models.batched_stein import (
+        _banded_stein_os_jit,
+        batched_stein_os_peak,
+    )
+    from caf_cookoff_tpu.models.stein import _plan_bands
     from caf_cookoff_tpu.ops.splitfft import split_array
+    from caf_cookoff_tpu.ops.xcor import xcor_length
 
     n, lags, k = 4096, 65536, 2000
     needle, _ = _rand_pair(n, 7, 0.0, 0)
     rng = np.random.default_rng(1)
     hay = (rng.standard_normal(lags + n)
            + 1j * rng.standard_normal(lags + n)).astype(np.complex64)
-    hay[30_000:30_000 + n] += 3 * needle
-    n_re, n_im = map(jnp.asarray, split_array(needle))
-    h_re, h_im = map(jnp.asarray, split_array(hay))
-    freqs = jnp.asarray(
-        np.linspace(-500, 500, k, endpoint=False).astype(np.float32))
+    freqs_np = np.linspace(-500, 500, k, endpoint=False).astype(np.float32)
+    true_f, true_lag = float(freqs_np[1234]), 30_000
+    t = np.arange(n)
+    hay[true_lag:true_lag + n] += 3 * (needle * np.exp(
+        2j * np.pi * true_f * t / FS)).astype(np.complex64)
+    # Correctness gate: the public API (which routes this grid through
+    # the banded engine) must recover the injected emitter.
+    fr, lg, _ = batched_stein_os_peak(needle[None], hay[None], freqs_np,
+                                      FS, num_lags=lags)
+    assert (float(fr[0]), int(lg[0])) == (true_f, true_lag), (fr, lg)
+    n_re, n_im = split_array(needle[None])
+    h_re, h_im = map(jnp.asarray, split_array(hay[None]))
+    n_re, n_im = jnp.asarray(n_re), jnp.asarray(n_im)
+    plan = _plan_bands(FS, freqs_np)
+    freqs_pad = jnp.asarray(plan["freqs_pad"])
+    centers = jnp.asarray(plan["centers"])
+    rel = jnp.asarray(plan["rel"])
+    m = xcor_length(n)
+    windows = -(-lags // m)
+    interpret = jax.default_backend() == "cpu"
 
     def step(carry):
-        pk = _stein_os_scan_jit.__wrapped__(
-            n_re + carry, n_im, h_re, h_im, freqs, FS, n, lags, 24,
-            "matmul", True)
-        return pk.value * 1e-30
+        pk = _banded_stein_os_jit.__wrapped__(
+            n_re + carry, n_im, h_re, h_im, freqs_pad, centers, rel, FS,
+            m, plan["block_len"], "matmul", windows, lags, n, k, interpret)
+        return jnp.sum(pk.value) * 1e-30
 
     ms = _chain(step, lambda: jnp.float32(0), iters=3)
     return {"metric": "config3_wideband_2000x65536_ms", "value": round(ms, 2),
@@ -152,10 +174,10 @@ def config4_stream16():
     import jax.numpy as jnp
 
     from caf_cookoff_tpu.models.batched_stein import (
-        _batched_stein_os_jit,
+        _banded_stein_os_jit,
         batched_stein_os_peak,
     )
-    from caf_cookoff_tpu.models.stein import stein_overlap_save_peak
+    from caf_cookoff_tpu.models.stein import _plan_bands
     from caf_cookoff_tpu.ops.splitfft import split_array
 
     pairs, n, lags, k = 16, 4096, 32768, 1024
@@ -184,15 +206,22 @@ def config4_stream16():
             b, fr[b], lg[b], emitters[b])
     ns = tuple(map(jnp.asarray, split_array(needles)))
     hs = tuple(map(jnp.asarray, split_array(hays)))
-    freqs = jnp.asarray(freqs_np)
     m = 2 * n
     windows = -(-lags // m)
     interpret = jax.default_backend() == "cpu"
+    # This grid (1024 bins over +-500 Hz) routes banded: 6 bands x 192
+    # bins at block 128 vs the plain envelope's block 16 — time the
+    # same program the gate above exercised.
+    plan = _plan_bands(FS, freqs_np)
+    freqs_pad = jnp.asarray(plan["freqs_pad"])
+    centers = jnp.asarray(plan["centers"])
+    rel = jnp.asarray(plan["rel"])
 
     def step(carry):
-        pk = _batched_stein_os_jit.__wrapped__(
-            ns[0] + carry, ns[1], hs[0], hs[1], freqs, FS, m, 16,
-            "matmul", windows, lags, n, interpret)
+        pk = _banded_stein_os_jit.__wrapped__(
+            ns[0] + carry, ns[1], hs[0], hs[1], freqs_pad, centers, rel,
+            FS, m, plan["block_len"], "matmul", windows, lags, n, k,
+            interpret)
         return jnp.sum(pk.value) * 1e-30
 
     ms = _chain(step, lambda: jnp.float32(0), iters=4)

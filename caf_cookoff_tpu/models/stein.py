@@ -225,8 +225,6 @@ def _plan_bands(sample_rate: float, freqs_hz: np.ndarray):
     with the band axis as the pair axis).  Bands are sized so the
     relative |f| stays within the pow2-32-segment envelope.
     """
-    from caf_cookoff_tpu.config import floor_pow2
-
     k = len(freqs_hz)
     if k < 2:
         return None
@@ -236,20 +234,22 @@ def _plan_bands(sample_rate: float, freqs_hz: np.ndarray):
         return None
     # Per lag column, stage A costs ~4N MACs per band (independent of
     # D: (2B rows)x(2D taps) with B = N/D) and synthesis ~4*K_pad*N/D,
-    # with the band count s ~ K*g*2D/fs — so cost(D) ~ 8KgD/fs + 4K/D,
-    # minimized at D* = sqrt(fs/(2g)).  Fine grids (small g) want the
-    # largest blocks the envelope allows, NOT a fixed target.
-    d_t = floor_pow2(int(min(128.0, max(8.0, np.sqrt(sample_rate
-                                                     / (2.0 * g))))))
-    kb = max(1, int(2.0 * (sample_rate / (4.0 * d_t)) / g))
-    d = 0
-    while kb >= 1:
-        rel_max = (kb - 1) / 2.0 * g
-        d = floor_pow2(min(128, int(sample_rate / (4.0 * rel_max))
-                           if rel_max > 0 else 128))
-        if d >= 8:
-            break
-        kb //= 2
+    # so with s bands of kb bins each, cost(D) ~ s*(1 + kb/D) in units
+    # of 4N.  The continuous optimum is D* = sqrt(fs/(2g)), but the
+    # pow2 quantization matters (floor_pow2(D*) can lose to the next
+    # pow2 up — and small D doubles the kernel's block-count rows and
+    # with them its VMEM scratch), so evaluate the model at every
+    # eligible pow2 and take the cheapest.
+    best = None
+    for cand in (8, 16, 32, 64, 128):
+        # Widest band the phase-error envelope allows at this D:
+        # rel_max <= fs/(4D)  =>  kb <= fs/(2*D*g).
+        kb_c = max(1, int(sample_rate / (2.0 * cand * g)))
+        s_c = -(-k // kb_c)
+        cost = s_c * (1.0 + kb_c / cand)
+        if best is None or cost < best[0]:
+            best = (cost, cand, kb_c)
+    _, d, kb = best
     s = -(-k // kb)
     f0 = float(freqs_hz[0])
     freqs_pad = (f0 + g * np.arange(s * kb)).astype(np.float32)

@@ -168,6 +168,34 @@ def fused_span(num_blocks: int, sup: int, num_lags: int,
     return -(-span // quantum) * quantum
 
 
+def _vmem_demand(b2: int, span: int, sup: int, sr: int, m_pad: int,
+                 kp: int, p: int, a_chunks: int) -> int:
+    """Scoped-VMEM budget for one ``fused_stein_rank`` program (bytes).
+
+    Sums the bf16 scratch buffers (co staircase + Hankel chunk + seed +
+    G), the resident ws1/ws2 operands, the double-buffered per-program
+    operand blocks (lmat row, haystack extension), and the whole-output
+    blocks, then adds 8 MB + 20% headroom for Mosaic's spills.
+    """
+    scratch = 2 * (b2 * span                        # co staircase
+                   + 2 * sup * (span // a_chunks)   # Hankel chunk
+                   + sr * (span // a_chunks + sup)  # seed rows
+                   + b2 * m_pad)                    # G (synthesis input)
+    resident = 2 * 2 * kp * b2                      # ws1 + ws2 (bf16)
+    blocks = 2 * (2 * b2 * 2 * sup                  # lmat row (bf16)
+                  + 4 * 2 * (span + SUPER - 1))     # h_ext (f32)
+    outs = kp * p * 8 + kp * 8                      # vals+idxs, maxes
+    est = scratch + resident + blocks + outs
+    limit = max(48 * 1024 * 1024, est + est // 5 + (8 << 20))
+    if limit > 100 * 1024 * 1024:
+        raise ValueError(
+            f"fused Stein kernel needs ~{est / 2**20:.0f} MB of VMEM "
+            f"(block_len={sup}, span={span}, {b2 // 2} blocks) — past "
+            "the chip's budget; use a larger block_len (fewer, wider "
+            "blocks) or the scan/matmul path for this shape")
+    return limit
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_blocks", "sup", "num_lags", "interpret",
@@ -282,11 +310,18 @@ def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, sup: int,
             pltpu.VMEM((kp, 1), jnp.float32),
             pltpu.VMEM((kp, 1), jnp.int32),
         ],
-        # The default scoped-VMEM budget is 16 MB; the co/hank scratch
-        # plus Mosaic's unrolled-loop temporaries need ~18-19 MB of the
-        # chip's 128 MB VMEM.
+        # The default scoped-VMEM budget (16 MB) is far under what the
+        # co/G scratch needs, and small block lengths double the
+        # block-count rows (b2 = 2N/sup) — so size the limit from the
+        # actual demand: resident scratch + pipelined operand blocks +
+        # outputs, plus headroom for Mosaic's unrolled-loop temporaries
+        # (measured ~7 MB at the 42 MB point), floored at the 48 MB that
+        # every previously-shipped shape fit in.  ``_vmem_demand``
+        # raises past 100 MB (of the chip's 128 MB) with a usable
+        # message instead of the compiler's scoped-OOM.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=48 * 1024 * 1024),
+            vmem_limit_bytes=_vmem_demand(
+                b2, span, sup, sr, m_pad, kp, p, a_chunks)),
         interpret=interpret,
     )(*operands)
     return vals[:k], idxs[:k]
