@@ -124,7 +124,8 @@ def _fused_stein_kernel(*refs, num_blocks: int,
         if dyn_valid:
             col_iota = jax.lax.broadcasted_iota(
                 jnp.int32, (kp, tile), 1) + coff
-            mag2 = jnp.where(col_iota < nl_ref[0], mag2, -1.0)
+            mag2 = jnp.where(col_iota < nl_ref[pl.program_id(0)],
+                             mag2, -1.0)
         elif coff + tile > num_lags:            # only the tail tile masks
             col_iota = jax.lax.broadcasted_iota(
                 jnp.int32, (kp, tile), 1) + coff
@@ -285,7 +286,10 @@ def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, sup: int,
         if num_valid.shape != (p_eff,):
             raise ValueError(
                 f"num_valid shape {num_valid.shape} != ({p_eff},)")
-        in_specs.append(pl.BlockSpec((1,), lambda i: (i,),
+        # Whole-array SMEM block (Mosaic restricts partial blocks to
+        # tiling-aligned shapes, which a (1,)-slice of a general
+        # program count violates); the kernel indexes by program id.
+        in_specs.append(pl.BlockSpec((p_eff,), lambda i: (0,),
                                      memory_space=pltpu.SMEM))
         operands.append(num_valid)
     vals, idxs = pl.pallas_call(

@@ -237,3 +237,30 @@ def test_stein_os_refined_value_full_energy():
     assert (freq, got_lag) == (f_true, lag)
     oracle = _exact_value_at(needle, hay[lag:lag + n], f_true, FS)
     assert value == pytest.approx(oracle, rel=1e-4)
+
+
+def test_plan_bands_picks_cost_optimal_pow2():
+    """The planner must evaluate its cost model s*(1 + kb/D) at every
+    pow2, not floor sqrt(fs/2g): for a 100 Hz pitch over +-6 kHz the
+    floor heuristic chose D=8 (cost 19, and a kernel whose VMEM scratch
+    blew the scoped budget on chip); D=16 is cheaper (15.5)."""
+    from caf_cookoff_tpu.models.stein import _plan_bands
+
+    plan = _plan_bands(FS, np.arange(-6000.0, 6000.0, 100.0, np.float32))
+    assert plan["block_len"] == 16
+    assert plan["bands"] * plan["kb"] >= 120
+    # Fine dense grids keep the largest block the model allows.
+    plan = _plan_bands(FS, np.linspace(-500, 500, 2000, endpoint=False)
+                       .astype(np.float32))
+    assert plan["block_len"] == 128
+    # No candidate may beat the returned one under the same model.
+    for g, span in [(100.0, 6000.0), (15.0, 6000.0), (0.5, 500.0),
+                    (2.0, 1500.0), (250.0, 12000.0)]:
+        freqs = np.arange(-span, span, g, dtype=np.float32)
+        plan = _plan_bands(FS, freqs)
+        cost = plan["bands"] * (1.0 + plan["kb"] / plan["block_len"])
+        k = len(freqs)
+        for d in (8, 16, 32, 64, 128):
+            kb = max(1, int(FS / (2.0 * d * g)))
+            s = -(-k // kb)
+            assert cost <= s * (1.0 + kb / d) + 1e-9, (g, span, d)

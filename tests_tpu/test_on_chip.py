@@ -133,3 +133,35 @@ def test_banded_wide_span_on_chip():
     banded = stein_caf_peak(needle, hay, freqs, FS)
     exact = caf_peak(needle, hay, freqs, FS, backend="matmul")
     assert banded[:2] == exact[:2] == (f_true, lag)
+
+
+def test_banded_windowed_os_on_chip():
+    """The banded x windowed composition (config 3's shape, scaled)
+    compiled on chip: multiple bands AND multiple lag windows per pair,
+    with an uneven tail window exercising the per-program SMEM lag
+    bound (p_eff = bands x windows programs — the lane's other OS
+    tests stay unbanded or single-window, which is exactly how the
+    rank-1 SMEM block-shape lowering bug slipped past it)."""
+    from caf_cookoff_tpu.models.batched_stein import batched_stein_os_peak
+    from caf_cookoff_tpu.models.stein import _plan_bands
+
+    rng = np.random.default_rng(21)
+    n, lags, k = 2048, 12_000, 500
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = (0.1 * (rng.standard_normal(lags + n)
+                  + 1j * rng.standard_normal(lags + n))).astype(np.complex64)
+    freqs = np.linspace(-500.0, 500.0, k, endpoint=False).astype(np.float32)
+    plan = _plan_bands(FS, freqs)
+    assert plan["bands"] > 1                    # really banded
+    assert -(-lags // (2 * n)) > 1              # really multi-window
+    # Emitter in the FINAL, partial lag window (lags not a multiple of
+    # the 2n window): the in-kernel bound must cut past-num_lags
+    # columns without dropping the bin.
+    f_true, lag_true = float(freqs[457]), 11_990
+    t = np.arange(n)
+    add = (needle * np.exp(2j * np.pi * f_true * t / FS)).astype(np.complex64)
+    hay[lag_true:lag_true + n] += add[: lags + n - lag_true]
+    fr, lg, _ = batched_stein_os_peak(needle[None], hay[None], freqs, FS,
+                                      num_lags=lags)
+    assert (float(fr[0]), int(lg[0])) == (f_true, lag_true)
