@@ -424,10 +424,32 @@ def stein_overlap_save_peak(needle, haystack, freqs_hz, sample_rate, *,
     within a bin), then exact refinement: the needle-length capture
     window at the found lag is re-scored by :func:`stein_caf_peak`'s
     exact top-k path, restoring bin-exact frequency.
+
+    On TPU with ``refine=True`` the coarse pass routes through the
+    windowed fused kernel (:func:`~caf_cookoff_tpu.models.batched_stein.
+    batched_stein_os_peak` at P=1): every overlap-save lag window (and,
+    for grids the band planner favors, every band) is one grid program
+    — measured 1.14 vs 1.96 ms at the config-3 shape (2000 × 65536).
+    Shapes outside the kernel's envelope (no pow2 block or band plan,
+    VMEM demand past the chip) fall back to the XLA scan below.
     """
     backend = backend or default_backend()
     (n_re, n_im), (h_re, h_im), freqs = _prep_long(needle, haystack,
                                                    freqs_hz)
+    if (refine and jax.default_backend() != "cpu"
+            and h_re.shape[-1] > n_re.shape[-1]):
+        from caf_cookoff_tpu.models.batched_stein import (
+            batched_stein_os_peak,
+        )
+
+        try:
+            fr, lg, vv = batched_stein_os_peak(
+                np.asarray(needle)[None], np.asarray(haystack)[None],
+                freqs_hz, sample_rate, num_lags=num_lags,
+                block_len=block_len, backend=backend)
+            return float(fr[0]), int(lg[0]), float(vv[0])
+        except ValueError:
+            pass    # span/VMEM outside the kernel's envelope -> scan
     block_len = _auto_block_len(sample_rate, freqs, block_len)
     n = n_re.shape[-1]
     lags = num_lags or h_re.shape[-1] - n + 1

@@ -165,3 +165,26 @@ def test_banded_windowed_os_on_chip():
     fr, lg, _ = batched_stein_os_peak(needle[None], hay[None], freqs, FS,
                                       num_lags=lags)
     assert (float(fr[0]), int(lg[0])) == (f_true, lag_true)
+
+
+def test_stein_os_routes_fused_on_chip():
+    """``stein_overlap_save_peak`` (the ``run --full-haystack`` engine)
+    routes its coarse pass through the windowed fused kernel on TPU:
+    exact answer on a capture whose emitter sits past the first lag
+    window, matching the injected truth and the XLA-scan fallback."""
+    from caf_cookoff_tpu.models.stein import stein_overlap_save_peak
+
+    rng = np.random.default_rng(33)
+    n, lags = 4096, 20_000
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = (0.1 * (rng.standard_normal(lags + n)
+                  + 1j * rng.standard_normal(lags + n))).astype(np.complex64)
+    freqs = FreqGrid(-100.0, 100.0, 0.25).frequencies(np.float32)
+    f_true, lag_true = 42.5, 13_777
+    t = np.arange(n)
+    hay[lag_true:lag_true + n] += (needle * np.exp(
+        2j * np.pi * f_true * t / FS)).astype(np.complex64)
+    freq, lag, value = stein_overlap_save_peak(needle, hay, freqs, FS)
+    assert (freq, lag) == (f_true, lag_true)
+    assert value > 0
