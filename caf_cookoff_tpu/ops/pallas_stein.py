@@ -39,6 +39,11 @@ in README.md's round-2 tables."""
 from __future__ import annotations
 
 import functools
+import os
+
+# Experiment knob (timing only — output is garbage): skip the in-kernel
+# Hankel build to isolate its cost from the MXU dots.
+_SKIP_HANKEL = bool(os.environ.get("CAF_TPU_SKIP_HANKEL"))
 
 import jax
 import jax.numpy as jnp
@@ -93,19 +98,30 @@ def _fused_stein_kernel(*refs, num_blocks: int,
     # start sr*(sup//sr - 1) = sup - sr — so the last seed row's read
     # ends exactly at h_ext's final needed sample (span + sup - 2).
     wv = a_w + sup - sr
-    for a in range(a_chunks):
+    def build(a, buf):
         c0 = a * a_w
         for plane in range(2):
             base = plane * sup
             for r in range(sr):
-                seed_ref[r, :wv] = h_ref[0, plane,
-                                         c0 + r:c0 + r + wv].astype(cdtype)
+                seed_ref[buf, r, :wv] = h_ref[0, plane,
+                                              c0 + r:c0 + r + wv
+                                              ].astype(cdtype)
             for k in range(sup // sr):
-                hank_ref[base + sr * k:base + sr * (k + 1), :] = \
-                    seed_ref[:, sr * k:sr * k + a_w]
-        z = jnp.dot(l_ref[0], hank_ref[:],
+                hank_ref[buf, base + sr * k:base + sr * (k + 1), :] = \
+                    seed_ref[buf, :, sr * k:sr * k + a_w]
+
+    # Double-buffered build: chunk a+1's Hankel rows are VPU work with
+    # no dependency on chunk a's MXU dot, so building into the other
+    # buffer before the dot lets the VLIW scheduler overlap them
+    # (single-buffered, build -> dot -> build serializes on hank_ref).
+    if not _SKIP_HANKEL:
+        build(0, 0)
+    for a in range(a_chunks):
+        if not _SKIP_HANKEL and a + 1 < a_chunks:
+            build(a + 1, (a + 1) % 2)
+        z = jnp.dot(l_ref[0], hank_ref[a % 2],
                     preferred_element_type=jnp.float32)
-        co_ref[:, c0:c0 + a_w] = z.astype(cdtype)
+        co_ref[:, a * a_w:(a + 1) * a_w] = z.astype(cdtype)
 
     b = num_blocks
     m_pad = num_chunks * tile
@@ -178,10 +194,10 @@ def _vmem_demand(b2: int, span: int, sup: int, sr: int, m_pad: int,
     operand blocks (lmat row, haystack extension), and the whole-output
     blocks, then adds 8 MB + 20% headroom for Mosaic's spills.
     """
-    scratch = 2 * (b2 * span                        # co staircase
-                   + 2 * sup * (span // a_chunks)   # Hankel chunk
-                   + sr * (span // a_chunks + sup)  # seed rows
-                   + b2 * m_pad)                    # G (synthesis input)
+    scratch = 2 * (b2 * span                           # co staircase
+                   + 2 * 2 * sup * (span // a_chunks)  # Hankel x2 bufs
+                   + 2 * sr * (span // a_chunks + sup)  # seed x2 bufs
+                   + b2 * m_pad)                       # G (synthesis input)
     resident = 2 * 2 * kp * b2                      # ws1 + ws2 (bf16)
     blocks = 2 * (2 * b2 * 2 * sup                  # lmat row (bf16)
                   + 4 * 2 * (span + SUPER - 1))     # h_ext (f32)
@@ -308,8 +324,8 @@ def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, sup: int,
         ),
         scratch_shapes=[
             pltpu.VMEM((b2, span), cdtype),
-            pltpu.VMEM((2 * sup, span // a_chunks), cdtype),
-            pltpu.VMEM((sr, span // a_chunks + sup), cdtype),
+            pltpu.VMEM((2, 2 * sup, span // a_chunks), cdtype),
+            pltpu.VMEM((2, sr, span // a_chunks + sup), cdtype),
             pltpu.VMEM((b2, m_pad), cdtype),
             pltpu.VMEM((kp, 1), jnp.float32),
             pltpu.VMEM((kp, 1), jnp.int32),
