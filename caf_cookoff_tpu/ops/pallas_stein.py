@@ -130,6 +130,16 @@ def _fused_stein_kernel(*refs, num_blocks: int,
         g_ref[blk:blk + 1, :] = co_ref[blk:blk + 1, src:src + m_pad]
         g_ref[b + blk:b + blk + 1, :] = co_ref[b + blk:b + blk + 1,
                                                src:src + m_pad]
+    # Lane reductions (jnp.max/min over axis 1) cost several VPU passes
+    # each; doing one per lag tile made the epilogue the kernel's
+    # largest cost.  Instead accumulate a running ELEMENTWISE max (and,
+    # when lags are wanted, the earliest winning tile id) in a
+    # (kp, tile) scratch — one or three cheap passes per tile — and
+    # reduce across lanes exactly once at the end.  Tie-break is
+    # unchanged: per lane position the strict ``>`` keeps the earliest
+    # tile, and any lag in an earlier tile precedes every lag in a
+    # later one, so "min encoded lag among the maxima" is still the
+    # global minimum lag.
     for c in range(num_chunks):
         coff = c * tile
         gs = g_ref[:, coff:coff + tile]
@@ -146,31 +156,33 @@ def _fused_stein_kernel(*refs, num_blocks: int,
             col_iota = jax.lax.broadcasted_iota(
                 jnp.int32, (kp, tile), 1) + coff
             mag2 = jnp.where(col_iota < num_lags, mag2, -1.0)
-        colmax = jnp.max(mag2, axis=1, keepdims=True)
-        if want_idxs:
-            col_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (kp, tile), 1) + coff
-            colarg = jnp.min(
-                jnp.where(mag2 >= colmax, col_iota, _BIG_IDX),
-                axis=1, keepdims=True)
         if c == 0:
-            vacc_ref[:] = colmax
+            vacc_ref[:] = mag2
             if want_idxs:
-                iacc_ref[:] = colarg
-            else:
                 iacc_ref[:] = jnp.zeros_like(iacc_ref)
-        else:
+        elif want_idxs:
             prev = vacc_ref[:]
-            take = colmax > prev
-            vacc_ref[:] = jnp.where(take, colmax, prev)
-            if want_idxs:
-                iacc_ref[:] = jnp.where(take, colarg, iacc_ref[:])
+            take = mag2 > prev
+            vacc_ref[:] = jnp.where(take, mag2, prev)
+            iacc_ref[:] = jnp.where(take, jnp.int32(c), iacc_ref[:])
+        else:
+            vacc_ref[:] = jnp.maximum(mag2, vacc_ref[:])
+    macc = vacc_ref[:]
+    colmax = jnp.max(macc, axis=1, keepdims=True)
+    kp = macc.shape[0]
+    if want_idxs:
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (kp, tile), 1)
+        lag = iacc_ref[:] * tile + lane_i
+        colarg = jnp.min(jnp.where(macc >= colmax, lag, _BIG_IDX),
+                         axis=1, keepdims=True)
+    else:
+        colarg = jnp.zeros((kp, 1), jnp.int32)
     pid = pl.program_id(0)
     kp, p = vals_ref.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, (kp, p), 1)
     mine = lane == pid
-    vals_ref[:] = jnp.where(mine, vacc_ref[:], vals_ref[:])
-    idxs_ref[:] = jnp.where(mine, iacc_ref[:], idxs_ref[:])
+    vals_ref[:] = jnp.where(mine, colmax, vals_ref[:])
+    idxs_ref[:] = jnp.where(mine, colarg, idxs_ref[:])
 
 
 def fused_span(num_blocks: int, sup: int, num_lags: int,
@@ -186,7 +198,7 @@ def fused_span(num_blocks: int, sup: int, num_lags: int,
 
 
 def _vmem_demand(b2: int, span: int, sup: int, sr: int, m_pad: int,
-                 kp: int, p: int, a_chunks: int) -> int:
+                 kp: int, p: int, a_chunks: int, want_idxs: bool) -> int:
     """Scoped-VMEM budget for one ``fused_stein_rank`` program (bytes).
 
     Sums the bf16 scratch buffers (co staircase + Hankel chunk + seed +
@@ -201,9 +213,12 @@ def _vmem_demand(b2: int, span: int, sup: int, sr: int, m_pad: int,
     resident = 2 * 2 * kp * b2                      # ws1 + ws2 (bf16)
     blocks = 2 * (2 * b2 * 2 * sup                  # lmat row (bf16)
                   + 4 * 2 * (span + SUPER - 1))     # h_ext (f32)
-    outs = kp * p * 8 + kp * 8                      # vals+idxs, maxes
+    acc = kp * FUSED_TILE * (8 if want_idxs else 4)  # max (+tile-id) accums
+    outs = kp * p * 8 + acc                          # vals+idxs outputs
     est = scratch + resident + blocks + outs
-    limit = max(48 * 1024 * 1024, est + est // 5 + (8 << 20))
+    # The 48 MB floor predates the (kp, tile) accumulators (every
+    # pre-accumulator shape fit under it) — they ride on top of it.
+    limit = max(48 * 1024 * 1024 + acc, est + est // 5 + (8 << 20))
     if limit > 100 * 1024 * 1024:
         raise ValueError(
             f"fused Stein kernel needs ~{est / 2**20:.0f} MB of VMEM "
@@ -327,8 +342,8 @@ def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, sup: int,
             pltpu.VMEM((2, 2 * sup, span // a_chunks), cdtype),
             pltpu.VMEM((2, sr, span // a_chunks + sup), cdtype),
             pltpu.VMEM((b2, m_pad), cdtype),
-            pltpu.VMEM((kp, 1), jnp.float32),
-            pltpu.VMEM((kp, 1), jnp.int32),
+            pltpu.VMEM((kp, FUSED_TILE), jnp.float32),
+            pltpu.VMEM((kp, FUSED_TILE if want_idxs else 1), jnp.int32),
         ],
         # The default scoped-VMEM budget (16 MB) is far under what the
         # co/G scratch needs, and small block lengths double the
@@ -341,7 +356,7 @@ def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, sup: int,
         # message instead of the compiler's scoped-OOM.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_demand(
-                b2, span, sup, sr, m_pad, kp, p, a_chunks)),
+                b2, span, sup, sr, m_pad, kp, p, a_chunks, want_idxs)),
         interpret=interpret,
     )(*operands)
     return vals[:k], idxs[:k]

@@ -13,6 +13,9 @@ import time
 
 import numpy as np
 
+_ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_ROOT))
+
 FS = 48_000.0
 ITERS = 400
 REPS = 6
@@ -30,7 +33,7 @@ def main() -> None:
     from caf_cookoff_tpu.utils.io import load_c64
 
     device = jax.devices()[0]
-    data_dir = pathlib.Path(__file__).resolve().parent / "data"
+    data_dir = _ROOT / "data"
     needle_path, haystack_path = ensure_fixtures(data_dir)[0]
     needle_np = load_c64(needle_path)
     haystack_np = load_c64(haystack_path, count=len(needle_np))
