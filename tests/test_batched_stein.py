@@ -171,6 +171,62 @@ def test_fused_kernel_matches_xla_twin():
     np.testing.assert_allclose(np.asarray(kv), np.asarray(xv), rtol=2e-2)
 
 
+def test_fused_kernel_tie_break_min_lag():
+    """Exact cross-tile ties resolve to the MINIMUM lag.
+
+    Two bit-identical copies of the needle placed at lags in different
+    512-lag tiles produce bit-for-bit equal per-block correlations (the
+    same sample values feed the same bf16 dots), so every (bin, lag)
+    value ties between the two lags.  The kernel's epilogue accumulates
+    a running elementwise max with a strict ``>`` across tiles and then
+    takes the min encoded lag among the maxima — the contract (shared
+    with find_peak_2d and the XLA twin's argmax) is that the earlier
+    lag wins."""
+    import jax.numpy as jnp
+
+    from caf_cookoff_tpu.models.batched_stein import (
+        _coarse_rank_xla,
+        _haystack_extension,
+        _needle_operator,
+    )
+    from caf_cookoff_tpu.ops.pallas_stein import (
+        fused_span,
+        fused_stein_rank,
+        stein_synthesis_weights,
+    )
+    from caf_cookoff_tpu.ops.splitfft import split_array
+
+    rng = np.random.default_rng(11)
+    n, d, k, m = 512, 64, 17, 4096
+    lag_a, lag_b = 100, 6 * 512 + 100          # tiles 0 and 6
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = np.zeros(lag_b + n, np.complex64)
+    hay[lag_a:lag_a + n] = needle
+    hay[lag_b:lag_b + n] = needle
+    ns_re, ns_im = map(jnp.asarray, split_array(needle[None]))
+    hs_re, hs_im = map(jnp.asarray, split_array(hay[None]))
+    freqs = jnp.asarray(np.linspace(-100, 100, k).astype(np.float32))
+    b = n // d
+    lmat, group = _needle_operator(ns_re, ns_im, d)
+    span = fused_span(b, group, m)
+    h_ext = _haystack_extension(hs_re, hs_im, m, span)
+    ws1, ws2 = stein_synthesis_weights(freqs, FS, b, d)
+    kv, ki = fused_stein_rank(ws1, ws2, lmat, h_ext, b, group, m,
+                              interpret=True)
+    kv, ki = np.asarray(kv)[:, 0], np.asarray(ki)[:, 0]
+    zero_bin = k // 2                          # linspace midpoint = 0 Hz
+    assert ki[zero_bin] == lag_a
+    # And the XLA twin (argmax = first max) agrees bin-for-bin.
+    bf = jnp.bfloat16
+    _, xi = _coarse_rank_xla(ws1.astype(bf).astype(jnp.float32),
+                             ws2.astype(bf).astype(jnp.float32),
+                             lmat.astype(bf).astype(jnp.float32),
+                             h_ext.astype(bf).astype(jnp.float32),
+                             b, group, m)
+    np.testing.assert_array_equal(ki, np.asarray(xi)[:, 0])
+
+
 def test_pow2_block_len():
     freqs100 = np.array([100.0], np.float32)
     assert _pow2_block_len(48e3, freqs100, 64) == 64
