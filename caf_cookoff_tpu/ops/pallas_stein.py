@@ -56,7 +56,9 @@ _BIG_IDX = np.int32(2**30)
 ROW_PAD = 16    # K padded to a multiple of this (bf16 sublane tile; the
                 # old 128 wasted 28% of stage B at the K=400 grid)
 SUPER = 128     # lane tile: h_ext padding + stage-A chunk quantum
-FUSED_TILE = 512  # stage-B lag tile (512 lanes x K-padded rows ~2 MB)
+FUSED_TILE = 512  # stage-B lag tile (512 lanes x K-padded rows ~2 MB;
+                  # 1024/2048 measured identical on the headline shape,
+                  # so the loop trip count is not a cost)
 _SEED_ROWS = 16  # bf16 sublane tile: Hankel rows are built 16 at a time
 
 

@@ -227,6 +227,50 @@ def test_fused_kernel_tie_break_min_lag():
     np.testing.assert_array_equal(ki, np.asarray(xi)[:, 0])
 
 
+def test_fused_kernel_single_tile():
+    """num_lags <= FUSED_TILE runs the epilogue's init-only path (one
+    lag tile, no cross-tile accumulation) — kernel must still match the
+    XLA twin bin-for-bin."""
+    import jax.numpy as jnp
+
+    from caf_cookoff_tpu.models.batched_stein import (
+        _coarse_rank_xla,
+        _haystack_extension,
+        _needle_operator,
+    )
+    from caf_cookoff_tpu.ops.pallas_stein import (
+        fused_span,
+        fused_stein_rank,
+        stein_synthesis_weights,
+    )
+    from caf_cookoff_tpu.ops.splitfft import split_array
+
+    rng = np.random.default_rng(12)
+    p, n, d, k, m = 2, 256, 64, 9, 512
+    needles = (rng.standard_normal((p, n))
+               + 1j * rng.standard_normal((p, n))).astype(np.complex64)
+    hays = (rng.standard_normal((p, n))
+            + 1j * rng.standard_normal((p, n))).astype(np.complex64)
+    ns_re, ns_im = map(jnp.asarray, split_array(needles))
+    hs_re, hs_im = map(jnp.asarray, split_array(hays))
+    freqs = jnp.asarray(np.linspace(-50, 50, k).astype(np.float32))
+    b = n // d
+    lmat, group = _needle_operator(ns_re, ns_im, d)
+    span = fused_span(b, group, m)
+    h_ext = _haystack_extension(hs_re, hs_im, m, span)
+    ws1, ws2 = stein_synthesis_weights(freqs, FS, b, d)
+    kv, ki = fused_stein_rank(ws1, ws2, lmat, h_ext, b, group, m,
+                              interpret=True)
+    bf = jnp.bfloat16
+    xv, xi = _coarse_rank_xla(ws1.astype(bf).astype(jnp.float32),
+                              ws2.astype(bf).astype(jnp.float32),
+                              lmat.astype(bf).astype(jnp.float32),
+                              h_ext.astype(bf).astype(jnp.float32),
+                              b, group, m)
+    np.testing.assert_array_equal(np.asarray(ki), np.asarray(xi))
+    np.testing.assert_allclose(np.asarray(kv), np.asarray(xv), rtol=2e-2)
+
+
 def test_pow2_block_len():
     freqs100 = np.array([100.0], np.float32)
     assert _pow2_block_len(48e3, freqs100, 64) == 64
