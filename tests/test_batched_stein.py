@@ -271,6 +271,54 @@ def test_fused_kernel_single_tile():
     np.testing.assert_allclose(np.asarray(kv), np.asarray(xv), rtol=2e-2)
 
 
+def test_fused_kernel_static_tail_mask():
+    """num_lags below FUSED_TILE (N=128 -> xcor length 256) seeds the
+    -1.0 mask sentinels into the (kp, tile) accumulator at the first
+    (only) tile via the STATIC tail-mask branch; the final reduction
+    must exclude them.  Kernel vs XLA twin, bin-for-bin."""
+    import jax.numpy as jnp
+
+    from caf_cookoff_tpu.models.batched_stein import (
+        _coarse_rank_xla,
+        _haystack_extension,
+        _needle_operator,
+    )
+    from caf_cookoff_tpu.ops.pallas_stein import (
+        FUSED_TILE,
+        fused_span,
+        fused_stein_rank,
+        stein_synthesis_weights,
+    )
+    from caf_cookoff_tpu.ops.splitfft import split_array
+
+    rng = np.random.default_rng(13)
+    p, n, d, k, m = 2, 128, 32, 9, 256
+    assert m < FUSED_TILE                   # the branch under test
+    needles = (rng.standard_normal((p, n))
+               + 1j * rng.standard_normal((p, n))).astype(np.complex64)
+    hays = (rng.standard_normal((p, n))
+            + 1j * rng.standard_normal((p, n))).astype(np.complex64)
+    ns_re, ns_im = map(jnp.asarray, split_array(needles))
+    hs_re, hs_im = map(jnp.asarray, split_array(hays))
+    freqs = jnp.asarray(np.linspace(-50, 50, k).astype(np.float32))
+    b = n // d
+    lmat, group = _needle_operator(ns_re, ns_im, d)
+    span = fused_span(b, group, m)
+    h_ext = _haystack_extension(hs_re, hs_im, m, span)
+    ws1, ws2 = stein_synthesis_weights(freqs, FS, b, d)
+    kv, ki = fused_stein_rank(ws1, ws2, lmat, h_ext, b, group, m,
+                              interpret=True)
+    assert int(np.max(ki)) < m              # no masked lane leaked
+    bf = jnp.bfloat16
+    xv, xi = _coarse_rank_xla(ws1.astype(bf).astype(jnp.float32),
+                              ws2.astype(bf).astype(jnp.float32),
+                              lmat.astype(bf).astype(jnp.float32),
+                              h_ext.astype(bf).astype(jnp.float32),
+                              b, group, m)
+    np.testing.assert_array_equal(np.asarray(ki), np.asarray(xi))
+    np.testing.assert_allclose(np.asarray(kv), np.asarray(xv), rtol=2e-2)
+
+
 def test_pow2_block_len():
     freqs100 = np.array([100.0], np.float32)
     assert _pow2_block_len(48e3, freqs100, 64) == 64
