@@ -432,12 +432,20 @@ def stein_overlap_save_peak(needle, haystack, freqs_hz, sample_rate, *,
     — measured 1.14 vs 1.96 ms at the config-3 shape (2000 × 65536).
     Shapes outside the kernel's envelope (no pow2 block or band plan,
     VMEM demand past the chip) fall back to the XLA scan below.
+    Doppler spans past the single-segment envelope (|f| > fs/32) can
+    ONLY run the banded windowed engine — that route engages on every
+    platform (the scan has no banded mode), so wide-span long captures
+    work on CPU too.
     """
     backend = backend or default_backend()
     (n_re, n_im), (h_re, h_im), freqs = _prep_long(needle, haystack,
                                                    freqs_hz)
-    if (refine and jax.default_backend() != "cpu"
-            and h_re.shape[-1] > n_re.shape[-1]):
+    try:
+        scan_block = _auto_block_len(sample_rate, freqs, block_len)
+    except ValueError:
+        scan_block = None    # span past the single-segment envelope
+    if (refine and h_re.shape[-1] > n_re.shape[-1]
+            and (scan_block is None or jax.default_backend() != "cpu")):
         from caf_cookoff_tpu.models.batched_stein import (
             batched_stein_os_peak,
         )
@@ -449,8 +457,14 @@ def stein_overlap_save_peak(needle, haystack, freqs_hz, sample_rate, *,
                 block_len=block_len, backend=backend)
             return float(fr[0]), int(lg[0]), float(vv[0])
         except ValueError:
-            pass    # span/VMEM outside the kernel's envelope -> scan
-    block_len = _auto_block_len(sample_rate, freqs, block_len)
+            if scan_block is None:
+                raise    # the scan cannot take the span either
+            # span/VMEM outside the kernel's envelope -> scan
+    if scan_block is None:
+        # refine=False (or needle-length capture) with a wide span:
+        # re-raise _auto_block_len's actionable message.
+        _auto_block_len(sample_rate, freqs, block_len)
+    block_len = scan_block
     n = n_re.shape[-1]
     lags = num_lags or h_re.shape[-1] - n + 1
     peak = _stein_os_scan_jit(n_re, n_im, h_re, h_im, jnp.asarray(freqs),

@@ -10,9 +10,17 @@ kind of coverage a fixed fixture set cannot give.
 import numpy as np
 import pytest
 
-from caf_cookoff_tpu.models.batched_stein import batched_stein_peak
+from caf_cookoff_tpu.models.batched_stein import (
+    batched_stein_os_peak,
+    batched_stein_peak,
+)
 from caf_cookoff_tpu.models.filterbank import caf_peak
-from caf_cookoff_tpu.models.stein import stein_caf_peak
+from caf_cookoff_tpu.models.overlap_save import overlap_save_peak
+from caf_cookoff_tpu.models.stein import (
+    stein_caf_peak,
+    stein_overlap_save_peak,
+)
+from caf_cookoff_tpu.models.streaming import StreamingCAF
 
 FS = 48_000.0
 
@@ -51,3 +59,59 @@ def test_engines_agree_randomized(seed, n, lag, f_idx, g0, gs, gk):
     assert (freq, got_lag) == want, ("stein", freq, got_lag)
     fr, lg, _ = batched_stein_peak(needle[None], hay[None], freqs, FS)
     assert (float(fr[0]), int(lg[0])) == want, ("batched", fr[0], lg[0])
+
+
+LONG_CASES = [
+    # (seed, n, total, lag, f_idx, grid_start, grid_step, grid_bins,
+    #  chunk) — chunk deliberately not dividing total in case 12.
+    (10, 512, 16384, 0, 2, -400.0, 50.0, 16, 2048),      # zero lag
+    (11, 1024, 32768, 31744, 5, -100.0, 12.5, 16, 4096),  # last full lag
+    (12, 1000, 20000, 13777, 7, -750.0, 125.0, 12, 3000),  # non-pow2 all
+    (13, 256, 8192, 7936, 3, -250.0, 62.5, 8, 1024),     # last-sample lag
+    (14, 2048, 65536, 50123, 9, -8000.0, 1000.0, 16, 8192),  # wide span
+]
+
+
+@pytest.mark.parametrize("seed,n,total,lag,f_idx,g0,gs,gk,chunk",
+                         LONG_CASES)
+def test_long_capture_engines_agree(seed, n, total, lag, f_idx, g0, gs,
+                                    gk, chunk):
+    """Long-capture family: the XLA overlap-save scan (oracle), the
+    Stein OS engine (banded where the span demands it), the windowed
+    batch engine, and StreamingCAF all recover the same (freq, lag)
+    from randomized captures — absolute lags, including the final
+    full-overlap lag (the copy's last sample IS the capture's last)."""
+    rng = np.random.default_rng(seed)
+    freqs = (g0 + gs * np.arange(gk)).astype(np.float32)
+    f_true = float(freqs[f_idx])
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = (1e-4 * (rng.standard_normal(total)
+                   + 1j * rng.standard_normal(total))
+           ).astype(np.complex64)
+    span = min(n, total - lag)
+    hay[lag:lag + span] += (needle * np.exp(
+        2j * np.pi * f_true * np.arange(n) / FS)
+    ).astype(np.complex64)[:span]
+
+    want = (f_true, lag)
+    got = overlap_save_peak(needle, hay, freqs, FS, backend="xla")
+    assert got[:2] == want, ("os-xla", got)
+    got = stein_overlap_save_peak(needle, hay, freqs, FS)
+    assert got[:2] == want, ("stein-os", got)
+    fr, lg, _ = batched_stein_os_peak(needle[None], hay[None], freqs, FS)
+    assert (float(fr[0]), int(lg[0])) == want, ("batched-os", fr[0], lg[0])
+    s = StreamingCAF(needle, freqs, FS, chunk_len=chunk)
+    for i in range(0, total, chunk):
+        s.process(hay[i:i + chunk])
+    got = s.best()
+    assert got[:2] == want, ("stream", got)
+    # Stein-mode streaming bands are undefined past fs/32 spans — only
+    # run it where the envelope admits a block length.
+    if max(abs(freqs)) <= FS / 32:
+        s = StreamingCAF(needle, freqs, FS, chunk_len=chunk,
+                         backend="stein")
+        for i in range(0, total, chunk):
+            s.process(hay[i:i + chunk])
+        got = s.best()
+        assert got[:2] == want, ("stream-stein", got)
