@@ -255,3 +255,57 @@ def test_sharded_batched_stein_pairs(chirp):
         np.stack(needles), np.stack(haystacks), freqs, FS, _mesh(pair=4))
     for b, want in enumerate(singles):
         assert (float(fr[b]), int(lg[b])) == want
+
+
+FUZZ_CASES = [
+    # (seed, n, total, lag, f_idx, grid_start, grid_step, grid_bins,
+    #  doppler, time) — randomized workloads over randomized mesh
+    # factorizations, same philosophy as test_consistency_fuzz but for
+    # the shard_map engines (the class of bug the round-1 tail-lag
+    # truncation belonged to).
+    (20, 1024, 1024, 0, 1, -300.0, 75.0, 8, 8, 1),       # zero lag
+    (21, 2048, 2048, 1500, 6, -100.0, 12.5, 16, 2, 1),   # late lag
+    (22, 512, 24576, 24064, 4, -500.0, 125.0, 8, 2, 4),  # last full lag
+    (23, 1000, 17000, 9871, 2, -750.0, 250.0, 6, 4, 2),  # non-pow2 all
+]
+
+
+@pytest.mark.parametrize("seed,n,total,lag,f_idx,g0,gs,gk,doppler,time",
+                         FUZZ_CASES)
+def test_sharded_fuzz_matches_single(seed, n, total, lag, f_idx, g0, gs,
+                                     gk, doppler, time):
+    """Randomized sharded-vs-single consistency: the doppler-sharded
+    filterbank and Stein engines (truncated captures) and the
+    (doppler, time)-sharded overlap-save engine (long captures) all
+    reproduce the single-chip (freq, lag)."""
+    from caf_cookoff_tpu.models.stein import stein_caf_peak
+    from caf_cookoff_tpu.parallel import sharded_stein_peak
+
+    rng = np.random.default_rng(seed)
+    freqs = (g0 + gs * np.arange(gk)).astype(np.float32)
+    f_true = float(freqs[f_idx])
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = (1e-4 * (rng.standard_normal(total)
+                   + 1j * rng.standard_normal(total))
+           ).astype(np.complex64)
+    span = min(n, total - lag)
+    hay[lag:lag + span] += (needle * np.exp(
+        2j * np.pi * f_true * np.arange(n) / FS)
+    ).astype(np.complex64)[:span]
+
+    want = (f_true, lag)
+    if total == n:
+        single = caf_peak(needle, hay, freqs, FS)
+        got = sharded_caf_peak(needle, hay, freqs, FS,
+                               _mesh(doppler=doppler))
+        assert got[:2] == single[:2] == want, ("filterbank", got)
+        single = stein_caf_peak(needle, hay, freqs, FS)
+        got = sharded_stein_peak(needle, hay, freqs, FS,
+                                 _mesh(doppler=doppler))
+        assert got[:2] == single[:2] == want, ("stein", got)
+    else:
+        single = overlap_save_peak(needle, hay, freqs, FS)
+        got = sharded_overlap_save_peak(needle, hay, freqs, FS,
+                                        _mesh(doppler=doppler, time=time))
+        assert got[:2] == single[:2] == want, ("overlap-save", got)
