@@ -45,7 +45,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from caf_cookoff_tpu.config import default_backend, floor_pow2, xcor_length
+from caf_cookoff_tpu.config import (as_grid, default_backend, floor_pow2,
+                                    xcor_length)
 from caf_cookoff_tpu.models.filterbank import _surface_rows_split
 from caf_cookoff_tpu.models.stein import _REFINE_BINS, _auto_block_len
 from caf_cookoff_tpu.ops import splitfft
@@ -524,7 +525,7 @@ def batched_stein_os_peak(needles, haystacks, freqs_hz, sample_rate, *,
         raise ValueError("use batched_stein_peak for equal-length pairs")
     ns_re, ns_im = splitfft.split_array(needles)
     hs_re, hs_im = splitfft.split_array(haystacks)
-    freqs = np.asarray(freqs_hz, dtype=ns_re.dtype)
+    freqs = as_grid(freqs_hz, dtype=ns_re.dtype)
     try:
         d = _pow2_block_len(sample_rate, freqs, block_len)
     except ValueError:
@@ -585,7 +586,7 @@ def batched_stein_peak(needles, haystacks, freqs_hz, sample_rate, *,
             f"{haystacks.shape}")
     ns_re, ns_im = splitfft.split_array(needles)
     hs_re, hs_im = splitfft.split_array(haystacks)
-    freqs = np.asarray(freqs_hz, dtype=ns_re.dtype)
+    freqs = as_grid(freqs_hz, dtype=ns_re.dtype)
     n = ns_re.shape[-1]
     m = xcor_length(n)
     from caf_cookoff_tpu.ops.pallas_stein import FUSED_TILE

@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from caf_cookoff_tpu.config import CafConfig, default_backend, xcor_length
+from caf_cookoff_tpu.config import (CafConfig, as_grid, default_backend,
+                                    xcor_length)
 from caf_cookoff_tpu.ops import fft as fft_ops
 from caf_cookoff_tpu.ops import splitfft
 from caf_cookoff_tpu.ops.peak import find_peak_2d, grid_frequency
@@ -114,7 +115,7 @@ def _split_inputs(needle, haystack, freqs_hz):
     h_re, h_im = splitfft.split_array(haystack)
     _check_pair(n_re, h_re)
     return (n_re, n_im, h_re, h_im,
-            np.asarray(freqs_hz, dtype=n_re.dtype))
+            as_grid(freqs_hz, dtype=n_re.dtype))
 
 
 def caf_surface(needle, haystack, freqs_hz, sample_rate, *,

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from caf_cookoff_tpu.config import default_backend, xcor_length
+from caf_cookoff_tpu.config import as_grid, default_backend, xcor_length
 from caf_cookoff_tpu.ops import splitfft
 from caf_cookoff_tpu.ops.peak import CafPeak, find_peak_2d
 from caf_cookoff_tpu.ops.splitfft import SplitComplex
@@ -173,7 +173,7 @@ def _prep(needle, haystack, freqs_hz):
         raise ValueError(
             f"haystack ({haystack[0].shape[-1]}) shorter than needle "
             f"({needle[0].shape[-1]})")
-    return needle, haystack, np.asarray(freqs_hz, dtype=needle[0].dtype)
+    return needle, haystack, as_grid(freqs_hz, dtype=needle[0].dtype)
 
 
 def overlap_save_surface(needle, haystack, freqs_hz, sample_rate,

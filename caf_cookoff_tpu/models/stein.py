@@ -41,7 +41,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from caf_cookoff_tpu.config import default_backend, floor_pow2, xcor_length
+from caf_cookoff_tpu.config import (as_grid, default_backend, floor_pow2,
+                                    xcor_length)
 from caf_cookoff_tpu.ops import splitfft
 from caf_cookoff_tpu.ops.peak import CafPeak, find_peak_2d
 
@@ -312,7 +313,7 @@ def _prep(needle, haystack, freqs_hz):
             f"haystack length {h_len} outside [{n_len}, "
             f"{xcor_length(n_len)}] for needle length {n_len}; use "
             "stein_overlap_save_peak for long captures")
-    return n, h, np.asarray(freqs_hz, dtype=n[0].dtype)
+    return n, h, as_grid(freqs_hz, dtype=n[0].dtype)
 
 
 def stein_caf_surface(needle, haystack, freqs_hz, sample_rate, *,
@@ -500,7 +501,7 @@ def _prep_long(needle, haystack, freqs_hz):
         raise ValueError(
             f"haystack ({h[0].shape[-1]}) shorter than needle "
             f"({n[0].shape[-1]})")
-    return n, h, np.asarray(freqs_hz, dtype=n[0].dtype)
+    return n, h, as_grid(freqs_hz, dtype=n[0].dtype)
 
 
 def stein_caf_peak(needle, haystack, freqs_hz, sample_rate, *,

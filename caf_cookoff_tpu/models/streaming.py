@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from caf_cookoff_tpu.config import default_backend, xcor_length
+from caf_cookoff_tpu.config import as_grid, default_backend, xcor_length
 from caf_cookoff_tpu.models.overlap_save import (
     needle_spectra_conj,
     streaming_peak,
@@ -164,7 +164,7 @@ class StreamingCAF:
         n_re, n_im = splitfft.split_array(needle)
         self.needle_len = int(n_re.shape[-1])
         self.sample_rate = float(sample_rate)
-        self._freqs = np.asarray(freqs_hz, dtype=n_re.dtype)
+        self._freqs = as_grid(freqs_hz, dtype=n_re.dtype)
         m = xcor_length(self.needle_len)
         rdt = n_re.dtype
         if self._stein:

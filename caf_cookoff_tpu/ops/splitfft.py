@@ -207,6 +207,11 @@ def split_array(x) -> Tuple[np.ndarray, np.ndarray]:
     numpy.
     """
     x = np.asarray(x)
+    if x.ndim == 0 or x.shape[-1] == 0:
+        # Catch empty signals at the host boundary: downstream the
+        # failure mode is a cryptic argmax-of-empty or a silent (0, 0)
+        # "peak", neither of which names the actual mistake.
+        raise ValueError("empty signal (zero-length last axis)")
     if x.dtype == np.complex64:
         from caf_cookoff_tpu.utils import native
 

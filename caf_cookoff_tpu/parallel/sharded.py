@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from caf_cookoff_tpu.config import default_backend, xcor_length
+from caf_cookoff_tpu.config import as_grid, default_backend, xcor_length
 from caf_cookoff_tpu.models.filterbank import _surface_rows_split
 from caf_cookoff_tpu.models.overlap_save import (
     needle_spectra_conj,
@@ -111,7 +111,7 @@ def sharded_caf_surface(needle, haystack, freqs_hz, sample_rate, mesh: Mesh,
     backend = backend or default_backend()
     n_re, n_im = _split_host(needle)
     h_re, h_im = _split_host(haystack)
-    freqs = pad_axis_to(np.asarray(freqs_hz, dtype=n_re.dtype),
+    freqs = pad_axis_to(as_grid(freqs_hz, dtype=n_re.dtype),
                         mesh.shape[AXIS_DOPPLER])
     return _sharded_surface_jit(
         n_re, n_im, h_re, h_im, freqs, float(sample_rate), mesh,
@@ -151,7 +151,7 @@ def sharded_caf_peak(needle, haystack, freqs_hz, sample_rate, mesh: Mesh,
     backend = backend or default_backend()
     n_re, n_im = _split_host(needle)
     h_re, h_im = _split_host(haystack)
-    freqs_p = pad_axis_to(np.asarray(freqs_hz, dtype=n_re.dtype),
+    freqs_p = pad_axis_to(as_grid(freqs_hz, dtype=n_re.dtype),
                           mesh.shape[AXIS_DOPPLER])
     peak = _sharded_peak_jit(n_re, n_im, h_re, h_im, freqs_p,
                              float(sample_rate), mesh,
@@ -250,7 +250,7 @@ def sharded_stein_peak(needle, haystack, freqs_hz, sample_rate, mesh: Mesh,
     backend = backend or default_backend()
     n_re, n_im = _split_host(needle)
     h_re, h_im = _split_host(haystack)
-    freqs_np = np.asarray(freqs_hz, dtype=n_re.dtype)
+    freqs_np = as_grid(freqs_hz, dtype=n_re.dtype)
     block_len = _auto_block_len(sample_rate, freqs_np, block_len)
     freqs_p = pad_axis_to(freqs_np, mesh.shape[AXIS_DOPPLER])
     peak = _sharded_stein_peak_jit(
@@ -316,7 +316,7 @@ def batched_caf_peak(needles, haystacks, freqs_hz, sample_rate, mesh: Mesh,
     backend = backend or default_backend()
     ns_re, ns_im = _split_host(needles)
     hs_re, hs_im = _split_host(haystacks)
-    freqs_p = pad_axis_to(np.asarray(freqs_hz, dtype=ns_re.dtype),
+    freqs_p = pad_axis_to(as_grid(freqs_hz, dtype=ns_re.dtype),
                           mesh.shape[AXIS_DOPPLER])
     peak = _batched_peak_jit(ns_re, ns_im, hs_re, hs_im, freqs_p,
                              float(sample_rate), mesh,
@@ -378,7 +378,7 @@ def sharded_batched_stein_peak(needles, haystacks, freqs_hz, sample_rate,
             f"{pair_shards}")
     ns_re, ns_im = _split_host(needles)
     hs_re, hs_im = _split_host(haystacks)
-    freqs = np.asarray(freqs_hz, dtype=ns_re.dtype)
+    freqs = as_grid(freqs_hz, dtype=ns_re.dtype)
     d = _pow2_block_len(sample_rate, freqs, block_len)
     n = ns_re.shape[-1]
     pad = (-n) % SUPER
@@ -514,7 +514,7 @@ def batched_overlap_save_peak(needles, haystacks, freqs_hz, sample_rate,
         if width > haystacks.shape[-1] else haystacks[:, :width]
     ns_re, ns_im = _split_host(needles)
     hs_re, hs_im = _split_host(hay_p)
-    freqs_p = pad_axis_to(np.asarray(freqs_hz, dtype=ns_re.dtype),
+    freqs_p = pad_axis_to(as_grid(freqs_hz, dtype=ns_re.dtype),
                           mesh.shape[AXIS_DOPPLER])
     peak = _batched_os_peak_jit(ns_re, ns_im, hs_re, hs_im, freqs_p,
                                 float(sample_rate), mesh, n, chunk,
@@ -594,7 +594,7 @@ def sharded_overlap_save_peak(needle, haystack, freqs_hz, sample_rate,
         else haystack[: t_shards * chunk]
     n_re, n_im = _split_host(needle)
     h_re, h_im = _split_host(hay_p)
-    freqs_p = pad_axis_to(np.asarray(freqs_hz, dtype=n_re.dtype),
+    freqs_p = pad_axis_to(as_grid(freqs_hz, dtype=n_re.dtype),
                           mesh.shape[AXIS_DOPPLER])
     peak = _os_sharded_peak_jit(n_re, n_im, h_re, h_im, freqs_p,
                                 float(sample_rate), mesh, n, chunk,

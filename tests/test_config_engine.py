@@ -73,3 +73,33 @@ def test_engine_object_stein_backend(chirp):
     engine = FilterbankCAF(CafConfig(grid=FreqGrid(-50, 50, 1.0),
                                      backend="stein"))
     assert engine.peak(needle, haystack) == (36.0, 78)
+
+
+def test_input_validation_contracts():
+    """Empty/invalid inputs fail fast at the host boundary with a
+    nameable error, not a deep argmax-of-empty or a silent (0, 0)
+    'peak'."""
+    import pytest as _pytest
+
+    from caf_cookoff_tpu.config import as_grid
+    from caf_cookoff_tpu.models.filterbank import caf_peak
+    from caf_cookoff_tpu.models.streaming import StreamingCAF
+
+    rng = np.random.default_rng(0)
+    sig = (rng.standard_normal(256)
+           + 1j * rng.standard_normal(256)).astype(np.complex64)
+    ok = np.array([0.0], np.float32)
+
+    with _pytest.raises(ValueError, match="non-empty 1-D"):
+        caf_peak(sig, sig, np.array([], np.float32), 48e3)
+    with _pytest.raises(ValueError, match="non-empty 1-D"):
+        as_grid(np.zeros((2, 2), np.float32))
+    with _pytest.raises(ValueError, match="non-finite"):
+        caf_peak(sig, sig, np.array([np.nan], np.float32), 48e3)
+    with _pytest.raises(ValueError, match="empty signal"):
+        caf_peak(sig[:0], sig[:0], ok, 48e3)
+    with _pytest.raises(ValueError, match="empty signal"):
+        StreamingCAF(sig[:0], ok, 48e3)
+    # as_grid passes valid grids through unchanged.
+    g = as_grid([1.0, 2.0])
+    assert g.dtype == np.float32 and g.tolist() == [1.0, 2.0]
