@@ -443,8 +443,9 @@ def stein_overlap_save_peak(needle, haystack, freqs_hz, sample_rate, *,
                                                    freqs_hz)
     try:
         scan_block = _auto_block_len(sample_rate, freqs, block_len)
-    except ValueError:
-        scan_block = None    # span past the single-segment envelope
+        span_err = None
+    except ValueError as e:
+        scan_block, span_err = None, e  # past single-segment envelope
     if (refine and h_re.shape[-1] > n_re.shape[-1]
             and (scan_block is None or jax.default_backend() != "cpu")):
         from caf_cookoff_tpu.models.batched_stein import (
@@ -463,8 +464,8 @@ def stein_overlap_save_peak(needle, haystack, freqs_hz, sample_rate, *,
             # span/VMEM outside the kernel's envelope -> scan
     if scan_block is None:
         # refine=False (or needle-length capture) with a wide span:
-        # re-raise _auto_block_len's actionable message.
-        _auto_block_len(sample_rate, freqs, block_len)
+        # the scan has no banded mode, surface the actionable message.
+        raise span_err
     block_len = scan_block
     n = n_re.shape[-1]
     lags = num_lags or h_re.shape[-1] - n + 1

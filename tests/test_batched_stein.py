@@ -126,10 +126,11 @@ def test_batched_os_golden_fixture(chirp):
     assert (float(fr[0]), int(lg[0])) == (69.25, 202)
 
 
-def test_fused_kernel_matches_xla_twin():
-    """The Pallas kernel (interpret mode, small shape) against its
-    pure-XLA twin: identical ranking and lag indices, near-identical
-    values (both fed bf16 inputs)."""
+def _kernel_and_twin(needles, hays, freqs, m, d):
+    """Run the fused kernel (interpret mode) AND its pure-XLA twin on
+    the same (P, n) complex pairs; returns numpy (kv, ki, xv, xi) —
+    (K, P) values/lag-indices from each.  The twin is fed bf16-cast
+    inputs so values compare at the kernel's precision."""
     import jax.numpy as jnp
 
     from caf_cookoff_tpu.models.batched_stein import (
@@ -144,16 +145,10 @@ def test_fused_kernel_matches_xla_twin():
     )
     from caf_cookoff_tpu.ops.splitfft import split_array
 
-    rng = np.random.default_rng(6)
-    p, n, d, k = 2, 512, 64, 16
-    m = 1024
-    needles = (rng.standard_normal((p, n))
-               + 1j * rng.standard_normal((p, n))).astype(np.complex64)
-    hays = (rng.standard_normal((p, n))
-            + 1j * rng.standard_normal((p, n))).astype(np.complex64)
     ns_re, ns_im = map(jnp.asarray, split_array(needles))
     hs_re, hs_im = map(jnp.asarray, split_array(hays))
-    freqs = jnp.asarray(np.linspace(-100, 100, k).astype(np.float32))
+    freqs = jnp.asarray(freqs)
+    n = ns_re.shape[-1]
     b = n // d
     lmat, group = _needle_operator(ns_re, ns_im, d)
     span = fused_span(b, group, m)
@@ -167,8 +162,24 @@ def test_fused_kernel_matches_xla_twin():
                               lmat.astype(bf).astype(jnp.float32),
                               h_ext.astype(bf).astype(jnp.float32),
                               b, group, m)
-    np.testing.assert_array_equal(np.asarray(ki), np.asarray(xi))
-    np.testing.assert_allclose(np.asarray(kv), np.asarray(xv), rtol=2e-2)
+    return (np.asarray(kv), np.asarray(ki),
+            np.asarray(xv), np.asarray(xi))
+
+
+def test_fused_kernel_matches_xla_twin():
+    """The Pallas kernel (interpret mode, small shape) against its
+    pure-XLA twin: identical ranking and lag indices, near-identical
+    values (both fed bf16 inputs)."""
+    rng = np.random.default_rng(6)
+    p, n, d, k, m = 2, 512, 64, 16, 1024
+    needles = (rng.standard_normal((p, n))
+               + 1j * rng.standard_normal((p, n))).astype(np.complex64)
+    hays = (rng.standard_normal((p, n))
+            + 1j * rng.standard_normal((p, n))).astype(np.complex64)
+    freqs = np.linspace(-100, 100, k).astype(np.float32)
+    kv, ki, xv, xi = _kernel_and_twin(needles, hays, freqs, m, d)
+    np.testing.assert_array_equal(ki, xi)
+    np.testing.assert_allclose(kv, xv, rtol=2e-2)
 
 
 def test_fused_kernel_tie_break_min_lag():
@@ -182,20 +193,6 @@ def test_fused_kernel_tie_break_min_lag():
     takes the min encoded lag among the maxima — the contract (shared
     with find_peak_2d and the XLA twin's argmax) is that the earlier
     lag wins."""
-    import jax.numpy as jnp
-
-    from caf_cookoff_tpu.models.batched_stein import (
-        _coarse_rank_xla,
-        _haystack_extension,
-        _needle_operator,
-    )
-    from caf_cookoff_tpu.ops.pallas_stein import (
-        fused_span,
-        fused_stein_rank,
-        stein_synthesis_weights,
-    )
-    from caf_cookoff_tpu.ops.splitfft import split_array
-
     rng = np.random.default_rng(11)
     n, d, k, m = 512, 64, 17, 4096
     lag_a, lag_b = 100, 6 * 512 + 100          # tiles 0 and 6
@@ -204,71 +201,28 @@ def test_fused_kernel_tie_break_min_lag():
     hay = np.zeros(lag_b + n, np.complex64)
     hay[lag_a:lag_a + n] = needle
     hay[lag_b:lag_b + n] = needle
-    ns_re, ns_im = map(jnp.asarray, split_array(needle[None]))
-    hs_re, hs_im = map(jnp.asarray, split_array(hay[None]))
-    freqs = jnp.asarray(np.linspace(-100, 100, k).astype(np.float32))
-    b = n // d
-    lmat, group = _needle_operator(ns_re, ns_im, d)
-    span = fused_span(b, group, m)
-    h_ext = _haystack_extension(hs_re, hs_im, m, span)
-    ws1, ws2 = stein_synthesis_weights(freqs, FS, b, d)
-    kv, ki = fused_stein_rank(ws1, ws2, lmat, h_ext, b, group, m,
-                              interpret=True)
-    kv, ki = np.asarray(kv)[:, 0], np.asarray(ki)[:, 0]
+    freqs = np.linspace(-100, 100, k).astype(np.float32)
+    _, ki, _, xi = _kernel_and_twin(needle[None], hay[None], freqs, m, d)
     zero_bin = k // 2                          # linspace midpoint = 0 Hz
-    assert ki[zero_bin] == lag_a
+    assert ki[zero_bin, 0] == lag_a
     # And the XLA twin (argmax = first max) agrees bin-for-bin.
-    bf = jnp.bfloat16
-    _, xi = _coarse_rank_xla(ws1.astype(bf).astype(jnp.float32),
-                             ws2.astype(bf).astype(jnp.float32),
-                             lmat.astype(bf).astype(jnp.float32),
-                             h_ext.astype(bf).astype(jnp.float32),
-                             b, group, m)
-    np.testing.assert_array_equal(ki, np.asarray(xi)[:, 0])
+    np.testing.assert_array_equal(ki, xi)
 
 
 def test_fused_kernel_single_tile():
     """num_lags <= FUSED_TILE runs the epilogue's init-only path (one
     lag tile, no cross-tile accumulation) — kernel must still match the
     XLA twin bin-for-bin."""
-    import jax.numpy as jnp
-
-    from caf_cookoff_tpu.models.batched_stein import (
-        _coarse_rank_xla,
-        _haystack_extension,
-        _needle_operator,
-    )
-    from caf_cookoff_tpu.ops.pallas_stein import (
-        fused_span,
-        fused_stein_rank,
-        stein_synthesis_weights,
-    )
-    from caf_cookoff_tpu.ops.splitfft import split_array
-
     rng = np.random.default_rng(12)
     p, n, d, k, m = 2, 256, 64, 9, 512
     needles = (rng.standard_normal((p, n))
                + 1j * rng.standard_normal((p, n))).astype(np.complex64)
     hays = (rng.standard_normal((p, n))
             + 1j * rng.standard_normal((p, n))).astype(np.complex64)
-    ns_re, ns_im = map(jnp.asarray, split_array(needles))
-    hs_re, hs_im = map(jnp.asarray, split_array(hays))
-    freqs = jnp.asarray(np.linspace(-50, 50, k).astype(np.float32))
-    b = n // d
-    lmat, group = _needle_operator(ns_re, ns_im, d)
-    span = fused_span(b, group, m)
-    h_ext = _haystack_extension(hs_re, hs_im, m, span)
-    ws1, ws2 = stein_synthesis_weights(freqs, FS, b, d)
-    kv, ki = fused_stein_rank(ws1, ws2, lmat, h_ext, b, group, m,
-                              interpret=True)
-    bf = jnp.bfloat16
-    xv, xi = _coarse_rank_xla(ws1.astype(bf).astype(jnp.float32),
-                              ws2.astype(bf).astype(jnp.float32),
-                              lmat.astype(bf).astype(jnp.float32),
-                              h_ext.astype(bf).astype(jnp.float32),
-                              b, group, m)
-    np.testing.assert_array_equal(np.asarray(ki), np.asarray(xi))
-    np.testing.assert_allclose(np.asarray(kv), np.asarray(xv), rtol=2e-2)
+    freqs = np.linspace(-50, 50, k).astype(np.float32)
+    kv, ki, xv, xi = _kernel_and_twin(needles, hays, freqs, m, d)
+    np.testing.assert_array_equal(ki, xi)
+    np.testing.assert_allclose(kv, xv, rtol=2e-2)
 
 
 def test_fused_kernel_static_tail_mask():
@@ -276,20 +230,7 @@ def test_fused_kernel_static_tail_mask():
     -1.0 mask sentinels into the (kp, tile) accumulator at the first
     (only) tile via the STATIC tail-mask branch; the final reduction
     must exclude them.  Kernel vs XLA twin, bin-for-bin."""
-    import jax.numpy as jnp
-
-    from caf_cookoff_tpu.models.batched_stein import (
-        _coarse_rank_xla,
-        _haystack_extension,
-        _needle_operator,
-    )
-    from caf_cookoff_tpu.ops.pallas_stein import (
-        FUSED_TILE,
-        fused_span,
-        fused_stein_rank,
-        stein_synthesis_weights,
-    )
-    from caf_cookoff_tpu.ops.splitfft import split_array
+    from caf_cookoff_tpu.ops.pallas_stein import FUSED_TILE
 
     rng = np.random.default_rng(13)
     p, n, d, k, m = 2, 128, 32, 9, 256
@@ -298,25 +239,11 @@ def test_fused_kernel_static_tail_mask():
                + 1j * rng.standard_normal((p, n))).astype(np.complex64)
     hays = (rng.standard_normal((p, n))
             + 1j * rng.standard_normal((p, n))).astype(np.complex64)
-    ns_re, ns_im = map(jnp.asarray, split_array(needles))
-    hs_re, hs_im = map(jnp.asarray, split_array(hays))
-    freqs = jnp.asarray(np.linspace(-50, 50, k).astype(np.float32))
-    b = n // d
-    lmat, group = _needle_operator(ns_re, ns_im, d)
-    span = fused_span(b, group, m)
-    h_ext = _haystack_extension(hs_re, hs_im, m, span)
-    ws1, ws2 = stein_synthesis_weights(freqs, FS, b, d)
-    kv, ki = fused_stein_rank(ws1, ws2, lmat, h_ext, b, group, m,
-                              interpret=True)
+    freqs = np.linspace(-50, 50, k).astype(np.float32)
+    kv, ki, xv, xi = _kernel_and_twin(needles, hays, freqs, m, d)
     assert int(np.max(ki)) < m              # no masked lane leaked
-    bf = jnp.bfloat16
-    xv, xi = _coarse_rank_xla(ws1.astype(bf).astype(jnp.float32),
-                              ws2.astype(bf).astype(jnp.float32),
-                              lmat.astype(bf).astype(jnp.float32),
-                              h_ext.astype(bf).astype(jnp.float32),
-                              b, group, m)
-    np.testing.assert_array_equal(np.asarray(ki), np.asarray(xi))
-    np.testing.assert_allclose(np.asarray(kv), np.asarray(xv), rtol=2e-2)
+    np.testing.assert_array_equal(ki, xi)
+    np.testing.assert_allclose(kv, xv, rtol=2e-2)
 
 
 def test_pow2_block_len():
