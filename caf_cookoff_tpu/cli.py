@@ -505,17 +505,55 @@ def cmd_bench(args) -> int:
 
 
 def cmd_info(args) -> int:
+    import subprocess
+    import sys as _sys
+
     import jax
 
     print(f"jax {jax.__version__}")
-    print(f"default backend: {jax.default_backend()}")
-    print(f"devices: {jax.devices()}")
-    print(f"resolved FFT backend: {default_backend()}")
+    # Accelerator probe in a SUBPROCESS with a timeout: when the device
+    # tunnel is down, jax.default_backend()/jax.devices() in-process
+    # hangs indefinitely (observed with the axon TPU tunnel) — info
+    # must diagnose that state, not reproduce it.
+    probe = ("import jax; print(jax.default_backend()); "
+             "print(jax.devices())")
+    backend = None
     try:
-        cpus = jax.devices("cpu")
-        print(f"cpu devices (virtual mesh capacity): {len(cpus)}")
-    except RuntimeError:
+        r = subprocess.run([_sys.executable, "-c", probe],
+                           capture_output=True, text=True,
+                           timeout=args.timeout)
+        lines = r.stdout.strip().splitlines()
+        if r.returncode == 0 and len(lines) >= 2:
+            backend = lines[-2]
+            print(f"default backend: {backend}")
+            print(f"devices: {lines[-1]}")
+        else:
+            err = (r.stderr.strip().splitlines() or ["unknown error"])[-1]
+            print(f"accelerator: INIT FAILED ({err[:140]})")
+    except subprocess.TimeoutExpired:
+        print(f"accelerator: UNREACHABLE (device init exceeded "
+              f"{args.timeout:.0f} s — device tunnel down?)")
+    if backend is not None:
+        print("resolved FFT backend: "
+              f"{'xla' if backend == 'cpu' else 'matmul'}")
+    # CPU capacity probe, also sandboxed: jax.devices("cpu") in-process
+    # initializes EVERY registered platform (including a hung tunnel).
+    cpu_probe = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+                 "print(len(jax.devices('cpu')))")
+    try:
+        r = subprocess.run([_sys.executable, "-c", cpu_probe],
+                           capture_output=True, text=True,
+                           timeout=args.timeout)
+        if r.returncode == 0 and r.stdout.strip():
+            print("cpu devices (virtual mesh capacity): "
+                  f"{r.stdout.strip().splitlines()[-1]}")
+    except subprocess.TimeoutExpired:
         pass
+    from caf_cookoff_tpu.utils import native
+
+    state = ("loaded" if native.available()
+             else "absent (numpy fallback; build with `make native`)")
+    print(f"native libcafio: {state}")
     return 0
 
 
@@ -615,6 +653,9 @@ def build_parser() -> argparse.ArgumentParser:
     b.set_defaults(fn=cmd_bench)
 
     i = sub.add_parser("info", help="devices and backend resolution")
+    i.add_argument("--timeout", type=float, default=30.0,
+                   help="accelerator probe timeout in seconds (a dead "
+                   "device tunnel otherwise hangs forever)")
     i.set_defaults(fn=cmd_info)
     return p
 

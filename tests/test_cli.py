@@ -191,3 +191,16 @@ def test_bench_harness_banded_wide_span():
                           backends=("stein",), rounds=2, iters=2)
     assert "error" not in rows[0], rows[0]
     assert rows[0]["ms"] > 0
+
+
+def test_info_never_hangs(capsys):
+    """`info` must diagnose (not reproduce) a dead accelerator tunnel:
+    device probes run in timeout-guarded subprocesses, and the
+    host-side facts always print."""
+    rc = main(["info", "--timeout", "5"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.startswith("jax ")
+    assert "native libcafio:" in out
+    # One of the probe outcomes must have been reported.
+    assert ("default backend:" in out or "accelerator:" in out)
