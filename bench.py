@@ -45,7 +45,35 @@ ITERS = 400
 REPS = 6
 
 
+def _require_device(timeout_s: float = 600.0) -> None:
+    """Fail fast (exit 1, stderr message) when the accelerator tunnel
+    is down: in-process ``jax.devices()`` then hangs INDEFINITELY
+    (observed with the axon tunnel), which would wedge the bench with
+    no artifact at all.  The probe runs in a subprocess so the main
+    process stays killable; a healthy-but-slow compile day still
+    passes (the probe only initializes the backend, ~seconds)."""
+    import subprocess
+
+    probe = "import jax; jax.devices()"
+    try:
+        r = subprocess.run([sys.executable, "-c", probe],
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(f"bench: accelerator unreachable (device init exceeded "
+              f"{timeout_s:.0f} s — tunnel down?); no measurement",
+              file=sys.stderr)
+        raise SystemExit(1)
+    if r.returncode != 0:
+        err = (r.stderr.strip().splitlines() or ["unknown error"])[-1]
+        print(f"bench: accelerator init failed: {err[:200]}",
+              file=sys.stderr)
+        raise SystemExit(1)
+
+
 def main() -> None:
+    _require_device()
+
     import jax
     import jax.numpy as jnp
     from jax import lax
