@@ -231,6 +231,9 @@ def config4_stream16():
 
 
 def main() -> None:
+    from bench import _require_device
+    _require_device()   # a dead tunnel hangs jax.devices() forever
+
     import jax
 
     device = jax.devices()[0]
