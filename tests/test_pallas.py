@@ -114,3 +114,20 @@ def test_non_pow2_needle_length():
 
     s = caf_surface(needle, hay, freqs, FS, backend="pallas")
     assert s.shape == (20, 16384)
+
+
+def test_fused_vmem_demand_guard():
+    """Shapes past the chip's VMEM budget raise the actionable message
+    (the engines' kernel-route try/except relies on this ValueError to
+    fall back to the scan/matmul paths)."""
+    import pytest
+
+    from caf_cookoff_tpu.ops.pallas_stein import _vmem_demand
+
+    # A small shape fits with room to spare...
+    assert _vmem_demand(128, 20480, 64, 16, 16384, 400, 1, 4,
+                        want_idxs=True) <= 100 * 2**20
+    # ...a huge staircase span does not.
+    with pytest.raises(ValueError, match="VMEM"):
+        _vmem_demand(512, 400_000, 64, 16, 16384, 400, 1, 4,
+                     want_idxs=True)
