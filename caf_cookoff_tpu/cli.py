@@ -561,6 +561,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="caf-tpu",
         description="TPU-native cross-ambiguity-function engine")
+    p.add_argument("--platform", choices=("auto", "cpu"), default="auto",
+                   help="force the compute platform; 'cpu' keeps every "
+                   "command usable when the accelerator tunnel is down "
+                   "(device init would otherwise hang)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     g = sub.add_parser("generate", help="synthesize chirp fixtures")
@@ -662,6 +666,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[list] = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.platform == "cpu":
+        # Must happen BEFORE any backend init (the env-var route is
+        # overridden on some images; config.update is authoritative).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     return args.fn(args)
 
 

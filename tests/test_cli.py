@@ -204,3 +204,13 @@ def test_info_never_hangs(capsys):
     assert "native libcafio:" in out
     # One of the probe outcomes must have been reported.
     assert ("default backend:" in out or "accelerator:" in out)
+
+
+def test_platform_cpu_flag(fixture_pairs, capsys):
+    """--platform cpu keeps the CLI usable when the accelerator is
+    unreachable (forces jax_platforms before any backend init)."""
+    needle, haystack = fixture_pairs[0]
+    rc = main(["--platform", "cpu", "run", str(needle), str(haystack),
+               "--freq-step", "0.25"])
+    assert rc == 0
+    assert "Time offset: 202 samples" in capsys.readouterr().out
