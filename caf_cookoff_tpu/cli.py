@@ -10,6 +10,8 @@ left Rust CLI support as a TODO that never landed
   caf-tpu run       — CAF a (needle, haystack) pair: peak + optional
                       surface dump/plot (the three reference mains)
   caf-tpu bench     — strategy table over backends, README-style
+  caf-tpu selftest  — the 10 golden fixtures on the active device
+                      (the reference's ``cargo test`` lane, user-facing)
   caf-tpu info      — devices, mesh, backend resolution
 
 Usage: ``python -m caf_cookoff_tpu <cmd> ...``.
@@ -504,6 +506,49 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_selftest(args) -> int:
+    """Run the ten golden fixtures through the active backend on the
+    active device — the user-facing analog of the reference's
+    ``cargo test`` golden lane (``caf_rust/tests/test.rs:14-316``):
+    generates the fixtures (bit-identical, seed-pinned), recovers each
+    injected (freq, lag) from the filename, and requires the exact
+    answer from the live engine."""
+    import tempfile
+
+    from caf_cookoff_tpu.models.filterbank import caf_peak
+    from caf_cookoff_tpu.utils.generate import ensure_fixtures
+    from caf_cookoff_tpu.utils.io import load_c64, parse_ground_truth
+
+    backend = _resolve_backend(args.backend)
+    data_dir = args.data or tempfile.mkdtemp(prefix="caf_selftest_")
+    pairs = ensure_fixtures(data_dir)
+    grid = FreqGrid(-100.0, 100.0, 0.25)
+    freqs = grid.frequencies(np.float32)
+    failures = 0
+    for n_path, h_path in pairs:
+        truth = parse_ground_truth(h_path)
+        needle = load_c64(n_path)
+        hay = load_c64(h_path, count=len(needle))
+        freq, lag, _ = caf_peak(needle, hay, freqs, DEFAULT_SAMPLE_RATE,
+                                backend=backend)
+        # The injected frequency is generally OFF-grid (the generator
+        # draws from an mHz lattice); the engine contract is the
+        # nearest grid bin — lag exact, freq within half a step.
+        ok = (lag == truth.lag_samples
+              and abs(freq - truth.freq_hz) <= grid.step_hz / 2 + 1e-6)
+        if ok:
+            print(f"chirp_{truth.index}: ok ({freq:+.2f} Hz, lag {lag})")
+        else:
+            failures += 1
+            print(f"chirp_{truth.index}: FAIL got ({freq:+.2f}, {lag}) "
+                  f"want ({truth.freq_hz:+.2f} +-{grid.step_hz / 2}, "
+                  f"{truth.lag_samples})")
+    total = len(pairs)
+    print(f"{total - failures}/{total} golden fixtures exact "
+          f"(backend={backend})")
+    return 1 if failures else 0
+
+
 def cmd_info(args) -> int:
     import subprocess
     import sys as _sys
@@ -655,6 +700,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="include the apply_shift microbench "
                    "(README.md:114-157 parity)")
     b.set_defaults(fn=cmd_bench)
+
+    st = sub.add_parser("selftest", help="run the 10 golden fixtures "
+                        "on the active device; exit 0 iff all exact")
+    st.add_argument("--backend",
+                    choices=("auto", "xla", "matmul", "matmul-highest",
+                             "matmul-bf16", "pallas", "pallas-refine",
+                             "pallas-bf16", "stein", "stein-raw"),
+                    default="auto")
+    st.add_argument("--data", default=None,
+                    help="fixture directory (default: a temp dir)")
+    st.set_defaults(fn=cmd_selftest)
 
     i = sub.add_parser("info", help="devices and backend resolution")
     i.add_argument("--timeout", type=float, default=30.0,

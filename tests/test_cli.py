@@ -214,3 +214,12 @@ def test_platform_cpu_flag(fixture_pairs, capsys):
                "--freq-step", "0.25"])
     assert rc == 0
     assert "Time offset: 202 samples" in capsys.readouterr().out
+
+
+def test_selftest_all_golden(capsys):
+    """`selftest` recovers every fixture's injected (freq-to-nearest-bin,
+    lag) on the active backend and exits 0."""
+    rc = main(["selftest", "--data", "data"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "10/10 golden fixtures exact" in out
