@@ -1,10 +1,14 @@
 # Developer entry points (the reference's per-language build commands —
 # cargo test / go test / ./caf.py — unified).
 
-.PHONY: test test-tpu bench configs native fixtures figures clean
+.PHONY: test test-tpu selftest bench configs native fixtures figures clean
 
 test:
 	python -m pytest tests/ -q
+
+# User-facing golden lane on the active device (exit 0 iff all 10 exact).
+selftest:
+	python -m caf_cookoff_tpu selftest --data data
 
 # Compiled on-chip golden lane (all 10 fixtures x {matmul, pallas-refine,
 # stein} + pallas surface comparison on the real TPU; skips w/o one).
