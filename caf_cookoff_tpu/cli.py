@@ -513,6 +513,7 @@ def cmd_selftest(args) -> int:
     generates the fixtures (bit-identical, seed-pinned), recovers each
     injected (freq, lag) from the filename, and requires the exact
     answer from the live engine."""
+    import contextlib
     import tempfile
 
     from caf_cookoff_tpu.models.filterbank import caf_peak
@@ -520,51 +521,63 @@ def cmd_selftest(args) -> int:
     from caf_cookoff_tpu.utils.io import load_c64, parse_ground_truth
 
     backend = _resolve_backend(args.backend)
-    data_dir = args.data or tempfile.mkdtemp(prefix="caf_selftest_")
-    pairs = ensure_fixtures(data_dir)
-    grid = FreqGrid(-100.0, 100.0, 0.25)
-    freqs = grid.frequencies(np.float32)
-    failures = 0
-    for n_path, h_path in pairs:
-        truth = parse_ground_truth(h_path)
-        needle = load_c64(n_path)
-        hay = load_c64(h_path, count=len(needle))
-        freq, lag, _ = caf_peak(needle, hay, freqs, DEFAULT_SAMPLE_RATE,
-                                backend=backend)
-        # The injected frequency is generally OFF-grid (the generator
-        # draws from an mHz lattice); the engine contract is the
-        # nearest grid bin — lag exact, freq within half a step.
-        ok = (lag == truth.lag_samples
-              and abs(freq - truth.freq_hz) <= grid.step_hz / 2 + 1e-6)
-        if ok:
-            print(f"chirp_{truth.index}: ok ({freq:+.2f} Hz, lag {lag})")
-        else:
-            failures += 1
-            print(f"chirp_{truth.index}: FAIL got ({freq:+.2f}, {lag}) "
-                  f"want ({truth.freq_hz:+.2f} +-{grid.step_hz / 2}, "
-                  f"{truth.lag_samples})")
-    total = len(pairs)
-    print(f"{total - failures}/{total} golden fixtures exact "
-          f"(backend={backend})")
-    return 1 if failures else 0
+    with contextlib.ExitStack() as stack:
+        data_dir = args.data or stack.enter_context(
+            tempfile.TemporaryDirectory(prefix="caf_selftest_"))
+        pairs = ensure_fixtures(data_dir)
+        grid = FreqGrid(-100.0, 100.0, 0.25)
+        freqs = grid.frequencies(np.float32)
+        failures = 0
+        for n_path, h_path in pairs:
+            truth = parse_ground_truth(h_path)
+            needle = load_c64(n_path)
+            hay = load_c64(h_path, count=len(needle))
+            freq, lag, _ = caf_peak(needle, hay, freqs,
+                                    DEFAULT_SAMPLE_RATE, backend=backend)
+            # The injected frequency is generally OFF-grid (continuous
+            # draw, filename rounded to 0.01 Hz); the engine contract
+            # is the nearest grid bin — lag exact, freq within one
+            # grid step of the encoded truth (the golden lane's bound,
+            # tests/test_golden.py).
+            ok = (lag == truth.lag_samples
+                  and abs(freq - truth.freq_hz) <= grid.step_hz)
+            if ok:
+                print(f"chirp_{truth.index}: ok "
+                      f"({freq:+.2f} Hz, lag {lag})")
+            else:
+                failures += 1
+                print(f"chirp_{truth.index}: FAIL got ({freq:+.2f}, "
+                      f"{lag}) want ({truth.freq_hz:+.2f} "
+                      f"+-{grid.step_hz}, {truth.lag_samples})")
+        total = len(pairs)
+        print(f"{total - failures}/{total} golden fixtures exact "
+              f"(backend={backend})")
+        return 1 if failures else 0
+
+
+_FORCE_CPU = "jax.config.update('jax_platforms', 'cpu'); "
 
 
 def cmd_info(args) -> int:
     import subprocess
-    import sys as _sys
 
     import jax
+
+    from caf_cookoff_tpu.config import backend_for_platform
 
     print(f"jax {jax.__version__}")
     # Accelerator probe in a SUBPROCESS with a timeout: when the device
     # tunnel is down, jax.default_backend()/jax.devices() in-process
     # hangs indefinitely (observed with the axon TPU tunnel) — info
-    # must diagnose that state, not reproduce it.
-    probe = ("import jax; print(jax.default_backend()); "
+    # must diagnose that state, not reproduce it.  --platform cpu must
+    # reach the probe explicitly: main()'s config.update is in-process
+    # only, and the child inherits the image's JAX_PLATFORMS.
+    force = _FORCE_CPU if args.platform == "cpu" else ""
+    probe = (f"import jax; {force}print(jax.default_backend()); "
              "print(jax.devices())")
     backend = None
     try:
-        r = subprocess.run([_sys.executable, "-c", probe],
+        r = subprocess.run([sys.executable, "-c", probe],
                            capture_output=True, text=True,
                            timeout=args.timeout)
         lines = r.stdout.strip().splitlines()
@@ -579,21 +592,23 @@ def cmd_info(args) -> int:
         print(f"accelerator: UNREACHABLE (device init exceeded "
               f"{args.timeout:.0f} s — device tunnel down?)")
     if backend is not None:
-        print("resolved FFT backend: "
-              f"{'xla' if backend == 'cpu' else 'matmul'}")
+        print(f"resolved FFT backend: {backend_for_platform(backend)}")
     # CPU capacity probe, also sandboxed: jax.devices("cpu") in-process
     # initializes EVERY registered platform (including a hung tunnel).
-    cpu_probe = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+    cpu_probe = (f"import jax; {_FORCE_CPU}"
                  "print(len(jax.devices('cpu')))")
     try:
-        r = subprocess.run([_sys.executable, "-c", cpu_probe],
+        r = subprocess.run([sys.executable, "-c", cpu_probe],
                            capture_output=True, text=True,
                            timeout=args.timeout)
         if r.returncode == 0 and r.stdout.strip():
             print("cpu devices (virtual mesh capacity): "
                   f"{r.stdout.strip().splitlines()[-1]}")
+        else:
+            err = (r.stderr.strip().splitlines() or ["unknown error"])[-1]
+            print(f"cpu probe failed: {err[:140]}")
     except subprocess.TimeoutExpired:
-        pass
+        print(f"cpu probe timed out after {args.timeout:.0f} s")
     from caf_cookoff_tpu.utils import native
 
     state = ("loaded" if native.available()
