@@ -131,7 +131,11 @@ def streaming_peak(s_conj: SplitComplex, haystack: SplitComplex,
     init = CafPeak(value=zero - jnp.inf,
                    freq_idx=zero.astype(jnp.int32),
                    lag_idx=zero.astype(jnp.int32))
-    best, _ = jax.lax.scan(step, init, jnp.arange(nblocks))
+    # int32 block ids: under x64 a default arange is int64 and
+    # `cand.lag_idx + b * v` would widen the carry mid-scan (c128
+    # parity mode runs this path under jax.enable_x64).
+    best, _ = jax.lax.scan(step, init,
+                           jnp.arange(nblocks, dtype=jnp.int32))
     return CafPeak(best.value, best.freq_idx,
                    best.lag_idx + jnp.asarray(lag_offset, jnp.int32))
 

@@ -409,7 +409,11 @@ def _stein_os_scan_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate,
     init = CafPeak(value=jnp.asarray(-jnp.inf, n_re.dtype),
                    freq_idx=jnp.asarray(0, jnp.int32),
                    lag_idx=jnp.asarray(0, jnp.int32))
-    best, _ = jax.lax.scan(step, init, jnp.arange(nblocks))
+    # int32 block ids: a default arange is int64 under x64 (the c128
+    # parity regime) and `cand.lag_idx + blk * v` would widen the
+    # int32 carry mid-scan.
+    best, _ = jax.lax.scan(step, init,
+                           jnp.arange(nblocks, dtype=jnp.int32))
     return best
 
 

@@ -171,3 +171,35 @@ def test_determinism(chirp):
     s1 = np.asarray(caf_surface(needle, haystack, freqs, FS))
     s2 = np.asarray(caf_surface(needle, haystack, freqs, FS))
     np.testing.assert_array_equal(s1, s2)
+
+
+def test_c128_long_capture_engines():
+    """c128 parity extends to the LONG-CAPTURE family (the reference's
+    native precision regime over full captures): the overlap-save scan,
+    the Stein OS engine, and StreamingCAF, all under x64.  Regression:
+    the scans' int32 lag carries must not widen mid-scan (a default
+    arange is int64 under x64, which aborted tracing)."""
+    import pathlib
+
+    import jax
+
+    from caf_cookoff_tpu.models.overlap_save import overlap_save_peak
+    from caf_cookoff_tpu.models.stein import stein_overlap_save_peak
+    from caf_cookoff_tpu.models.streaming import StreamingCAF
+    from caf_cookoff_tpu.utils.io import load_c64
+
+    data = pathlib.Path(__file__).resolve().parents[1] / "data"
+    needle = load_c64(data / "chirp_0_raw.c64").astype(np.complex128)
+    full = load_c64(data / "chirp_0_T+202samp_F+69.25Hz.c64"
+                    ).astype(np.complex128)
+    freqs = np.arange(-100, 100, 0.25, dtype=np.float64)
+    with jax.enable_x64(True):
+        assert overlap_save_peak(needle, full, freqs, FS,
+                                 backend="matmul")[:2] == (69.25, 202)
+        assert stein_overlap_save_peak(needle, full, freqs, FS,
+                                       backend="matmul")[:2] == (69.25, 202)
+        s = StreamingCAF(needle, freqs, FS, chunk_len=4096,
+                         backend="matmul")
+        for i in range(0, len(full), 4096):
+            s.process(full[i:i + 4096])
+        assert s.best()[:2] == (69.25, 202)
