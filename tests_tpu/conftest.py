@@ -12,9 +12,11 @@ distinct (grid, backend) program through the tunnel); the golden grids
 collapse to 4 distinct bin counts so the lane stays bounded.
 """
 
+import os
 import pathlib
+import subprocess
+import sys
 
-import jax
 import pytest
 
 from caf_cookoff_tpu.utils.generate import ensure_fixtures
@@ -24,13 +26,38 @@ REPO_ROOT = pathlib.Path(__file__).resolve().parents[1]
 DATA_DIR = REPO_ROOT / "data"
 
 
+def _accelerator_backend():
+    """Default-backend name via a timeout-guarded SUBPROCESS probe.
+
+    In-process ``jax.default_backend()`` hangs indefinitely when the
+    device tunnel is down (observed with axon) — the lane must SKIP
+    cleanly in that state, not wedge the whole pytest run at
+    collection.  Returns None when init fails or times out
+    (``CAF_TPU_PROBE_TIMEOUT`` seconds, default 300 — backend init
+    only, so even slow compile-service days pass well inside it)."""
+    timeout_s = float(os.environ.get("CAF_TPU_PROBE_TIMEOUT", "300"))
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return None
+    out = r.stdout.strip().splitlines()
+    return out[-1] if r.returncode == 0 and out else None
+
+
 def pytest_collection_modifyitems(config, items):
-    if jax.default_backend() == "cpu":
-        skip = pytest.mark.skip(
-            reason="no accelerator: the on-chip lane needs a TPU "
-            "(tests/ covers CPU)")
-        for item in items:
-            item.add_marker(skip)
+    backend = _accelerator_backend()
+    if backend != "cpu" and backend is not None:
+        return
+    reason = ("no accelerator: the on-chip lane needs a TPU "
+              "(tests/ covers CPU)" if backend == "cpu" else
+              "accelerator unreachable (device init failed or timed "
+              "out — tunnel down?)")
+    skip = pytest.mark.skip(reason=reason)
+    for item in items:
+        item.add_marker(skip)
 
 
 @pytest.fixture(scope="session")
