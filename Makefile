@@ -1,7 +1,7 @@
 # Developer entry points (the reference's per-language build commands —
 # cargo test / go test / ./caf.py — unified).
 
-.PHONY: test test-tpu selftest bench configs native fixtures figures clean
+.PHONY: test test-tpu selftest bench configs scaling native fixtures figures clean
 
 test:
 	python -m pytest tests/ -q
@@ -20,6 +20,13 @@ bench:
 
 configs:
 	python bench_configs.py
+
+# Scaling efficiency over an N-device mesh (BASELINE's 1->N deliverable).
+# On this rig: N=1 on the real chip; --virtual 8 validates the harness,
+# shardings and collectives on virtual CPU devices.
+scaling:
+	python bench_scaling.py
+	python bench_scaling.py --virtual 8
 
 native:
 	$(MAKE) -C native

@@ -339,11 +339,18 @@ def _sharded_batched_stein_jit(ns_re, ns_im, hs_re, hs_im, freqs,
                                    sample_rate, xcor_len, block_len,
                                    backend, True, interpret)
 
+    # check_vma=False: the body is pure data parallelism (no
+    # collectives), and the fused kernel's pallas_call out_shape
+    # cannot carry a ``vma`` annotation without breaking its
+    # single-chip (non-shard_map) callers — JAX's vma check rejects
+    # the un-annotated ShapeDtypeStruct at trace time on real TPU
+    # (interpret mode on CPU meshes never hits that path).
     return shard_map(
         body, mesh=mesh,
         in_specs=(P(AXIS_PAIR), P(AXIS_PAIR), P(AXIS_PAIR), P(AXIS_PAIR),
                   P()),
         out_specs=CafPeak(P(AXIS_PAIR), P(AXIS_PAIR), P(AXIS_PAIR)),
+        check_vma=False,
     )(ns_re, ns_im, hs_re, hs_im, freqs)
 
 

@@ -188,3 +188,30 @@ def test_stein_os_routes_fused_on_chip():
     freq, lag, value = stein_overlap_save_peak(needle, hay, freqs, FS)
     assert (freq, lag) == (f_true, lag_true)
     assert value > 0
+
+
+def test_sharded_batched_stein_on_chip(chirp):
+    """The fused batch engine under ``shard_map`` on the REAL chip
+    (1-device ``pair`` mesh).  Regression: the pallas_call out_shape
+    carries no ``vma`` annotation, so shard_map's default vma check
+    rejected this engine at trace time on TPU — never seen by tests/
+    (CPU meshes run the XLA-twin interpret path)."""
+    from caf_cookoff_tpu.parallel.mesh import make_mesh
+    from caf_cookoff_tpu.parallel.sharded import sharded_batched_stein_peak
+
+    import jax
+
+    freqs = FreqGrid(-100.0, 100.0, 0.25).frequencies(np.float32)
+    idxs = [0, 3]
+    wants = {0: (69.25, 202), 3: (-76.25, 151)}
+    needles, hays = [], []
+    for i in idxs:
+        n, h, _ = chirp(i)
+        needles.append(n)
+        hays.append(h)
+    mesh = make_mesh(pair=1, devices=jax.devices()[:1])
+    fr, lg, _ = sharded_batched_stein_peak(np.stack(needles),
+                                           np.stack(hays), freqs, FS,
+                                           mesh)
+    for b, i in enumerate(idxs):
+        assert (float(fr[b]), int(lg[b])) == wants[i]
