@@ -215,3 +215,60 @@ def test_sharded_batched_stein_on_chip(chirp):
                                            mesh)
     for b, i in enumerate(idxs):
         assert (float(fr[b]), int(lg[b])) == wants[i]
+
+
+def test_remaining_sharded_engines_on_chip(chirp, fixture_pairs):
+    """Every other shard_map engine compiled on the REAL chip (1-device
+    meshes) — the vma regression above showed 'works on the CPU mesh'
+    does not imply 'traces on TPU', so the whole sharded family gets a
+    compiled smoke here: doppler-sharded filterbank + Stein (top-k
+    refine collectives), pair-sharded filterbank batch, time-sharded
+    overlap-save, and the three-axis batched OS engine (config 5's
+    pattern)."""
+    import jax
+
+    from caf_cookoff_tpu.parallel.mesh import make_mesh
+    from caf_cookoff_tpu.parallel.sharded import (
+        batched_caf_peak,
+        batched_overlap_save_peak,
+        sharded_caf_peak,
+        sharded_overlap_save_peak,
+        sharded_stein_peak,
+    )
+
+    freqs = FreqGrid(-100.0, 100.0, 0.25).frequencies(np.float32)
+    needle, hay, _ = chirp(0)
+    dev = jax.devices()[:1]
+    want = (69.25, 202)
+
+    mesh_d = make_mesh(doppler=1, devices=dev)
+    freq, lag, _ = sharded_caf_peak(needle, hay, freqs, FS, mesh_d)
+    assert (freq, lag) == want
+    freq, lag, _ = sharded_stein_peak(needle, hay, freqs, FS, mesh_d)
+    assert (freq, lag) == want
+
+    mesh_p = make_mesh(pair=1, devices=dev)
+    n3, h3, _ = chirp(3)
+    fr, lg, _ = batched_caf_peak(np.stack([needle, n3]),
+                                 np.stack([hay, h3]), freqs, FS, mesh_p)
+    assert (float(fr[0]), int(lg[0])) == want
+    assert (float(fr[1]), int(lg[1])) == (-76.25, 151)
+
+    # The OS engines search the FULL captures (truncated haystacks
+    # collapse the lag range to a single lag).
+    from caf_cookoff_tpu.utils.io import load_c64
+
+    full0 = load_c64(fixture_pairs[0][1])
+    full3 = load_c64(fixture_pairs[3][1])
+    mesh_t = make_mesh(time=1, devices=dev)
+    freq, lag, _ = sharded_overlap_save_peak(needle, full0, freqs, FS,
+                                             mesh_t)
+    assert (freq, lag) == want
+
+    width = max(len(full0), len(full3))
+    fulls = np.stack([np.pad(full0, (0, width - len(full0))),
+                      np.pad(full3, (0, width - len(full3)))])
+    fr, lg, _ = batched_overlap_save_peak(np.stack([needle, n3]), fulls,
+                                          freqs, FS, mesh_p)
+    assert (float(fr[0]), int(lg[0])) == want
+    assert (float(fr[1]), int(lg[1])) == (-76.25, 151)
