@@ -25,8 +25,8 @@ configs:
 # On this rig: N=1 on the real chip; --virtual 8 validates the harness,
 # shardings and collectives on virtual CPU devices.
 scaling:
-	python bench_scaling.py
-	python bench_scaling.py --virtual 8
+	python bench_scaling.py --out docs/scaling_tpu_r2.json
+	python bench_scaling.py --virtual 8 --out docs/scaling_virtual8.json
 
 native:
 	$(MAKE) -C native

@@ -179,8 +179,13 @@ def engine_pair(devices, counts, iters, reps, backend, per_device,
     n = 4096
     freqs_np = BENCH_GRID.frequencies(np.float32)
     b_max = per_device * counts[-1]
-    truths = [(float(freqs_np[40 + 7 * i]), 50 + 3 * i)
-              for i in range(b_max)]
+    # Truth indices wrap within the grid so any device count works
+    # (at 8+ devices a linear 40+7*i ramp would walk off the 400-bin
+    # grid); lags stay distinct per pair, and each pair has its own
+    # needle (seed=i), so repeated frequencies across pairs are fine.
+    truths = [(float(freqs_np[40 + (7 * i) % (len(freqs_np) - 40)]),
+               50 + 3 * i) for i in range(b_max)]
+    assert truths[-1][1] + n <= 2 * n, "lag ramp exceeded haystack"
     pairs = [_emitter_pair(n, n, lag, f, seed=i)
              for i, (f, lag) in enumerate(truths)]
     needles_all = np.stack([p[0] for p in pairs])
@@ -343,8 +348,22 @@ def main() -> None:
     for name in args.engines.split(","):
         label, ms, mode, units_per_dev = runners[name.strip()]()
         t1 = ms[0]
-        eff = {str(nd): round(t1 / (m * (nd if mode == "strong" else 1)), 3)
-               for nd, m in zip(counts, ms) if nd > 1}
+        # Chain-time subtraction can legitimately return <=0 ms under
+        # host load; efficiency is then meaningless — emit null rather
+        # than a negative ratio or a ZeroDivisionError.
+        eff = {}
+        for nd, m in zip(counts, ms):
+            if nd <= 1:
+                continue
+            if m <= 0 or t1 <= 0:
+                print(f"warning: non-positive chain time at N={nd} "
+                      f"(t1={t1:.3f} ms, tN={m:.3f} ms) — efficiency "
+                      "recorded as null; re-run on a quieter host",
+                      file=sys.stderr)
+                eff[str(nd)] = None
+            else:
+                eff[str(nd)] = round(
+                    t1 / (m * (nd if mode == "strong" else 1)), 3)
         line = {"metric": f"scaling_{label}", "mode": mode,
                 "devices": counts, "ms": [round(m, 3) for m in ms],
                 "efficiency": eff, "platform": platform}
@@ -354,6 +373,7 @@ def main() -> None:
     if args.out:
         with open(args.out, "w") as f:
             json.dump(doc, f, indent=1)
+            f.write("\n")
         print(f"wrote {args.out}", file=sys.stderr)
 
 

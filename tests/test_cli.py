@@ -194,10 +194,12 @@ def test_bench_harness_banded_wide_span():
     assert "error" not in rows[0], rows[0]
     # Routing (no error) is the property under test.  The timed value
     # is a chain-time SUBTRACTION — at iters=2 a host-load spike
-    # between the two timings can legitimately push it negative, so a
-    # positivity assert would be load-flaky (observed once with a
-    # concurrent TPU bench process); only require that a number landed.
-    assert not math.isnan(rows[0]["ms"])
+    # between the two timings can legitimately push it slightly
+    # negative, so an exact positivity assert would be load-flaky
+    # (observed once with a concurrent TPU bench process); require a
+    # finite number within a loose lower bound so inf/garbage still
+    # fails.
+    assert math.isfinite(rows[0]["ms"]) and rows[0]["ms"] > -10.0
 
 
 def test_info_never_hangs(capsys):
