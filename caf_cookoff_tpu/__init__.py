@@ -20,6 +20,12 @@ Public API mirrors the reference's surface: ``caf_surface`` /
 """
 
 from caf_cookoff_tpu.config import CafConfig, FreqGrid
+from caf_cookoff_tpu.errors import (
+    EligibilityError,
+    EngineError,
+    SpanError,
+    VmemBudgetError,
+)
 from caf_cookoff_tpu.models.batched_stein import (
     batched_stein_os_peak,
     batched_stein_peak,
@@ -38,8 +44,12 @@ __version__ = "0.2.0"
 
 __all__ = [
     "CafConfig",
+    "EligibilityError",
+    "EngineError",
     "FreqGrid",
     "FilterbankCAF",
+    "SpanError",
+    "VmemBudgetError",
     "amb_surf",
     "apply_fdoa",
     "batched_stein_os_peak",

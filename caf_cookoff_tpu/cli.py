@@ -33,6 +33,7 @@ from caf_cookoff_tpu.config import (
     FreqGrid,
     default_backend,
 )
+from caf_cookoff_tpu.errors import EngineError
 
 
 def _add_grid_args(p: argparse.ArgumentParser) -> None:
@@ -159,6 +160,9 @@ def cmd_run(args) -> int:
     freqs = _grid(args).frequencies(np.float32)
 
     full = args.full_haystack and len(haystack) > len(needle)
+    # Which engine actually answered (fallbacks reroute, and the user
+    # should see that, not infer it): solve() records it here.
+    state = {"engine": f"filterbank[{backend}]", "noted": False}
     if full:
         use_stein = args.backend == "auto" or backend.startswith("stein")
 
@@ -169,11 +173,21 @@ def cmd_run(args) -> int:
                         stein_overlap_save_peak,
                     )
 
-                    return stein_overlap_save_peak(
+                    out = stein_overlap_save_peak(
                         needle, haystack, freqs, fs,
                         refine=not backend.endswith("raw"))
-                except ValueError:  # doppler span too wide to segment
-                    pass
+                    state["engine"] = "stein-os (segmented long-capture)"
+                    return out
+                except EngineError as exc:
+                    # Only the typed envelope conditions (span, VMEM,
+                    # kernel eligibility) reroute; a genuine bug
+                    # propagates instead of silently downgrading.
+                    if not state["noted"]:
+                        print(f"note: segmented engine ineligible "
+                              f"({exc}); using the overlap-save scan",
+                              file=sys.stderr)
+                        state["noted"] = True
+            state["engine"] = "overlap-save scan"
             return overlap_save_peak(needle, haystack, freqs, fs,
                                      backend=_split_fft_tier(backend))
     else:
@@ -238,6 +252,7 @@ def cmd_run(args) -> int:
         backend=backend)
     print(report.result_lines())
     print(f"Peak value: {value:.6g}")
+    print(f"Engine: {state['engine']}")
     if windowed_note:
         print(f"note: surface-derived outputs cover a {n}-sample window "
               f"at lag {lag_origin} (capture too large for the full "
@@ -436,13 +451,15 @@ def cmd_batch(args) -> int:
             fr, lg, vv = batched_stein_peak(
                 np.stack(needles), np.stack(captures), freqs, fs,
                 backend=backend)
-    except ValueError:
+    except EngineError as exc:
         # Shapes outside the fused engine's envelope (very wide doppler
-        # spans, tiny needles): fall back to per-pair engines.
+        # spans, tiny needles): fall back to per-pair engines.  Only
+        # the typed envelope conditions reroute — an unrelated
+        # ValueError is a bug and propagates.
         from caf_cookoff_tpu.models.overlap_save import overlap_save_peak
 
-        print("note: batch shape outside the fused engine's envelope; "
-              "falling back to per-pair runs", file=sys.stderr)
+        print(f"note: batch shape outside the fused engine's envelope "
+              f"({exc}); falling back to per-pair runs", file=sys.stderr)
         results = []
         for nd, cp in zip(needles, captures):
             if full:

@@ -47,6 +47,7 @@ import numpy as np
 
 from caf_cookoff_tpu.config import (as_grid, default_backend, floor_pow2,
                                     xcor_length)
+from caf_cookoff_tpu.errors import EligibilityError, SpanError
 from caf_cookoff_tpu.models.filterbank import _surface_rows_split
 from caf_cookoff_tpu.models.stein import _REFINE_BINS, _auto_block_len
 from caf_cookoff_tpu.ops import splitfft
@@ -63,7 +64,7 @@ def _pow2_block_len(sample_rate: float, freqs_hz: np.ndarray,
     d = floor_pow2(min(_auto_block_len(sample_rate, freqs_hz, requested),
                        SUPER))
     if d < 8:
-        raise ValueError("block length below 8 after pow2 rounding")
+        raise SpanError("block length below 8 after pow2 rounding")
     return d
 
 
@@ -528,7 +529,7 @@ def batched_stein_os_peak(needles, haystacks, freqs_hz, sample_rate, *,
     freqs = as_grid(freqs_hz, dtype=ns_re.dtype)
     try:
         d = _pow2_block_len(sample_rate, freqs, block_len)
-    except ValueError:
+    except SpanError:
         d = None                     # span needs banding (or raises below)
     plan = _plan_bands(sample_rate, freqs)
     use_banded = False
@@ -592,11 +593,12 @@ def batched_stein_peak(needles, haystacks, freqs_hz, sample_rate, *,
     from caf_cookoff_tpu.ops.pallas_stein import FUSED_TILE
 
     if m % FUSED_TILE:
-        raise ValueError(f"xcor length {m} not a multiple of {FUSED_TILE}")
+        raise EligibilityError(
+            f"xcor length {m} not a multiple of {FUSED_TILE}")
     interpret = jax.default_backend() == "cpu"
     try:
         d = _pow2_block_len(sample_rate, freqs, block_len)
-    except ValueError:
+    except SpanError:
         # Wide-span batch: band the grid, (pair, band) as the batch
         # axis — same construction as the single-pair banded path.
         from caf_cookoff_tpu.models.stein import _plan_bands

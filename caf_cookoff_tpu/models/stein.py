@@ -43,6 +43,7 @@ import numpy as np
 
 from caf_cookoff_tpu.config import (as_grid, default_backend, floor_pow2,
                                     xcor_length)
+from caf_cookoff_tpu.errors import EligibilityError, EngineError, SpanError
 from caf_cookoff_tpu.ops import splitfft
 from caf_cookoff_tpu.ops.peak import CafPeak, find_peak_2d
 
@@ -292,7 +293,7 @@ def _auto_block_len(sample_rate: float, freqs_hz: np.ndarray,
     limit = int(sample_rate / (4.0 * f_max))
     d = min(requested, max(limit, 1))
     if d < 8:
-        raise ValueError(
+        raise SpanError(
             f"doppler span +-{f_max:.0f} Hz needs segment length <= {limit} "
             f"(< 8) at fs={sample_rate:.0f}; the segmented (stein) engine "
             "does not pay off — use the 'matmul' or 'pallas' backend")
@@ -448,10 +449,10 @@ def stein_overlap_save_peak(needle, haystack, freqs_hz, sample_rate, *,
     try:
         scan_block = _auto_block_len(sample_rate, freqs, block_len)
         span_err = None
-    except ValueError as e:
+    except SpanError as e:
         scan_block, span_err = None, e  # past single-segment envelope
     if (refine and h_re.shape[-1] > n_re.shape[-1]
-            and (scan_block is None or jax.default_backend() != "cpu")):
+            and _use_windowed_engine(scan_block)):
         from caf_cookoff_tpu.models.batched_stein import (
             batched_stein_os_peak,
         )
@@ -462,10 +463,12 @@ def stein_overlap_save_peak(needle, haystack, freqs_hz, sample_rate, *,
                 freqs_hz, sample_rate, num_lags=num_lags,
                 block_len=block_len, backend=backend)
             return float(fr[0]), int(lg[0]), float(vv[0])
-        except ValueError:
+        except EngineError:
+            # Span/VMEM/shape outside the kernel's envelope -> scan.
+            # Only the typed envelope conditions reroute; an unrelated
+            # ValueError (shape bug, broken invariant) propagates.
             if scan_block is None:
                 raise    # the scan cannot take the span either
-            # span/VMEM outside the kernel's envelope -> scan
     if scan_block is None:
         # refine=False (or needle-length capture) with a wide span:
         # the scan has no banded mode, surface the actionable message.
@@ -497,6 +500,14 @@ def stein_overlap_save_peak(needle, haystack, freqs_hz, sample_rate, *,
                                         block_len=block_len,
                                         backend=backend)
     return freq, start + int(delta), value
+
+
+def _use_windowed_engine(scan_block) -> bool:
+    """Gate for the batched windowed engine inside the long-capture
+    path: mandatory when the scan can't take the span (banded-only),
+    otherwise preferred on accelerators and skipped on CPU (where the
+    interpret-mode fused kernel is slower than the scan)."""
+    return scan_block is None or jax.default_backend() != "cpu"
 
 
 def _prep_long(needle, haystack, freqs_hz):
@@ -532,7 +543,7 @@ def stein_caf_peak(needle, haystack, freqs_hz, sample_rate, *,
     xl = xcor_length(n_re.shape[-1])
     try:
         block_len = _auto_block_len(sample_rate, freqs, block_len)
-    except ValueError:
+    except SpanError:
         # Banded auto-path only: an explicit fused flag pins the
         # single-band engines, which genuinely cannot take the span.
         plan = _plan_bands(sample_rate, freqs) if refine and fused is None \
@@ -558,7 +569,7 @@ def stein_caf_peak(needle, haystack, freqs_hz, sample_rate, *,
         fused = eligible and jax.default_backend() != "cpu"
     if fused:
         if not eligible:
-            raise ValueError(
+            raise EligibilityError(
                 f"fused kernel needs refine=True, a pow2 block length "
                 f">= 8 (got {block_len} -> {d_fused}) and a 512-multiple "
                 f"correlation length (got {xl}); use fused=False")

@@ -46,6 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from caf_cookoff_tpu.config import is_pow2
+from caf_cookoff_tpu.errors import EligibilityError
 from caf_cookoff_tpu.ops.peak import CafPeak
 
 # Doppler bins per kernel program. 8 keeps the per-program VMEM
@@ -58,7 +59,8 @@ def _fourstep_constants(m: int):
     """Stacked butterfly matrices + twiddles for the (k1,k2)-layout
     four-step DFT of length m (numpy f32, cached)."""
     if not is_pow2(m):
-        raise ValueError(f"pallas backend needs power-of-two M, got {m}")
+        raise EligibilityError(
+            f"pallas backend needs power-of-two M, got {m}")
     half = m.bit_length() - 1
     n1 = 1 << (half // 2)
     n2 = m // n1
@@ -213,11 +215,11 @@ def _pallas_peak_rows(n_re, n_im, h_re, h_im, rates, needle_len: int,
     """Per-bin (peak value, peak lag) via the fused kernel: (K,), (K,)."""
     n1, n2, c_np = _fourstep_constants(fft_len)
     if needle_len % n2:
-        raise ValueError(f"needle length {needle_len} not a multiple of "
+        raise EligibilityError(f"needle length {needle_len} not a multiple of "
                          f"the DFT column factor {n2}")
     k = rates.shape[0]
     if k % TILE_BINS:
-        raise ValueError(f"bin count {k} not a multiple of {TILE_BINS}")
+        raise EligibilityError(f"bin count {k} not a multiple of {TILE_BINS}")
     h2r, h2i = haystack_spectrum_noreorder(h_re, h_im, fft_len)
     rows = needle_len // n2
     n2d = (n_re.reshape(rows, n2), n_im.reshape(rows, n2))
@@ -300,7 +302,7 @@ def _pallas_surface(n_re, n_im, h_re, h_im, rates, needle_len: int,
     n1, n2, c_np = _fourstep_constants(fft_len)
     k = rates.shape[0]
     if k % TILE_BINS:
-        raise ValueError(f"bin count {k} not a multiple of {TILE_BINS}")
+        raise EligibilityError(f"bin count {k} not a multiple of {TILE_BINS}")
     h2r, h2i = haystack_spectrum_noreorder(h_re, h_im, fft_len)
     rows = needle_len // n2
 

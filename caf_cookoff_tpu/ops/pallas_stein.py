@@ -51,6 +51,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from caf_cookoff_tpu.errors import VmemBudgetError
+
 _BIG_IDX = np.int32(2**30)
 
 ROW_PAD = 16    # K padded to a multiple of this (bf16 sublane tile; the
@@ -222,7 +224,7 @@ def _vmem_demand(b2: int, span: int, sup: int, sr: int, m_pad: int,
     # pre-accumulator shape fit under it) — they ride on top of it.
     limit = max(48 * 1024 * 1024 + acc, est + est // 5 + (8 << 20))
     if limit > 100 * 1024 * 1024:
-        raise ValueError(
+        raise VmemBudgetError(
             f"fused Stein kernel needs ~{est / 2**20:.0f} MB of VMEM "
             f"(block_len={sup}, span={span}, {b2 // 2} blocks) — past "
             "the chip's budget; use a larger block_len (fewer, wider "

@@ -19,6 +19,7 @@ from typing import Dict, List, Sequence
 import numpy as np
 
 from caf_cookoff_tpu.config import BENCH_GRID, FreqGrid, xcor_length
+from caf_cookoff_tpu.errors import SpanError
 
 
 def _make_step(backend: str, sample_rate: float, xcor_len: int,
@@ -51,7 +52,7 @@ def _make_step(backend: str, sample_rate: float, xcor_len: int,
         # the golden-gated one.
         try:
             block_len = _auto_block_len(sample_rate, grid_hint, block_len)
-        except ValueError:
+        except SpanError:
             from caf_cookoff_tpu.models.batched_stein import (
                 _banded_batched_jit,
             )
