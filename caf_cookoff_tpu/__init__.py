@@ -37,6 +37,11 @@ from caf_cookoff_tpu.models.filterbank import (
     caf_surface,
     find_peak,
 )
+from caf_cookoff_tpu.models.overlap_save import (
+    overlap_save_peak,
+    overlap_save_peaks,
+)
+from caf_cookoff_tpu.ops.peak import find_peaks, merge_peaks, resolution_cell
 from caf_cookoff_tpu.ops.shift import apply_fdoa, freq_shift, phasor_bank
 from caf_cookoff_tpu.ops.xcor import xcor, xcor_pair
 
@@ -57,8 +62,13 @@ __all__ = [
     "caf_peak",
     "caf_surface",
     "find_peak",
+    "find_peaks",
     "freq_shift",
+    "merge_peaks",
+    "overlap_save_peak",
+    "overlap_save_peaks",
     "phasor_bank",
+    "resolution_cell",
     "xcor",
     "xcor_pair",
     "__version__",

@@ -215,8 +215,11 @@ def cmd_run(args) -> int:
     # absolute capture lags) — never the blind truncated prefix, which
     # could contradict the reported peak.
     n = len(needle)
+    # Multi-peak on a long capture runs the lattice scan (below), not a
+    # materialized surface — it must see the WHOLE capture, not a
+    # window around the strongest peak.
     want_artifacts = bool(args.dump_surface or args.plot or args.interp
-                          or args.num_peaks > 1)
+                          or (args.num_peaks > 1 and not full))
     lag_origin = 0
     surface = None
     windowed_note = False
@@ -281,18 +284,37 @@ def cmd_run(args) -> int:
         print(f"Sub-bin estimate: {f_frac:+.4f} Hz, {t_abs:.3f} "
               f"samples ({t_abs / fs * 1e3:.5f} ms)")
     if args.num_peaks > 1:
-        from caf_cookoff_tpu.ops.peak import find_peaks
+        from caf_cookoff_tpu.ops.peak import find_peaks, resolution_cell
 
-        # Exclusion window = the doppler resolution cell (fs/N Hz)
-        # in grid bins, so mainlobe skirts don't re-detect.
-        cell_bins = int(np.ceil(fs / n / args.freq_step))
-        pks = find_peaks(surface, args.num_peaks,
-                         exclude_freq=max(2, cell_bins))
-        for i in range(args.num_peaks):
-            print(f"peak {i + 1}: "
-                  f"{float(freqs[int(pks.freq_idx[i])]):+9.3f} Hz "
-                  f"@ lag {int(pks.lag_idx[i]) + lag_origin:>6d}  "
-                  f"({float(pks.value[i]):.5g})")
+        # Exclusion windows = the waveform's resolution cell (doppler
+        # mainlobe fs/N Hz in grid bins, lag mainlobe fs/bandwidth
+        # samples), so mainlobe skirts don't re-detect on any grid.
+        excl_f, excl_l = resolution_cell(needle, freqs, fs)
+        if full:
+            # Lattice scan over the WHOLE capture — no surface ever
+            # materializes, so distant emitters are never windowed out.
+            from caf_cookoff_tpu.models.overlap_save import (
+                overlap_save_peaks,
+            )
+
+            fr, lg, vv = overlap_save_peaks(
+                needle, haystack, freqs, fs, args.num_peaks,
+                exclude_freq=excl_f, exclude_lag=excl_l,
+                backend=_split_fft_tier(backend))
+            rows = list(zip(fr.tolist(), lg.tolist(), vv.tolist()))
+        else:
+            pks = find_peaks(surface, args.num_peaks,
+                             exclude_freq=excl_f, exclude_lag=excl_l)
+            rows = [(float(freqs[int(pks.freq_idx[i])]),
+                     int(pks.lag_idx[i]) + lag_origin,
+                     float(pks.value[i]))
+                    for i in range(args.num_peaks)]
+        for i, (f_hz, lag_i, val) in enumerate(rows):
+            if not np.isfinite(val):
+                print(f"peak {i + 1}: (no further distinct peaks)")
+                continue
+            print(f"peak {i + 1}: {f_hz:+9.3f} Hz "
+                  f"@ lag {lag_i:>6d}  ({val:.5g})")
     if args.dump_surface:
         if args.dump_surface.endswith(".npy"):
             save_npy(args.dump_surface, surface)
@@ -360,7 +382,7 @@ def cmd_stream(args) -> int:
     freqs = _grid(args).frequencies(np.float32)
 
     engine = StreamingCAF(needle, freqs, args.fs, chunk_len=args.chunk,
-                          backend=backend)
+                          backend=backend, num_peaks=args.num_peaks)
     t0 = time.perf_counter()
     start = 0
     for chunk in chunks:
@@ -375,6 +397,14 @@ def cmd_stream(args) -> int:
     print(f"Frequency offset: {freq:.3f} Hz")
     print(f"Time offset: {lag} samples ({lag / args.fs * 1e3:.4f} ms)")
     print(f"Peak value: {value:.6g}")
+    if args.num_peaks > 1:
+        fr, lg, vv = engine.peaks()
+        for i in range(args.num_peaks):
+            if not np.isfinite(float(vv[i])):
+                print(f"peak {i + 1}: (no further distinct peaks)")
+                continue
+            print(f"peak {i + 1}: {float(fr[i]):+9.3f} Hz "
+                  f"@ lag {int(lg[i]):>6d}  ({float(vv[i]):.5g})")
     print(f"[{engine.samples_seen} samples ({rate_ms:.0f} ms of capture) "
           f"in {elapsed:.2f} s, chunk={args.chunk}, {backend}]")
     return 0
@@ -685,6 +715,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="samples per streamed chunk")
     st.add_argument("--verbose", action="store_true",
                     help="print each chunk's local peak")
+    st.add_argument("--num-peaks", type=int, default=1,
+                    help="track a top-P multi-emitter lattice through "
+                    "the stream (NMS windows auto-sized to the "
+                    "waveform's resolution cell)")
     st.add_argument("--segment", type=int, default=None,
                     help="capture segment of a multi-capture SigMF "
                     "recording to stream")

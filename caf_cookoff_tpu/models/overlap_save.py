@@ -36,7 +36,13 @@ import numpy as np
 
 from caf_cookoff_tpu.config import as_grid, default_backend, xcor_length
 from caf_cookoff_tpu.ops import splitfft
-from caf_cookoff_tpu.ops.peak import CafPeak, find_peak_2d
+from caf_cookoff_tpu.ops.peak import (
+    CafPeak,
+    find_peak_2d,
+    find_peaks,
+    merge_peaks,
+    resolution_cell,
+)
 from caf_cookoff_tpu.ops.splitfft import SplitComplex
 
 
@@ -82,13 +88,25 @@ def _block_rows(hay: SplitComplex, s_conj: SplitComplex, b: jax.Array,
 def streaming_peak(s_conj: SplitComplex, haystack: SplitComplex,
                    needle_len: int, num_lags: int, lag_offset=0,
                    total_lags: Optional[int] = None,
-                   backend: str = "matmul") -> CafPeak:
+                   backend: str = "matmul", num_peaks: int = 1,
+                   exclude_freq: int = 2,
+                   exclude_lag: int = 32) -> CafPeak:
     """Scan-over-blocks peak of ``num_lags`` local lags (traceable core).
 
     ``lag_offset`` (may be traced, e.g. ``axis_index * chunk``) shifts
     local lags to global lag indices; lags at or beyond ``total_lags``
     (global) are masked out so zero-padded tails cannot win.  Returns a
     :class:`CafPeak` with the *global* lag index.
+
+    ``num_peaks > 1`` carries a top-``num_peaks`` lattice through the
+    scan instead of a single triple: each block contributes its NMS'd
+    local peaks and :func:`merge_peaks` deduplicates against the
+    running lattice — an emitter whose mainlobe straddles a block
+    boundary (detected once per adjacent block) collapses to one entry,
+    while distinct emitters anywhere in the capture all survive.  The
+    result's fields are ``(num_peaks,)``, strongest first, empty slots
+    ``-inf``.  Exclusion windows size the dedup cell — derive them with
+    :func:`caf_cookoff_tpu.ops.peak.resolution_cell`.
     """
     m, v, nblocks = plan_blocks(needle_len, num_lags)
     d = v + needle_len - 1
@@ -100,6 +118,7 @@ def streaming_peak(s_conj: SplitComplex, haystack: SplitComplex,
     else:
         hay = splitfft.pad_split(haystack, target)
     real_dtype = s_conj[0].dtype
+    lattice = num_peaks > 1
 
     def step(best: CafPeak, b):
         mag2 = _block_rows(hay, s_conj, b, v, d, m, backend)
@@ -110,6 +129,18 @@ def streaming_peak(s_conj: SplitComplex, haystack: SplitComplex,
             # of a known-length lag axis (time-sharded overlap-save).
             tau_global = local_ok + lag_offset
             keep = keep & (tau_global < total_lags)
+        if lattice:
+            # Masked lags become -inf sentinels so they can neither win
+            # a lattice slot nor suppress a real candidate.
+            mag2 = jnp.where(keep, mag2, -jnp.inf)
+            cand = find_peaks(mag2, num_peaks, exclude_freq, exclude_lag)
+            cand = CafPeak(cand.value, cand.freq_idx, cand.lag_idx + b * v)
+            merged = merge_peaks(
+                CafPeak(jnp.concatenate([best.value, cand.value]),
+                        jnp.concatenate([best.freq_idx, cand.freq_idx]),
+                        jnp.concatenate([best.lag_idx, cand.lag_idx])),
+                num_peaks, exclude_freq, exclude_lag)
+            return merged, None
         mag2 = jnp.where(keep, mag2, -1.0)
         cand = find_peak_2d(mag2)
         cand = CafPeak(cand.value, cand.freq_idx, cand.lag_idx + b * v)
@@ -128,9 +159,15 @@ def streaming_peak(s_conj: SplitComplex, haystack: SplitComplex,
     zero = (jnp.sum(s_conj[0][..., :1, :1]) * 0
             + jnp.sum(hay[0][..., :1]) * 0
             + jnp.asarray(lag_offset, real_dtype) * 0)
-    init = CafPeak(value=zero - jnp.inf,
-                   freq_idx=zero.astype(jnp.int32),
-                   lag_idx=zero.astype(jnp.int32))
+    if lattice:
+        zeros_p = jnp.zeros(num_peaks, real_dtype) + zero
+        init = CafPeak(value=zeros_p - jnp.inf,
+                       freq_idx=zeros_p.astype(jnp.int32),
+                       lag_idx=zeros_p.astype(jnp.int32))
+    else:
+        init = CafPeak(value=zero - jnp.inf,
+                       freq_idx=zero.astype(jnp.int32),
+                       lag_idx=zero.astype(jnp.int32))
     # int32 block ids: under x64 a default arange is int64 and
     # `cand.lag_idx + b * v` would widen the carry mid-scan (c128
     # parity mode runs this path under jax.enable_x64).
@@ -168,6 +205,21 @@ def _os_peak_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate, num_lags,
                                  backend)
     return streaming_peak(s_conj, (h_re, h_im), needle_len, num_lags,
                           backend=backend)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_lags", "needle_len", "backend",
+                              "num_peaks", "exclude_freq", "exclude_lag"))
+def _os_peaks_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate, num_lags,
+                  needle_len, backend, num_peaks, exclude_freq,
+                  exclude_lag):
+    m, _, _ = plan_blocks(needle_len, num_lags)
+    s_conj = needle_spectra_conj((n_re, n_im), freqs_hz, sample_rate, m,
+                                 backend)
+    return streaming_peak(s_conj, (h_re, h_im), needle_len, num_lags,
+                          backend=backend, num_peaks=num_peaks,
+                          exclude_freq=exclude_freq,
+                          exclude_lag=exclude_lag)
 
 
 def _prep(needle, haystack, freqs_hz):
@@ -211,3 +263,38 @@ def overlap_save_peak(needle, haystack, freqs_hz, sample_rate,
                         float(sample_rate), lags, n, backend)
     return (float(freqs[int(peak.freq_idx)]), int(peak.lag_idx),
             float(peak.value))
+
+
+def overlap_save_peaks(needle, haystack, freqs_hz, sample_rate,
+                       num_peaks: int,
+                       num_lags: Optional[int] = None, *,
+                       exclude_freq: Optional[int] = None,
+                       exclude_lag: Optional[int] = None,
+                       backend: Optional[str] = None):
+    """Top-``num_peaks`` emitters of a long capture, strongest first.
+
+    Multi-emitter extraction through the streaming scan (BASELINE
+    config 4's "streaming multi-emitter"; the reference reports only a
+    global argmax, ``caf_rust/src/caf/mod.rs:31-42``): the overlap-save
+    block scan carries a top-``num_peaks`` NMS lattice, so the full
+    surface never materializes and emitters whose mainlobes straddle
+    block boundaries deduplicate.  Exclusion windows default to the
+    waveform's resolution cell (:func:`ops.peak.resolution_cell`).
+
+    Returns ``(freqs_hz (P,), lags (P,), values (P,))`` numpy arrays;
+    slots past the number of distinct detections carry ``value=-inf``.
+    """
+    backend = backend or default_backend()
+    (n_re, n_im), (h_re, h_im), freqs = _prep(needle, haystack, freqs_hz)
+    n = n_re.shape[-1]
+    lags = num_lags or h_re.shape[-1] - n + 1
+    if exclude_freq is None or exclude_lag is None:
+        auto_f, auto_l = resolution_cell(needle, freqs, sample_rate)
+        exclude_freq = auto_f if exclude_freq is None else exclude_freq
+        exclude_lag = auto_l if exclude_lag is None else exclude_lag
+    pk = _os_peaks_jit(n_re, n_im, h_re, h_im, jnp.asarray(freqs),
+                       float(sample_rate), lags, n, backend,
+                       int(num_peaks), int(exclude_freq),
+                       int(exclude_lag))
+    return (np.asarray(freqs)[np.asarray(pk.freq_idx)],
+            np.asarray(pk.lag_idx), np.asarray(pk.value))

@@ -30,7 +30,7 @@ from caf_cookoff_tpu.models.overlap_save import (
     streaming_peak,
 )
 from caf_cookoff_tpu.ops import splitfft
-from caf_cookoff_tpu.ops.peak import CafPeak
+from caf_cookoff_tpu.ops.peak import CafPeak, merge_peaks, resolution_cell
 
 
 @functools.partial(
@@ -62,6 +62,41 @@ def _stream_step_jit(sc_re, sc_im, tail_re, tail_im, ch_re, ch_im,
     )
     halo = needle_len - 1
     # The next tail ends at the last VALID sample (padding excluded).
+    new_tail = tuple(
+        jax.lax.dynamic_slice(p, (valid_len,), (halo,)) for p in window)
+    return new_best, local, new_tail
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("needle_len", "chunk_len", "backend", "num_peaks",
+                     "exclude_freq", "exclude_lag"))
+def _stream_lattice_step_jit(sc_re, sc_im, tail_re, tail_im, ch_re, ch_im,
+                             best_value, best_freq, best_lag, base_lag,
+                             valid_len, needle_len, chunk_len, backend,
+                             num_peaks, exclude_freq, exclude_lag):
+    """Multi-emitter streaming step: this window's top-``num_peaks``
+    lattice NMS-merged into the running global lattice.
+
+    Same window/lag bookkeeping as :func:`_stream_step_jit`; the merge
+    deduplicates an emitter whose mainlobe skirt leaks into the next
+    chunk's window (detected once per window, within one exclusion
+    cell), so chunk boundaries never double-count.
+    """
+    window = (jnp.concatenate([tail_re, ch_re]),
+              jnp.concatenate([tail_im, ch_im]))
+    local = streaming_peak((sc_re, sc_im), window, needle_len, chunk_len,
+                           lag_offset=base_lag,
+                           total_lags=base_lag + valid_len,
+                           backend=backend, num_peaks=num_peaks,
+                           exclude_freq=exclude_freq,
+                           exclude_lag=exclude_lag)
+    new_best = merge_peaks(
+        CafPeak(jnp.concatenate([best_value, local.value]),
+                jnp.concatenate([best_freq, local.freq_idx]),
+                jnp.concatenate([best_lag, local.lag_idx])),
+        num_peaks, exclude_freq, exclude_lag)
+    halo = needle_len - 1
     new_tail = tuple(
         jax.lax.dynamic_slice(p, (valid_len,), (halo,)) for p in window)
     return new_best, local, new_tail
@@ -152,9 +187,28 @@ class StreamingCAF:
 
     def __init__(self, needle, freqs_hz, sample_rate, *,
                  chunk_len: Optional[int] = None,
-                 backend: Optional[str] = None):
+                 backend: Optional[str] = None,
+                 num_peaks: int = 1,
+                 exclude_freq: Optional[int] = None,
+                 exclude_lag: Optional[int] = None):
         backend = backend or default_backend()
         self._stein = backend.startswith("stein")
+        self._num_peaks = int(num_peaks)
+        if self._num_peaks > 1 and self._stein:
+            from caf_cookoff_tpu.errors import EligibilityError
+
+            raise EligibilityError(
+                "stein-mode streaming carries a single exact re-score "
+                "window and cannot track a peak lattice; use the "
+                "default backend for num_peaks > 1")
+        if self._num_peaks > 1:
+            if exclude_freq is None or exclude_lag is None:
+                auto_f, auto_l = resolution_cell(needle, freqs_hz,
+                                                 sample_rate)
+                exclude_freq = auto_f if exclude_freq is None \
+                    else exclude_freq
+                exclude_lag = auto_l if exclude_lag is None else exclude_lag
+            self._exclude = (int(exclude_freq), int(exclude_lag))
         if backend.startswith(("stein", "pallas")):
             # Engine-level names: the streaming transforms themselves
             # run on a split-FFT tier; 'stein*' flips the fused mode.
@@ -205,9 +259,15 @@ class StreamingCAF:
             self._sc_re, self._sc_im = sc
         halo = self.needle_len - 1
         self._tail = (jnp.zeros(halo, rdt), jnp.zeros(halo, rdt))
-        self._best = CafPeak(jnp.asarray(-np.inf, rdt),
-                             jnp.asarray(0, jnp.int32),
-                             jnp.asarray(0, jnp.int32))
+        if self._num_peaks > 1:
+            p = self._num_peaks
+            self._best = CafPeak(jnp.full(p, -np.inf, rdt),
+                                 jnp.zeros(p, jnp.int32),
+                                 jnp.zeros(p, jnp.int32))
+        else:
+            self._best = CafPeak(jnp.asarray(-np.inf, rdt),
+                                 jnp.asarray(0, jnp.int32),
+                                 jnp.asarray(0, jnp.int32))
         self._samples_seen = 0
         # One executable per stream: the chunk length is pinned (here,
         # or by the first chunk seen); shorter chunks are zero-padded
@@ -273,6 +333,17 @@ class StreamingCAF:
                 self._needle_pad, self.needle_len - 1, self._interpret)
             self._bw = bw
             self._bw_start = bw_start
+        elif self._num_peaks > 1:
+            best, local, tail = _stream_lattice_step_jit(
+                self._sc_re, self._sc_im, self._tail[0], self._tail[1],
+                jnp.asarray(ch_re), jnp.asarray(ch_im),
+                self._best.value, self._best.freq_idx,
+                self._best.lag_idx, self._base_lag, valid,
+                self.needle_len, fixed, self.backend, self._num_peaks,
+                *self._exclude)
+            # The contract: report this chunk's strongest local peak.
+            local = CafPeak(local.value[0], local.freq_idx[0],
+                            local.lag_idx[0])
         else:
             best, local, tail = _stream_step_jit(
                 self._sc_re, self._sc_im, self._tail[0], self._tail[1],
@@ -295,6 +366,10 @@ class StreamingCAF:
         rows (the rank-then-score contract), restoring bin-exact
         frequency and lag.
         """
+        if self._num_peaks > 1:
+            return (float(self._freqs[int(self._best.freq_idx[0])]),
+                    int(self._best.lag_idx[0]),
+                    float(self._best.value[0]))
         if not self._stein or not np.isfinite(float(self._best.value)):
             return (float(self._freqs[int(self._best.freq_idx)]),
                     int(self._best.lag_idx), float(self._best.value))
@@ -307,3 +382,20 @@ class StreamingCAF:
         return (float(self._freqs[int(peak.freq_idx)]),
                 int(self._bw_start) + int(peak.lag_idx),
                 float(peak.value))
+
+    def peaks(self):
+        """Global running top-``num_peaks`` lattice, strongest first.
+
+        Returns ``(freqs_hz (P,), lags (P,), values (P,))`` numpy
+        arrays; slots past the number of distinct detections carry
+        ``value=-inf``.  Requires ``num_peaks > 1`` at construction
+        (the single-peak stream keeps its cheaper scalar carry).
+        """
+        if self._num_peaks <= 1:
+            raise ValueError(
+                "stream was built with num_peaks=1; construct "
+                "StreamingCAF(..., num_peaks=P) to track a lattice")
+        freq_idx = np.asarray(self._best.freq_idx)
+        return (np.asarray(self._freqs)[freq_idx],
+                np.asarray(self._best.lag_idx),
+                np.asarray(self._best.value))

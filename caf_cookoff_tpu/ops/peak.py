@@ -10,10 +10,11 @@ true lags are positive).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class CafPeak(NamedTuple):
@@ -92,6 +93,89 @@ def find_peaks(surface, num_peaks: int, exclude_freq: int = 2,
 
     _, peaks = jax.lax.scan(step, surface, None, length=num_peaks)
     return peaks
+
+
+def resolution_cell(needle, freqs_hz, sample_rate) -> Tuple[int, int]:
+    """Derive NMS exclusion windows from the waveform's resolution cell.
+
+    ``(exclude_freq_bins, exclude_lag_samples)`` sized to the CAF
+    mainlobe, so two emitters one resolution cell apart survive NMS
+    while one emitter's skirt cannot re-detect:
+
+    * doppler: coherent integration over ``N/fs`` seconds puts the
+      mainlobe's first null at ``fs/N`` Hz from the peak — converted to
+      bins of the CALLER'S grid (a 0.05 Hz grid gets a proportionally
+      wider bin window than a 0.5 Hz grid, fixing the hardcoded-window
+      trap where fine grids re-detect the skirt).
+    * lag: the correlation mainlobe of a band-limited waveform spans
+      ``~fs/B`` samples, with ``B`` the occupied (−20 dB) two-sided
+      bandwidth measured from the needle's own spectrum.
+
+    Host-side (numpy): the results are static ints that specialize the
+    jitted NMS programs.  The reference has no multi-peak notion at all
+    (global argmax only, ``caf_rust/src/caf/mod.rs:31-42``).
+    """
+    x = np.asarray(needle)
+    n = x.shape[-1]
+    fs = float(sample_rate)
+    freqs = np.asarray(freqs_hz, dtype=np.float64).reshape(-1)
+    step = float(np.min(np.abs(np.diff(freqs)))) if freqs.size > 1 \
+        else fs / n
+    exclude_freq = max(1, int(np.ceil((fs / n) / max(step, 1e-30))))
+    psd = np.abs(np.fft.fft(x.astype(np.complex128))) ** 2
+    occupied = int(np.count_nonzero(psd > psd.max() * 1e-2))
+    bandwidth = max(occupied, 1) * fs / n
+    exclude_lag = max(1, int(np.ceil(fs / bandwidth)))
+    return exclude_freq, exclude_lag
+
+
+def merge_peaks(candidates: CafPeak, num_peaks: int, exclude_freq: int,
+                exclude_lag: int) -> CafPeak:
+    """Greedy NMS merge of ``C`` candidate triples → top-``num_peaks``.
+
+    The jit-compatible reduction primitive behind every multi-emitter
+    path: block-local lattices (overlap-save scan carries), chunk
+    lattices (streaming), and all_gather-ed shard lattices (collective
+    peak reduction) all funnel through this.  Candidates whose value is
+    ``-inf`` are empty slots and can neither win nor suppress.  Order is
+    deterministic: value descending, then (freq_idx, lag_idx) row-major
+    — matching the serial-scan tie-break of the single-peak reduction.
+    Fields of the result are ``(num_peaks,)``; unfilled slots carry
+    ``-inf`` / index 0.
+    """
+    v = jnp.asarray(candidates.value)
+    f = candidates.freq_idx.astype(jnp.int32)
+    lg = candidates.lag_idx.astype(jnp.int32)
+    c = v.shape[-1]
+    if c < num_peaks:
+        pad = num_peaks - c
+        v = jnp.concatenate([v, jnp.full(pad, -jnp.inf, v.dtype)])
+        f = jnp.concatenate([f, jnp.zeros(pad, jnp.int32)])
+        lg = jnp.concatenate([lg, jnp.zeros(pad, jnp.int32)])
+        c = num_peaks
+    order = jnp.lexsort((lg, f, -v))
+    v, f, lg = v[order], f[order], lg[order]
+    valid = v > -jnp.inf
+    close = ((jnp.abs(f[:, None] - f[None, :]) <= exclude_freq)
+             & (jnp.abs(lg[:, None] - lg[None, :]) <= exclude_lag))
+    pos = jnp.arange(c)
+
+    def step(kept, i):
+        suppressed = jnp.any(kept & close[:, i] & (pos < i))
+        return kept.at[i].set(valid[i] & ~suppressed), None
+
+    # All-False init derived from the traced values so it inherits
+    # their varying-manual-axes under shard_map (a plain zeros(bool)
+    # carry would not match the body output's vma).
+    kept, _ = jax.lax.scan(step, v > jnp.inf, pos)
+    # Kept candidates, in (already value-sorted) order, first P slots.
+    sel = jnp.argsort(jnp.where(kept, pos, c))[:num_peaks]
+    filled = jnp.arange(num_peaks) < jnp.sum(kept)
+    return CafPeak(
+        value=jnp.where(filled, v[sel], -jnp.inf),
+        freq_idx=jnp.where(filled, f[sel], 0).astype(jnp.int32),
+        lag_idx=jnp.where(filled, lg[sel], 0).astype(jnp.int32),
+    )
 
 
 def _parabolic_offset(y_m1, y_0, y_p1):

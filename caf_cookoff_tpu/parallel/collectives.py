@@ -21,7 +21,7 @@ from typing import Sequence, Union
 import jax
 import jax.numpy as jnp
 
-from caf_cookoff_tpu.ops.peak import CafPeak
+from caf_cookoff_tpu.ops.peak import CafPeak, merge_peaks
 
 _AxisNames = Union[str, Sequence[str]]
 
@@ -45,3 +45,29 @@ def global_peak(local: CafPeak, axis_names: _AxisNames) -> CafPeak:
         jnp.where(is_max & (freq_idx == f_min), lag_idx, _INT_MAX),
         axis_names)
     return CafPeak(value=m, freq_idx=f_min, lag_idx=l_min)
+
+
+def global_peaks(local: CafPeak, axis_names: _AxisNames, num_peaks: int,
+                 exclude_freq: int, exclude_lag: int) -> CafPeak:
+    """Reduce per-shard top-``num_peaks`` lattices to the global lattice.
+
+    Must be called inside ``shard_map``; ``local``'s fields are
+    ``(num_peaks,)`` with *global* indices, empty slots ``-inf``.  The
+    candidate lattices ``all_gather`` over the reduction axes (3 tiny
+    ``N*P`` vectors — far cheaper than any surface traffic) and every
+    shard runs the same deterministic NMS merge, so the result is
+    replicated by construction.  Cross-shard NMS is what makes this
+    more than a concatenate: an emitter whose mainlobe straddles a
+    time-shard boundary is detected by both neighbors and must collapse
+    to one entry.
+    """
+    names = [axis_names] if isinstance(axis_names, str) else list(axis_names)
+    value = jnp.asarray(local.value)
+    freq_idx = local.freq_idx.astype(jnp.int32)
+    lag_idx = local.lag_idx.astype(jnp.int32)
+    for name in names:
+        value = jax.lax.all_gather(value, name, tiled=True)
+        freq_idx = jax.lax.all_gather(freq_idx, name, tiled=True)
+        lag_idx = jax.lax.all_gather(lag_idx, name, tiled=True)
+    return merge_peaks(CafPeak(value, freq_idx, lag_idx), num_peaks,
+                       exclude_freq, exclude_lag)

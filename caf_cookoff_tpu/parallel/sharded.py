@@ -40,7 +40,7 @@ from caf_cookoff_tpu.models.overlap_save import (
 )
 from caf_cookoff_tpu.ops import splitfft
 from caf_cookoff_tpu.ops.peak import CafPeak, find_peak_2d
-from caf_cookoff_tpu.parallel.collectives import global_peak
+from caf_cookoff_tpu.parallel.collectives import global_peak, global_peaks
 from caf_cookoff_tpu.parallel.mesh import AXIS_DOPPLER, AXIS_PAIR, AXIS_TIME
 
 shard_map = jax.shard_map
@@ -441,6 +441,57 @@ def _os_sharded_peak_jit(n_re, n_im, h_re, h_im, freqs_padded, sample_rate,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("mesh", "needle_len", "chunk", "total_lags", "backend",
+                     "num_peaks", "exclude_freq", "exclude_lag"))
+def _os_sharded_peaks_jit(n_re, n_im, h_re, h_im, freqs_padded, sample_rate,
+                          mesh, needle_len, chunk, total_lags, backend,
+                          num_peaks, exclude_freq, exclude_lag):
+    """Time/doppler-sharded multi-emitter lattice (top-``num_peaks``).
+
+    Same halo-exchange layout as :func:`_os_sharded_peak_jit`; each
+    shard's scan carries a local NMS lattice and the lattices meet in
+    an ``all_gather`` + deterministic merge
+    (:func:`caf_cookoff_tpu.parallel.collectives.global_peaks`), so an
+    emitter straddling a time-shard boundary — seen by both neighbors
+    via the halo — collapses to one entry.
+    """
+    k_loc = freqs_padded.shape[0] // mesh.shape[AXIS_DOPPLER]
+    m, _, _ = plan_blocks(needle_len, chunk)
+    halo = needle_len - 1
+
+    def body(n_re, n_im, h_re, h_im, freqs_loc):
+        s_conj = needle_spectra_conj((n_re, n_im), freqs_loc, sample_rate,
+                                     m, backend)
+        hay_ext = tuple(
+            jnp.concatenate([p, _right_halo(p, halo, AXIS_TIME)], axis=-1)
+            for p in (h_re, h_im))
+        offset = jax.lax.axis_index(AXIS_TIME) * chunk
+        local = streaming_peak(s_conj, hay_ext, needle_len, chunk,
+                               lag_offset=offset, total_lags=total_lags,
+                               backend=backend, num_peaks=num_peaks,
+                               exclude_freq=exclude_freq,
+                               exclude_lag=exclude_lag)
+        local = CafPeak(
+            local.value,
+            local.freq_idx + jax.lax.axis_index(AXIS_DOPPLER) * k_loc,
+            local.lag_idx)
+        return global_peaks(local, (AXIS_DOPPLER, AXIS_TIME), num_peaks,
+                            exclude_freq, exclude_lag)
+
+    # check_vma=False: the lattice reduction ends in all_gather + a
+    # deterministic merge every shard computes identically, so the
+    # output IS replicated — but vma cannot infer that (all_gather
+    # outputs stay 'varying' and no varying->invariant pcast exists).
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(AXIS_TIME), P(AXIS_TIME), P(AXIS_DOPPLER)),
+        out_specs=CafPeak(P(), P(), P()),
+        check_vma=False,
+    )(n_re, n_im, h_re, h_im, freqs_padded)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("mesh", "needle_len", "chunk", "total_lags", "backend"))
 def _batched_os_peak_jit(ns_re, ns_im, hs_re, hs_im, freqs_padded,
                          sample_rate, mesh, needle_len, chunk, total_lags,
@@ -608,3 +659,50 @@ def sharded_overlap_save_peak(needle, haystack, freqs_hz, sample_rate,
                                 total_lags, backend)
     return (float(freqs_p[int(peak.freq_idx)]), int(peak.lag_idx),
             float(peak.value))
+
+
+def sharded_overlap_save_peaks(needle, haystack, freqs_hz, sample_rate,
+                               mesh: Mesh, num_peaks: int,
+                               num_lags: Optional[int] = None, *,
+                               exclude_freq: Optional[int] = None,
+                               exclude_lag: Optional[int] = None,
+                               backend: str = "matmul"):
+    """Top-``num_peaks`` emitters of a time-sharded long capture.
+
+    The multi-emitter variant of :func:`sharded_overlap_save_peak`:
+    each chip's overlap-save scan carries an NMS lattice over its lag
+    chunk, lattices reduce over ``(doppler, time)`` via all_gather +
+    deterministic merge, and emitters straddling shard boundaries
+    (reachable through the ppermute halo) deduplicate.  Exclusion
+    windows default to the waveform's resolution cell.  Returns
+    ``(freqs (P,), lags (P,), values (P,))``; empty slots ``-inf``.
+    """
+    from caf_cookoff_tpu.ops.peak import resolution_cell
+
+    backend = backend or default_backend()
+    needle = np.asarray(needle)
+    haystack = np.asarray(haystack)
+    n = needle.shape[-1]
+    if haystack.shape[-1] < n:
+        raise ValueError("haystack shorter than needle")
+    total_lags = num_lags or haystack.shape[-1] - n + 1
+    t_shards = mesh.shape[AXIS_TIME]
+    needed = min(haystack.shape[-1], total_lags + n - 1)
+    chunk = max(-(-needed // t_shards), n - 1)
+    hay_p = np.pad(haystack, (0, t_shards * chunk - haystack.shape[-1])) \
+        if t_shards * chunk > haystack.shape[-1] \
+        else haystack[: t_shards * chunk]
+    n_re, n_im = _split_host(needle)
+    h_re, h_im = _split_host(hay_p)
+    freqs_np = as_grid(freqs_hz, dtype=n_re.dtype)
+    if exclude_freq is None or exclude_lag is None:
+        auto_f, auto_l = resolution_cell(needle, freqs_np, sample_rate)
+        exclude_freq = auto_f if exclude_freq is None else exclude_freq
+        exclude_lag = auto_l if exclude_lag is None else exclude_lag
+    freqs_p = pad_axis_to(freqs_np, mesh.shape[AXIS_DOPPLER])
+    pk = _os_sharded_peaks_jit(n_re, n_im, h_re, h_im, freqs_p,
+                               float(sample_rate), mesh, n, chunk,
+                               total_lags, backend, int(num_peaks),
+                               int(exclude_freq), int(exclude_lag))
+    return (freqs_p[np.asarray(pk.freq_idx)], np.asarray(pk.lag_idx),
+            np.asarray(pk.value))
