@@ -42,6 +42,7 @@ from caf_cookoff_tpu.models.overlap_save import (
     overlap_save_peaks,
 )
 from caf_cookoff_tpu.ops.peak import find_peaks, merge_peaks, resolution_cell
+from caf_cookoff_tpu.ops.refine import refine_peak, refine_peaks
 from caf_cookoff_tpu.ops.shift import apply_fdoa, freq_shift, phasor_bank
 from caf_cookoff_tpu.ops.xcor import xcor, xcor_pair
 
@@ -68,6 +69,8 @@ __all__ = [
     "overlap_save_peak",
     "overlap_save_peaks",
     "phasor_bank",
+    "refine_peak",
+    "refine_peaks",
     "resolution_cell",
     "xcor",
     "xcor_pair",

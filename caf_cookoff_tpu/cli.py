@@ -160,6 +160,7 @@ def cmd_run(args) -> int:
     freqs = _grid(args).frequencies(np.float32)
 
     full = args.full_haystack and len(haystack) > len(needle)
+    haystack_full = haystack        # --refine reads past any truncation
     # Which engine actually answered (fallbacks reroute, and the user
     # should see that, not infer it): solve() records it here.
     state = {"engine": f"filterbank[{backend}]", "noted": False}
@@ -283,6 +284,15 @@ def cmd_run(args) -> int:
         t_abs = t_frac + lag_origin
         print(f"Sub-bin estimate: {f_frac:+.4f} Hz, {t_abs:.3f} "
               f"samples ({t_abs / fs * 1e3:.5f} ms)")
+    if args.refine:
+        from caf_cookoff_tpu.ops.refine import refine_peak
+
+        f_ref, t_ref, v_ref = refine_peak(
+            needle, haystack_full, freq, lag, fs,
+            coarse_step_hz=args.freq_step,
+            backend=_split_fft_tier(backend))
+        print(f"Refined estimate: {f_ref:+.4f} Hz, {t_ref:.4f} "
+              f"samples ({t_ref / fs * 1e3:.6f} ms)")
     if args.num_peaks > 1:
         from caf_cookoff_tpu.ops.peak import find_peaks, resolution_cell
 
@@ -502,20 +512,39 @@ def cmd_batch(args) -> int:
         fr = np.array([r[0] for r in results])
         lg = np.array([r[1] for r in results])
         vv = np.array([r[2] for r in results])
+    refined = None
+    if args.refine:
+        from caf_cookoff_tpu.ops.refine import refine_peaks
+
+        # One vmapped zoom program over the whole batch.  Captures were
+        # already equalized (padded or truncated) by the engine prep.
+        f_ref, t_ref, _ = refine_peaks(
+            np.stack(needles), np.stack(captures), fr, lg, fs,
+            coarse_step_hz=args.freq_step,
+            backend=_split_fft_tier(backend))
+        refined = list(zip(f_ref.tolist(), t_ref.tolist()))
     records = []
     for i, (n_path, c_path) in enumerate(parsed):
-        records.append({
+        rec = {
             "needle": n_path, "capture": c_path,
             "freq_hz": float(fr[i]), "lag_samples": int(lg[i]),
             "lag_ms": int(lg[i]) / fs * 1e3, "peak_value": float(vv[i]),
-        })
+        }
+        if refined is not None:
+            rec["refined_freq_hz"] = refined[i][0]
+            rec["refined_lag_samples"] = refined[i][1]
+        records.append(rec)
     if args.json:
         print(json.dumps(records, indent=2))
         return 0
     for r in records:
-        print(f"{r['needle']} x {r['capture']}: "
-              f"{r['freq_hz']:+9.3f} Hz @ lag {r['lag_samples']:>7d} "
-              f"({r['lag_ms']:.4f} ms)  peak {r['peak_value']:.5g}")
+        line = (f"{r['needle']} x {r['capture']}: "
+                f"{r['freq_hz']:+9.3f} Hz @ lag {r['lag_samples']:>7d} "
+                f"({r['lag_ms']:.4f} ms)  peak {r['peak_value']:.5g}")
+        if refined is not None:
+            line += (f"  refined {r['refined_freq_hz']:+9.4f} Hz @ "
+                     f"{r['refined_lag_samples']:.4f}")
+        print(line)
     return 0
 
 
@@ -697,6 +726,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--interp", action="store_true",
                    help="also print the sub-bin parabolic (freq, lag) "
                    "estimate (capability past the reference)")
+    r.add_argument("--refine", action="store_true",
+                   help="zoom re-score the peak to continuous "
+                   "(freq, lag): ~1e-3 Hz / 1e-3 sample on the golden "
+                   "fixtures vs the grid's half-bin snap")
     r.add_argument("--num-peaks", type=int, default=1,
                    help="list the N strongest peaks (multi-emitter, "
                    "non-max suppressed)")
@@ -750,6 +783,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="search whole captures (windowed fused "
                     "overlap-save engine)")
     bt.add_argument("--json", action="store_true")
+    bt.add_argument("--refine", action="store_true",
+                    help="batched zoom re-score to continuous "
+                    "(freq, lag) per pair")
     bt.set_defaults(fn=cmd_batch)
 
     b = sub.add_parser("bench", help="README-style strategy table")

@@ -195,6 +195,11 @@ def interpolate_peak(surface, freqs_hz, sample_rate=None):
     ``(freq_hz, lag_samples)`` as floats; edge peaks clamp to the grid.
     The fractional lag can be converted to seconds by the caller
     (``sample_rate`` is accepted for symmetry but unused).
+
+    Host-only convenience (calls ``float()`` on traced values) and the
+    weakest sub-bin model — prefer
+    :func:`caf_cookoff_tpu.ops.refine.refine_peak`, the jit/batch-safe
+    zoom re-score that is ~100x more accurate on the golden fixtures.
     """
     del sample_rate
     surface = jnp.asarray(surface)

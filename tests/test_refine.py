@@ -1,0 +1,166 @@
+"""Sub-bin (FDOA, TDOA) zoom refinement (ops/refine.py).
+
+The reference can only ever report grid points — its own test suite
+codifies the snap (injected +35.99 Hz on a 1 Hz grid asserted as 36.0,
+``caf_rust/tests/test.rs:162``).  These tests pin that the zoom
+refinement recovers the *injected* truth on every golden fixture to
+<=0.01 Hz and <=0.1 sample (typically 100x tighter), recovers genuine
+fractional sample delays, batches, and is wired to ``caf-tpu run
+--refine`` / ``batch --refine``.
+"""
+
+import numpy as np
+import pytest
+
+from caf_cookoff_tpu.models.filterbank import caf_peak
+from caf_cookoff_tpu.ops.refine import refine_peak, refine_peaks
+from caf_cookoff_tpu.utils.io import load_c64, parse_ground_truth
+
+FS = 48_000.0
+
+
+@pytest.fixture(scope="module")
+def fixture_truths(fixture_pairs):
+    out = []
+    for n_path, h_path in fixture_pairs:
+        needle = load_c64(n_path)
+        hay = load_c64(h_path)
+        out.append((needle, hay, parse_ground_truth(h_path)))
+    return out
+
+
+def test_refine_all_fixtures_beat_grid_snap(fixture_truths):
+    """<=0.01 Hz / <=0.1 sample against the INJECTED truth, all 10."""
+    freqs = np.arange(-100, 100, 0.5, dtype=np.float32)
+    for needle, hay, gt in fixture_truths:
+        f0, lag0, _ = caf_peak(needle, hay[: len(needle)], freqs, FS,
+                               backend="xla")
+        f_hat, tau_hat, value = refine_peak(
+            needle, hay, f0, lag0, FS, coarse_step_hz=0.5, backend="xla")
+        assert abs(f_hat - gt.freq_hz) <= 0.01, (gt, f_hat)
+        assert abs(tau_hat - gt.lag_samples) <= 0.1, (gt, tau_hat)
+        assert value > 0
+
+
+def test_refine_chirp1_coarse_grid(fixture_truths):
+    """The reference's own snapping example: +35.99 Hz on a 1 Hz grid
+    can only be called 36.0 (``caf_rust/tests/test.rs:162``); the zoom
+    recovers 35.99 from that same coarse answer."""
+    needle, hay, gt = fixture_truths[1]
+    assert gt.freq_hz == 35.99
+    freqs = np.arange(30.0, 40.0, 1.0, dtype=np.float32)
+    f0, lag0, _ = caf_peak(needle, hay[: len(needle)], freqs, FS,
+                           backend="xla")
+    assert f0 == 36.0                      # the snap the reference asserts
+    f_hat, tau_hat, _ = refine_peak(needle, hay, f0, lag0, FS,
+                                    coarse_step_hz=1.0, backend="xla")
+    assert abs(f_hat - 35.99) <= 0.01
+    assert abs(tau_hat - gt.lag_samples) <= 0.1
+
+
+def _fractional_pair(n=4096, total=16384, lag_frac=1234.375,
+                     f_hz=35.9871, seed=3):
+    """Needle + capture with a genuine sub-sample delay (spectral
+    phase-ramp shift of a band-limited needle)."""
+    from scipy.signal import firwin, filtfilt
+
+    rng = np.random.default_rng(seed)
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    needle = filtfilt(firwin(127, 0.4), 1.0, needle).astype(np.complex64)
+    buf = np.zeros(total, np.complex128)
+    buf[:n] = needle
+    spec = np.fft.fft(buf)
+    k = np.fft.fftfreq(total) * total
+    buf = np.fft.ifft(spec * np.exp(-2j * np.pi * k * lag_frac / total))
+    t = np.arange(total)
+    hay = (buf * np.exp(2j * np.pi * f_hz * t / FS)).astype(np.complex64)
+    hay += (1e-5 * (rng.standard_normal(total)
+                    + 1j * rng.standard_normal(total))).astype(np.complex64)
+    return needle, hay
+
+
+@pytest.mark.parametrize("lag_true,f_true", [(1234.375, 35.9871),
+                                             (777.8, -92.1234),
+                                             (500.5, 0.013)])
+def test_refine_fractional_delay(lag_true, f_true):
+    needle, hay = _fractional_pair(lag_frac=lag_true, f_hz=f_true)
+    f0 = round(f_true * 2) / 2
+    lag0 = round(lag_true)
+    f_hat, tau_hat, _ = refine_peak(needle, hay, f0, lag0, FS,
+                                    coarse_step_hz=0.5, backend="xla")
+    assert abs(f_hat - f_true) <= 5e-3
+    assert abs(tau_hat - lag_true) <= 1e-3
+
+
+def test_refine_peaks_batched_matches_scalar(fixture_truths):
+    """The vmapped batch program returns the per-pair answers."""
+    freqs = np.arange(-100, 100, 0.5, dtype=np.float32)
+    rows = fixture_truths[:4]
+    n = len(rows[0][0])
+    length = min(len(h) for _, h, _ in rows)
+    needles = np.stack([r[0] for r in rows])
+    hays = np.stack([r[1][:length] for r in rows])
+    coarse = [caf_peak(r[0], r[1][:n], freqs, FS, backend="xla")
+              for r in rows]
+    f0s = [c[0] for c in coarse]
+    lag0s = [c[1] for c in coarse]
+    fr, lg, _ = refine_peaks(needles, hays, f0s, lag0s, FS,
+                             coarse_step_hz=0.5, backend="xla")
+    for i, (_, _, gt) in enumerate(rows):
+        assert abs(fr[i] - gt.freq_hz) <= 0.01
+        assert abs(lg[i] - gt.lag_samples) <= 0.1
+        scalar = refine_peak(needles[i], hays[i], f0s[i], lag0s[i],
+                             FS, coarse_step_hz=0.5, backend="xla")
+        assert abs(fr[i] - scalar[0]) <= 2e-3
+        assert abs(lg[i] - scalar[1]) <= 2e-3
+
+
+def test_refine_near_capture_edges():
+    """Coarse lags at the very start/end of the capture stay in range."""
+    rng = np.random.default_rng(11)
+    n, total = 512, 4096
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    t = np.arange(n)
+    for lag in (0, total - n):
+        hay = (1e-4 * (rng.standard_normal(total) + 1j
+                       * rng.standard_normal(total))).astype(np.complex64)
+        hay[lag:lag + n] += (needle * np.exp(
+            2j * np.pi * 25.0 * t / FS)).astype(np.complex64)
+        f_hat, tau_hat, _ = refine_peak(needle, hay, 25.0, lag, FS,
+                                        coarse_step_hz=0.5, backend="xla")
+        assert abs(f_hat - 25.0) <= 0.01
+        assert abs(tau_hat - lag) <= 0.05
+
+
+def test_cli_run_refine(fixture_pairs, capsys):
+    from caf_cookoff_tpu.cli import main
+
+    needle, haystack = fixture_pairs[1]           # chirp_1: +35.99 Hz
+    rc = main(["run", str(needle), str(haystack), "--freq-start", "30",
+               "--freq-stop", "40", "--freq-step", "1.0", "--refine"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Frequency offset: 36.000 Hz" in out    # the coarse snap
+    line = [ln for ln in out.splitlines()
+            if ln.startswith("Refined estimate:")]
+    assert line
+    f_ref = float(line[0].split()[2])
+    assert abs(f_ref - 35.99) <= 0.01
+
+
+def test_cli_batch_refine(fixture_pairs, capsys):
+    from caf_cookoff_tpu.cli import main
+
+    spec = [f"{n}:{h}" for n, h in fixture_pairs[:2]]
+    rc = main(["batch", *spec, "--freq-step", "0.25", "--refine",
+               "--json"])
+    assert rc == 0
+    import json
+
+    records = json.loads(capsys.readouterr().out)
+    truths = [parse_ground_truth(h) for _, h in fixture_pairs[:2]]
+    for rec, gt in zip(records, truths):
+        assert abs(rec["refined_freq_hz"] - gt.freq_hz) <= 0.01
+        assert abs(rec["refined_lag_samples"] - gt.lag_samples) <= 0.1

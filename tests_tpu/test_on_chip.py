@@ -272,3 +272,47 @@ def test_remaining_sharded_engines_on_chip(chirp, fixture_pairs):
                                           freqs, FS, mesh_p)
     assert (float(fr[0]), int(lg[0])) == want
     assert (float(fr[1]), int(lg[1])) == (-76.25, 151)
+
+
+def test_refine_on_chip(chirp, fixture_pairs):
+    """Sub-bin zoom refinement compiled on the real chip: every fixture
+    within <=0.01 Hz / <=0.1 sample of the INJECTED truth (the grids
+    above can only ever report the snap, e.g. test.rs:162's 36.0 for
+    chirp_1's true +35.99)."""
+    from caf_cookoff_tpu.ops.refine import refine_peak
+    from caf_cookoff_tpu.utils.io import load_c64
+
+    freqs = FreqGrid(-100.0, 100.0, 0.5).frequencies(np.float32)
+    for idx in range(10):
+        needle, hay_t, gt = chirp(idx)
+        f0, lag0, _ = caf_peak(needle, hay_t, freqs, FS, backend="matmul")
+        hay = load_c64(fixture_pairs[idx][1])
+        f_hat, tau_hat, _ = refine_peak(needle, hay, f0, lag0, FS,
+                                        coarse_step_hz=0.5,
+                                        backend="matmul")
+        assert abs(f_hat - gt.freq_hz) <= 0.01, (idx, f_hat, gt)
+        assert abs(tau_hat - gt.lag_samples) <= 0.1, (idx, tau_hat, gt)
+
+
+def test_multi_emitter_scan_on_chip():
+    """Top-P lattice scan (overlap_save_peaks) compiled on the chip:
+    three injected emitters fully recovered, strongest first."""
+    from caf_cookoff_tpu.models.overlap_save import overlap_save_peaks
+
+    rng = np.random.default_rng(5)
+    n, total = 1024, 65536
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = (1e-4 * (rng.standard_normal(total)
+                   + 1j * rng.standard_normal(total))).astype(np.complex64)
+    truths = [(-30.0, 9000, 1.0), (45.0, 40000, 0.8), (10.0, 60000, 0.6)]
+    t = np.arange(n)
+    for f, lag, amp in truths:
+        hay[lag:lag + n] += (amp * needle * np.exp(
+            2j * np.pi * f * t / FS)).astype(np.complex64)
+    freqs = np.arange(-100, 100, 2.5, dtype=np.float32)
+    fr, lg, vv = overlap_save_peaks(needle, hay, freqs, FS, 4,
+                                    backend="matmul")
+    got = [(float(f), int(l)) for f, l, v in zip(fr, lg, vv)
+           if np.isfinite(float(v))][:3]
+    assert got == [(f, lag) for f, lag, _ in truths]
