@@ -49,7 +49,7 @@ from caf_cookoff_tpu.config import (as_grid, default_backend, floor_pow2,
                                     xcor_length)
 from caf_cookoff_tpu.errors import EligibilityError, SpanError
 from caf_cookoff_tpu.models.filterbank import _surface_rows_split
-from caf_cookoff_tpu.models.stein import _REFINE_BINS, _auto_block_len
+from caf_cookoff_tpu.models.stein import _auto_block_len
 from caf_cookoff_tpu.ops import splitfft
 from caf_cookoff_tpu.ops.peak import CafPeak
 # The super-block width is the kernel's layout contract — one source.
@@ -189,12 +189,15 @@ def _batched_stein_core(ns_re, ns_im, hs_re, hs_im, freqs_hz,
 def _batched_refine(ns_re, ns_im, hs_re, hs_im, freqs_all, vals_t,
                     sample_rate, xcor_len: int, backend: str,
                     num_valid=None) -> CafPeak:
-    """Per-pair exact top-k re-score of a (P, K) coarse ranking —
-    shared by the plain and banded batch paths.  ``num_valid`` caps the
-    candidate count so -inf padded bins never enter the re-score."""
-    r = min(_REFINE_BINS, int(vals_t.shape[1]),
-            num_valid or _REFINE_BINS)
-    _, cand = jax.lax.top_k(vals_t, r)                       # (P, r)
+    """Per-pair exact re-score of a (P, K) coarse ranking — shared by
+    the plain and banded batch paths.  ``num_valid`` caps the candidate
+    count so -inf padded bins never enter the re-score.  Candidates are
+    the hybrid plain/mainlobe-separated set (``_refine_candidates``),
+    so fine grids cover distinct lobes, not one skirt."""
+    from caf_cookoff_tpu.models.stein import _refine_candidates
+
+    cand = _refine_candidates(vals_t, freqs_all, ns_re.shape[-1],
+                              sample_rate, num_valid)        # (P, r)
 
     def rescore(nr, ni, hr, hi, fsel):
         exact = splitfft.mag2(_surface_rows_split(
@@ -373,11 +376,13 @@ def _os_topk_refine(ns_re, ns_im, hs_re, hs_im, freqs_all, rowmax,
     each pair's coarse winning lag (the stein_overlap_save_peak refine
     contract), on-device via dynamic_slice — no host round-trip.
     ``num_valid_bins`` caps the candidate count when the ranking
-    carries -inf padded bins (banded grids).
+    carries -inf padded bins (banded grids).  Candidates are the hybrid
+    plain/mainlobe-separated set (``_refine_candidates``).
     """
-    r = min(_REFINE_BINS, int(rowmax.shape[1]),
-            num_valid_bins or _REFINE_BINS)
-    _, cand = jax.lax.top_k(rowmax, r)                   # (P, r)
+    from caf_cookoff_tpu.models.stein import _refine_candidates
+
+    cand = _refine_candidates(rowmax, freqs_all, needle_len,
+                              sample_rate, num_valid_bins)   # (P, r)
     best_bin = jnp.argmax(rowmax, axis=-1)               # (P,)
     best_lag = jnp.take_along_axis(rowlag, best_bin[:, None],
                                    axis=1)[:, 0]         # (P,)

@@ -116,14 +116,13 @@ def _stein_surface_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate,
     return splitfft.mag2(rows)
 
 
-# Candidate count for the exact re-score.  Caveat: candidates are the
-# top-k coarse per-bin maxima WITHOUT non-max suppression, so on grids
-# much finer than the doppler mainlobe (fs/N) all k can cluster on one
-# emitter's skirt; a distant competitor within ~6% of the winner could
-# then be missed.  Adjacent near-tie flips (the common coarse error)
-# and isolated distant ties (tests) are both covered; full multi-peak
-# extraction should use ops/peak.find_peaks on a surface instead.
+# Candidate counts for the exact re-score (see _refine_candidates):
+# _REFINE_BINS plain top-k picks (adjacent near-tie flips) plus
+# _REFINE_SEP_BINS mainlobe-separated picks (distinct lobes on grids
+# finer than the fs/N doppler mainlobe, where the plain picks would all
+# cluster on one emitter's skirt).
 _REFINE_BINS = 8
+_REFINE_SEP_BINS = 4
 
 
 @functools.partial(
@@ -192,10 +191,41 @@ def _stein_peak_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate,
                         rowmax_coarse, sample_rate, xcor_len, backend)
 
 
+def _refine_candidates(rowmax_coarse, freqs_all, needle_len: int,
+                       sample_rate, num_valid: Optional[int] = None):
+    """Candidate bins for the exact re-score: plain top-k UNION a
+    mainlobe-separated top-k.
+
+    Plain top-k covers adjacent near-tie flips (the common coarse
+    error: the true winner ranks just below its perturbed neighbor).
+    On grids much finer than the doppler mainlobe (fs/N) all k plain
+    candidates can sit on ONE emitter's skirt, missing a distant
+    competitor within ~6% of the winner — the separated picks
+    (:func:`ops.peak.topk_separated`, separation = the mainlobe width
+    in bins of THIS grid, traced) guarantee coverage of
+    ``_REFINE_SEP_BINS`` distinct lobes.  Duplicates across the two
+    sets are harmless (identical re-score rows; the lowest-bin
+    tie-break is unaffected).
+    """
+    from caf_cookoff_tpu.ops.peak import doppler_cell_bins, topk_separated
+
+    k = min(_REFINE_BINS, int(rowmax_coarse.shape[-1]),
+            num_valid or _REFINE_BINS)
+    _, cand = jax.lax.top_k(rowmax_coarse, k)
+    ksep = min(_REFINE_SEP_BINS, k)
+    sep = doppler_cell_bins(freqs_all, needle_len, sample_rate)
+    if rowmax_coarse.ndim == 1:
+        cand_sep = topk_separated(rowmax_coarse, ksep, sep)
+    else:
+        cand_sep = jax.vmap(lambda v: topk_separated(v, ksep, sep))(
+            rowmax_coarse)
+    return jnp.concatenate([cand, cand_sep], axis=-1)
+
+
 def _refine_topk(needle, haystack, freqs_all, rowmax_coarse, sample_rate,
                  xcor_len: int, backend: str,
                  num_valid: Optional[int] = None) -> CafPeak:
-    """Exact top-k re-score of the coarse per-bin ranking (the
+    """Exact re-score of the coarse per-bin ranking (the
     rank-then-score closer shared by the plain and banded paths).
 
     ``num_valid`` caps the candidate count when the ranking vector
@@ -205,9 +235,8 @@ def _refine_topk(needle, haystack, freqs_all, rowmax_coarse, sample_rate,
     """
     from caf_cookoff_tpu.models.filterbank import _surface_rows_split
 
-    k = min(_REFINE_BINS, int(rowmax_coarse.shape[0]),
-            num_valid or _REFINE_BINS)
-    _, cand = jax.lax.top_k(rowmax_coarse, k)
+    cand = _refine_candidates(rowmax_coarse, freqs_all,
+                              needle[0].shape[-1], sample_rate, num_valid)
     exact = splitfft.mag2(_surface_rows_split(
         needle, haystack, freqs_all[cand], sample_rate, xcor_len,
         backend))                                       # (k, M)

@@ -95,6 +95,41 @@ def find_peaks(surface, num_peaks: int, exclude_freq: int = 2,
     return peaks
 
 
+def topk_separated(values: jax.Array, k: int, sep) -> jax.Array:
+    """Indices of the top-``k`` entries of a 1-D score vector with a
+    minimum index separation ``sep`` between picks (greedy 1-D NMS).
+
+    ``sep`` may be traced (e.g. a mainlobe width derived from a traced
+    grid step), ``k`` is static.  If fewer than ``k`` separated entries
+    exist above ``-inf``, the surplus slots repeat whatever argmax of
+    an all-``-inf`` vector returns — harmless for re-score consumers
+    (duplicate candidates re-score to duplicate rows).
+    """
+    idxs = jnp.arange(values.shape[-1])
+    sep = jnp.asarray(sep)
+
+    def step(vals, _):
+        i = jnp.argmax(vals)
+        masked = jnp.where(jnp.abs(idxs - i) <= sep, -jnp.inf, vals)
+        return masked, i.astype(jnp.int32)
+
+    _, cand = jax.lax.scan(step, values, None, length=k)
+    return cand
+
+
+def doppler_cell_bins(freqs_hz: jax.Array, needle_len: int,
+                      sample_rate) -> jax.Array:
+    """Doppler mainlobe width (fs/N Hz) in bins of a traced grid —
+    the in-trace counterpart of :func:`resolution_cell`'s first field
+    (at least 1)."""
+    dtype = freqs_hz.dtype
+    k = freqs_hz.shape[-1]
+    step = jnp.abs(freqs_hz[min(1, k - 1)] - freqs_hz[0])
+    step = jnp.maximum(step, jnp.asarray(1e-30, dtype))
+    cell = jnp.asarray(sample_rate, dtype) / needle_len
+    return jnp.maximum(jnp.ceil(cell / step), 1.0).astype(jnp.int32)
+
+
 def resolution_cell(needle, freqs_hz, sample_rate) -> Tuple[int, int]:
     """Derive NMS exclusion windows from the waveform's resolution cell.
 

@@ -180,8 +180,8 @@ def _sharded_stein_peak_jit(n_re, n_im, h_re, h_im, freqs_padded,
     host round-trip, one compiled program.
     """
     from caf_cookoff_tpu.models.stein import (
-        _REFINE_BINS,
         _doppler_synthesis,
+        _refine_candidates,
         _segment_correlations,
     )
 
@@ -214,7 +214,10 @@ def _sharded_stein_peak_jit(n_re, n_im, h_re, h_im, freqs_padded,
         # rows out of the candidate ranking.
         idx = jnp.arange(rowmax.shape[0])
         rowmax = jnp.where(idx < num_bins, rowmax, -jnp.inf)
-        _, cand = jax.lax.top_k(rowmax, min(_REFINE_BINS, num_bins))
+        # Hybrid plain/mainlobe-separated candidate set — same closer
+        # as the single-chip engine (models/stein._refine_candidates).
+        cand = _refine_candidates(rowmax, freqs_full, n_re.shape[-1],
+                                  sample_rate, num_bins)
         exact = splitfft.mag2(_surface_rows_split(
             (n_re, n_im), (h_re, h_im), freqs_full[cand], sample_rate,
             xcor_len, backend))                              # (P, M)
