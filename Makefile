@@ -19,7 +19,7 @@ bench:
 	python bench.py
 
 configs:
-	python bench_configs.py
+	python bench_configs.py 1 2 3 4 5
 
 # Scaling efficiency over an N-device mesh (BASELINE's 1->N deliverable).
 # On this rig: N=1 on the real chip; --virtual 8 validates the harness,
@@ -27,6 +27,13 @@ configs:
 scaling:
 	python bench_scaling.py --out docs/scaling_tpu_r2.json
 	python bench_scaling.py --virtual 8 --out docs/scaling_virtual8.json
+
+# Contention-free strong-scaling measurement: N pinned-core processes
+# (Gloo collectives, one XLA CPU device each) with measured
+# compute-vs-collective attribution — the defensible N>=2 evidence
+# (see ARCHITECTURE.md "Scaling evidence").
+scaling-pinned:
+	python bench_multiproc.py --out docs/scaling_pinned.json
 
 native:
 	$(MAKE) -C native

@@ -1,0 +1,445 @@
+#!/usr/bin/env python3
+"""Contention-free multi-process scaling measurement (pinned cores).
+
+The virtual-device harness (``bench_scaling.py --virtual``) validates
+shardings but its efficiencies confound collective cost with host-core
+CONTENTION: N virtual devices share one XLA CPU thread pool, so the
+N=1 baseline already uses every core.  This harness removes that
+confound the way BASELINE's "N>=2 hosts" axis demands:
+
+* N separate JAX processes (``jax.distributed.initialize`` + Gloo CPU
+  collectives — REAL cross-process traffic, the same code path as
+  cross-host DCN), each owning exactly ONE XLA CPU device;
+* each process pinned to a DISJOINT core (``sched_setaffinity``), so
+  per-device compute resources are constant across N — any efficiency
+  loss is sharding overhead + collective time, not timesharing;
+* per mesh point, TWO timings of the same per-shard work:
+  ``full_ms`` (the production sharded program, collectives included)
+  and ``compute_ms`` (identical local math, collectives elided), so
+  ``collective_ms = full - compute`` is measured, not asserted, and is
+  reported next to the analytic bytes-on-the-wire model that predicts
+  real-chip (ICI) efficiency — see ARCHITECTURE.md "Scaling evidence".
+
+Engines (strong scaling, fixed total problem):
+
+* ``doppler`` — the reference 400x8192 workload, bins sharded over N
+  processes; collectives = the pmax/pmin peak lattice (a few dozen
+  bytes/step: efficiency is compute-bound by construction).
+* ``time``   — one long capture, lag axis chunked over N processes
+  with cross-process ``ppermute`` halos (2 planes x 4 B x (n-1) bytes
+  per neighbor per step — the one engine with real per-step traffic).
+
+Every mesh point is correctness-gated (golden / injected truth) before
+it is timed.  One JSON line per (engine, N); ``--out`` writes the full
+document (docs/scaling_pinned.json is the committed artifact).
+"""
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+
+FS = 48_000.0
+DOPPLER_GATE = (69.25, 202)      # chirp_0 truth on the 0.25-binnable grid
+# Production-like lag count: uniform time chunks waste ceil-rounded
+# overlap-save blocks (N*ceil(chunk/V) vs ceil(needed/V) at N=1); at
+# 64k lags that quantization is ~5% at N=4 (at 16k it would be ~18%
+# and dominate the efficiency read).
+TIME_SHAPE = dict(n=1024, total_lags=65_536, num_bins=64)
+TIME_GATE_SEED = 3
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+# ---------------------------------------------------------------------------
+# Worker (one per process; runs under --_worker)
+# ---------------------------------------------------------------------------
+
+
+def _worker(args) -> None:
+    pid, nprocs = args.pid, args.nprocs
+    # Disjoint one-core pin BEFORE jax spins up its thread pools.
+    os.sched_setaffinity(0, {pid % os.cpu_count()})
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=1"
+                               ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from caf_cookoff_tpu.parallel import multihost
+
+    multihost.initialize_cluster(f"localhost:{args.port}",
+                                 num_processes=nprocs, process_id=pid)
+    assert len(jax.devices()) == nprocs
+
+    import time as _time
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from caf_cookoff_tpu.parallel.mesh import (
+        AXIS_DOPPLER,
+        AXIS_TIME,
+        make_mesh,
+    )
+
+    put = multihost.put_global
+
+    def chain_stats(chain_fn, fetch, iters, reps):
+        """(value best/median/spread, load) of (T(1+iters)-T(1))/iters.
+
+        ``chain_fn(k)`` runs the k-step program; ``fetch`` forces its
+        result to the host (blocks until done).  Every process executes
+        the same calls in lockstep (the collectives synchronize);
+        process 0's wall clock is the measurement.
+        """
+        for k in (1, 1 + iters):
+            fetch(chain_fn(k))
+        samples, loads = [], []
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            fetch(chain_fn(1))
+            t1 = (_time.perf_counter() - t0) * 1e3
+            t0 = _time.perf_counter()
+            fetch(chain_fn(1 + iters))
+            tn = (_time.perf_counter() - t0) * 1e3
+            samples.append((tn - t1) / iters)
+            loads.append(t1)
+        return {"value": min(samples),
+                "median_ms": float(np.median(samples)),
+                "spread_ms": max(samples) - min(samples),
+                "load_ms": min(loads)}
+
+    if args.engine == "doppler":
+        result = _worker_doppler(jax, jnp, np, P, make_mesh, put,
+                                 AXIS_DOPPLER, nprocs, chain_stats,
+                                 args.iters, args.reps)
+    elif args.engine == "time":
+        result = _worker_time(jax, jnp, np, P, make_mesh, put, AXIS_TIME,
+                              nprocs, chain_stats, args.iters, args.reps)
+    else:
+        raise SystemExit(f"unknown engine {args.engine}")
+    if pid == 0:
+        print("WORKER_JSON " + json.dumps(result), flush=True)
+
+
+def _worker_doppler(jax, jnp, np, P, make_mesh, put, AXIS_DOPPLER, nprocs,
+                    chain_stats, iters, reps):
+    import functools
+    import pathlib
+
+    from caf_cookoff_tpu.config import BENCH_GRID, xcor_length
+    from caf_cookoff_tpu.models.filterbank import _surface_rows_split
+    from caf_cookoff_tpu.ops import splitfft
+    from caf_cookoff_tpu.ops.peak import CafPeak, find_peak_2d
+    from caf_cookoff_tpu.parallel import multihost
+    from caf_cookoff_tpu.parallel.collectives import global_peak
+    from caf_cookoff_tpu.parallel.sharded import pad_axis_to
+    from caf_cookoff_tpu.utils.generate import ensure_fixtures
+    from caf_cookoff_tpu.utils.io import load_c64
+
+    data_dir = pathlib.Path(__file__).resolve().parent / "data"
+    needle_path, haystack_path = ensure_fixtures(data_dir)[0]
+    needle = load_c64(needle_path)
+    hay = load_c64(haystack_path, count=len(needle))
+    freqs_np = BENCH_GRID.frequencies(np.float32)
+    mesh = multihost.global_mesh(doppler=nprocs)
+    # Gate: the golden chirp_0 answer through THIS mesh's collectives.
+    freq, lag, _ = multihost.multihost_caf_peak(needle, hay, freqs_np,
+                                                FS, mesh, backend="xla")
+    assert abs(freq - DOPPLER_GATE[0]) <= 0.5 and lag == DOPPLER_GATE[1], \
+        (freq, lag)
+
+    n_re, n_im = splitfft.split_array(needle)
+    h_re, h_im = splitfft.split_array(hay)
+    xl = xcor_length(len(needle))
+    freqs_p = pad_axis_to(freqs_np, nprocs)
+    k_loc = freqs_p.shape[0] // nprocs
+    rep = lambda a: put(a, mesh, P())
+    g_nre, g_nim, g_hre, g_him = map(rep, (n_re, n_im, h_re, h_im))
+    g_freqs = put(freqs_p, mesh, P(AXIS_DOPPLER))
+
+    def local_peak(n_re, n_im, h_re, h_im, freqs_loc):
+        rows = _surface_rows_split((n_re, n_im), (h_re, h_im), freqs_loc,
+                                   FS, xl, "xla")
+        return find_peak_2d(splitfft.mag2(rows))
+
+    def body_full(n_re, n_im, h_re, h_im, freqs_loc, carry):
+        local = local_peak(n_re + carry[0], n_im, h_re, h_im, freqs_loc)
+        local = CafPeak(
+            local.value,
+            local.freq_idx + jax.lax.axis_index(AXIS_DOPPLER) * k_loc,
+            local.lag_idx)
+        g = global_peak(local, AXIS_DOPPLER)
+        return jnp.reshape(g.value, (1,)) * 1e-30
+
+    def body_compute(n_re, n_im, h_re, h_im, freqs_loc, carry):
+        local = local_peak(n_re + carry[0], n_im, h_re, h_im, freqs_loc)
+        return jnp.reshape(local.value, (1,)) * 1e-30
+
+    def make_chain(body, carry_spec):
+        sm = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(AXIS_DOPPLER), carry_spec),
+            out_specs=carry_spec)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def chain(nr, ni, hr, hi, fr, k):
+            init = jnp.zeros(
+                (1 if carry_spec == P() else nprocs,), nr.dtype)
+
+            def step(c, _):
+                return sm(nr, ni, hr, hi, fr, c), None
+
+            out, _ = jax.lax.scan(step, init, None, length=k)
+            return out
+
+        return chain
+
+    chain_full = make_chain(body_full, P())
+    chain_comp = make_chain(body_compute, P(AXIS_DOPPLER))
+    fetch_full = lambda out: float(out[0])
+    fetch_comp = lambda out: np.asarray(out.addressable_shards[0].data)
+    full = chain_stats(lambda k: chain_full(
+        g_nre, g_nim, g_hre, g_him, g_freqs, k), fetch_full, iters, reps)
+    comp = chain_stats(lambda k: chain_comp(
+        g_nre, g_nim, g_hre, g_him, g_freqs, k), fetch_comp, iters, reps)
+    return {
+        "engine": "doppler_strong_400x8192", "n": nprocs,
+        "full": full, "compute": comp,
+        "collective_ms": round(full["value"] - comp["value"], 3),
+        # pmax + 2 pmin on (value, freq, lag) triples: 3 reductions of
+        # one 4-byte scalar per device per step.
+        "wire_bytes_per_step": 3 * 4 * nprocs,
+    }
+
+
+def _worker_time(jax, jnp, np, P, make_mesh, put, AXIS_TIME, nprocs,
+                 chain_stats, iters, reps):
+    import functools
+
+    from caf_cookoff_tpu.models.overlap_save import (
+        needle_spectra_conj,
+        plan_blocks,
+        streaming_peak,
+    )
+    from caf_cookoff_tpu.ops import splitfft
+    from caf_cookoff_tpu.ops.peak import CafPeak
+    from caf_cookoff_tpu.parallel.collectives import global_peak
+    from caf_cookoff_tpu.parallel.sharded import _right_halo
+
+    n, total_lags, k = (TIME_SHAPE["n"], TIME_SHAPE["total_lags"],
+                        TIME_SHAPE["num_bins"])
+    rng = np.random.default_rng(TIME_GATE_SEED)
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = (1e-4 * (rng.standard_normal(total_lags + n - 1) + 1j
+                   * rng.standard_normal(total_lags + n - 1))
+           ).astype(np.complex64)
+    freqs_np = np.linspace(-100, 100, k, endpoint=False).astype(np.float32)
+    true_f, true_lag = float(freqs_np[k // 3]), total_lags - 1
+    t = np.arange(n)
+    hay[true_lag:true_lag + n] += (needle * np.exp(
+        2j * np.pi * true_f * t / FS)).astype(np.complex64)[: len(hay)
+                                                            - true_lag]
+    mesh = make_mesh(time=nprocs)
+    needed = total_lags + n - 1
+    chunk = max(-(-needed // nprocs), n - 1)
+    hay_p = np.pad(hay, (0, nprocs * chunk - len(hay))) \
+        if nprocs * chunk > len(hay) else hay[: nprocs * chunk]
+    n_sp = splitfft.split_array(needle)
+    h_sp = splitfft.split_array(hay_p)
+    m, _, _ = plan_blocks(n, chunk)
+    halo = n - 1
+    g_nre, g_nim = (put(p, mesh, P()) for p in n_sp)
+    g_hre, g_him = (put(p, mesh, P(AXIS_TIME)) for p in h_sp)
+    g_freqs = put(freqs_np, mesh, P())
+
+    def body_full(n_re, n_im, h_re, h_im, freqs, carry):
+        s_conj = needle_spectra_conj((n_re + carry[0], n_im), freqs, FS,
+                                     m, "xla")
+        hay_ext = tuple(
+            jnp.concatenate([p, _right_halo(p, halo, AXIS_TIME)], axis=-1)
+            for p in (h_re, h_im))
+        offset = jax.lax.axis_index(AXIS_TIME) * chunk
+        local = streaming_peak(s_conj, hay_ext, n, chunk,
+                               lag_offset=offset, total_lags=total_lags,
+                               backend="xla")
+        g = global_peak(local, AXIS_TIME)
+        return jnp.reshape(g.value, (1,)) * 1e-30
+
+    def body_compute(n_re, n_im, h_re, h_im, freqs, carry):
+        s_conj = needle_spectra_conj((n_re + carry[0], n_im), freqs, FS,
+                                     m, "xla")
+        # Same per-shard math, zero halo (no neighbor traffic): each
+        # chunk zero-extends instead of fetching its right neighbor.
+        hay_ext = tuple(
+            jnp.pad(p, ((0, halo),)) for p in (h_re, h_im))
+        local = streaming_peak(s_conj, hay_ext, n, chunk,
+                               backend="xla")
+        return jnp.reshape(local.value, (1,)) * 1e-30
+
+    def make_chain(body, carry_spec):
+        sm = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(), P(AXIS_TIME), P(AXIS_TIME), P(),
+                      carry_spec),
+            out_specs=carry_spec)
+
+        @functools.partial(jax.jit, static_argnames=("kk",))
+        def chain(nr, ni, hr, hi, fr, kk):
+            init = jnp.zeros(
+                (1 if carry_spec == P() else nprocs,), nr.dtype)
+
+            def step(c, _):
+                return sm(nr, ni, hr, hi, fr, c), None
+
+            out, _ = jax.lax.scan(step, init, None, length=kk)
+            return out
+
+        return chain
+
+    # Gate: tail-lag emitter (lives entirely in the last chunk's halo)
+    # through THIS mesh — the full program must answer exactly.
+    chain_full = make_chain(body_full, P())
+    gate = chain_full(g_nre, g_nim, g_hre, g_him, g_freqs, 1)
+    # Recompute the actual peak (not the 1e-30-scaled carry) once:
+    sm_peak = jax.shard_map(
+        lambda nr, ni, hr, hi, fr: global_peak(
+            _time_local(jax, jnp, nr, ni, hr, hi, fr, m, n, chunk,
+                        total_lags, halo, AXIS_TIME), AXIS_TIME),
+        mesh=mesh,
+        in_specs=(P(), P(), P(AXIS_TIME), P(AXIS_TIME), P()),
+        out_specs=CafPeak(P(), P(), P()))
+    pk = jax.jit(sm_peak)(g_nre, g_nim, g_hre, g_him, g_freqs)
+    assert (float(freqs_np[int(pk.freq_idx)]), int(pk.lag_idx)) == \
+        (true_f, true_lag), (nprocs, pk)
+    del gate
+
+    chain_comp = make_chain(body_compute, P(AXIS_TIME))
+    fetch_full = lambda out: float(out[0])
+    fetch_comp = lambda out: np.asarray(out.addressable_shards[0].data)
+    full = chain_stats(lambda kk: chain_full(
+        g_nre, g_nim, g_hre, g_him, g_freqs, kk), fetch_full, iters, reps)
+    comp = chain_stats(lambda kk: chain_comp(
+        g_nre, g_nim, g_hre, g_him, g_freqs, kk), fetch_comp, iters, reps)
+    return {
+        "engine": f"time_strong_{k}x{total_lags}", "n": nprocs,
+        "full": full, "compute": comp,
+        "collective_ms": round(full["value"] - comp["value"], 3),
+        # ppermute halo: 2 f32 planes x (n-1) samples per neighbor link
+        # per step, plus the 3-scalar peak lattice.
+        "wire_bytes_per_step": (2 * 4 * (n - 1) * max(nprocs - 1, 0)
+                                + 3 * 4 * nprocs),
+    }
+
+
+def _time_local(jax, jnp, n_re, n_im, h_re, h_im, freqs, m, n, chunk,
+                total_lags, halo, axis):
+    from caf_cookoff_tpu.models.overlap_save import (
+        needle_spectra_conj,
+        streaming_peak,
+    )
+    from caf_cookoff_tpu.parallel.sharded import _right_halo
+
+    s_conj = needle_spectra_conj((n_re, n_im), freqs, FS, m, "xla")
+    hay_ext = tuple(
+        jnp.concatenate([p, _right_halo(p, halo, axis)], axis=-1)
+        for p in (h_re, h_im))
+    offset = jax.lax.axis_index(axis) * chunk
+    return streaming_peak(s_conj, hay_ext, n, chunk, lag_offset=offset,
+                          total_lags=total_lags, backend="xla")
+
+
+# ---------------------------------------------------------------------------
+# Parent
+# ---------------------------------------------------------------------------
+
+
+def _run_point(engine: str, nprocs: int, iters: int, reps: int) -> dict:
+    port = _free_port()
+    env = dict(os.environ)
+    procs = [subprocess.Popen(
+        [sys.executable, __file__, "--_worker", "--engine", engine,
+         "--pid", str(i), "--nprocs", str(nprocs), "--port", str(port),
+         "--iters", str(iters), "--reps", str(reps)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        text=True) for i in range(nprocs)]
+    outs = [p.communicate(timeout=1800)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode:
+            raise SystemExit(
+                f"{engine} N={nprocs} worker {i} failed:\n{out[-3000:]}")
+    for line in outs[0].splitlines():
+        if line.startswith("WORKER_JSON "):
+            return json.loads(line[len("WORKER_JSON "):])
+    raise SystemExit(f"{engine} N={nprocs}: no result line:\n"
+                     f"{outs[0][-3000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--procs", default="1,2,4",
+                    help="comma list of process counts (disjoint "
+                    "one-core pins; max = core count)")
+    ap.add_argument("--engines", default="doppler,time")
+    ap.add_argument("--iters", type=int, default=2,
+                    help="chain length per measurement")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out", default=None)
+    # Internal worker-mode flags:
+    ap.add_argument("--_worker", action="store_true",
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--engine", help=argparse.SUPPRESS)
+    ap.add_argument("--pid", type=int, help=argparse.SUPPRESS)
+    ap.add_argument("--nprocs", type=int, help=argparse.SUPPRESS)
+    ap.add_argument("--port", type=int, help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args._worker:
+        _worker(args)
+        return
+
+    counts = [int(c) for c in args.procs.split(",")]
+    ncores = os.cpu_count()
+    if max(counts) > ncores:
+        raise SystemExit(f"--procs max {max(counts)} exceeds {ncores} "
+                         "cores (pins must be disjoint)")
+    doc = {"method": "pinned-core multi-process (Gloo), one XLA CPU "
+                     "device and one disjoint core per process",
+           "cores": ncores, "engines": {}}
+    for engine in args.engines.split(","):
+        engine = engine.strip()
+        rows = [_run_point(engine, n, args.iters, args.reps)
+                for n in counts]
+        t1 = rows[0]["full"]["value"]
+        c1 = rows[0]["compute"]["value"]
+        for r in rows:
+            nd = r["n"]
+            r["efficiency"] = (round(t1 / (nd * r["full"]["value"]), 3)
+                               if r["full"]["value"] > 0 and t1 > 0
+                               else None)
+            r["compute_efficiency"] = (
+                round(c1 / (nd * r["compute"]["value"]), 3)
+                if r["compute"]["value"] > 0 and c1 > 0 else None)
+            print(json.dumps(r))
+        doc["engines"][engine] = rows
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(doc, f, indent=1)
+            f.write("\n")
+        print(f"wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
