@@ -323,8 +323,18 @@ def cmd_run(args) -> int:
             if not np.isfinite(val):
                 print(f"peak {i + 1}: (no further distinct peaks)")
                 continue
-            print(f"peak {i + 1}: {f_hz:+9.3f} Hz "
-                  f"@ lag {lag_i:>6d}  ({val:.5g})")
+            line = (f"peak {i + 1}: {f_hz:+9.3f} Hz "
+                    f"@ lag {lag_i:>6d}  ({val:.5g})")
+            if args.refine:
+                # One cached executable serves every peak (same shapes).
+                from caf_cookoff_tpu.ops.refine import refine_peak
+
+                f_ref, t_ref, _ = refine_peak(
+                    needle, haystack_full, f_hz, lag_i, fs,
+                    coarse_step_hz=args.freq_step,
+                    backend=_split_fft_tier(backend))
+                line += f"  refined {f_ref:+9.4f} Hz @ {t_ref:.4f}"
+            print(line)
     if args.dump_surface:
         if args.dump_surface.endswith(".npy"):
             save_npy(args.dump_surface, surface)

@@ -150,6 +150,39 @@ def test_cli_run_refine(fixture_pairs, capsys):
     assert abs(f_ref - 35.99) <= 0.01
 
 
+def test_cli_num_peaks_refine_combined(tmp_path, capsys):
+    """--num-peaks P --refine refines EVERY lattice peak."""
+    from caf_cookoff_tpu.cli import main
+    from caf_cookoff_tpu.utils.io import write_c64
+
+    rng = np.random.default_rng(5)
+    n, total = 1024, 32768
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = (1e-4 * (rng.standard_normal(total)
+                   + 1j * rng.standard_normal(total))).astype(np.complex64)
+    truths = [(-30.0, 9000), (45.0, 20000)]
+    t = np.arange(n)
+    for amp, (f, lag) in zip((1.0, 0.7), truths):
+        hay[lag:lag + n] += (amp * needle * np.exp(
+            2j * np.pi * f * t / FS)).astype(np.complex64)
+    write_c64(str(tmp_path / "n.c64"), needle)
+    write_c64(str(tmp_path / "h.c64"), hay)
+    rc = main(["run", str(tmp_path / "n.c64"), str(tmp_path / "h.c64"),
+               "--full-haystack", "--num-peaks", "2", "--refine",
+               "--freq-step", "2.5"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    peak_lines = [ln for ln in out.splitlines() if ln.startswith("peak ")]
+    assert len(peak_lines) == 2
+    for ln, (f, lag) in zip(peak_lines, truths):
+        assert "refined" in ln
+        ref_f = float(ln.split("refined")[1].split()[0])
+        ref_t = float(ln.split("@")[-1])
+        assert abs(ref_f - f) <= 0.01
+        assert abs(ref_t - lag) <= 0.1
+
+
 def test_cli_batch_refine(fixture_pairs, capsys):
     from caf_cookoff_tpu.cli import main
 
