@@ -417,14 +417,39 @@ def cmd_stream(args) -> int:
     print(f"Frequency offset: {freq:.3f} Hz")
     print(f"Time offset: {lag} samples ({lag / args.fs * 1e3:.4f} ms)")
     print(f"Peak value: {value:.6g}")
+    if args.refine and args.follow:
+        print("note: --refine needs the capture bytes around each lag; "
+              "--follow discards consumed chunks, so refine is skipped",
+              file=sys.stderr)
+    if args.refine and not args.follow:
+        # Refinement needs the capture bytes around each lag; --follow
+        # streams a growing file we no longer hold, so refine applies
+        # to file-backed streams only.
+        from caf_cookoff_tpu.ops.refine import refine_peak
+
+        f_ref, t_ref, _ = refine_peak(needle, capture, freq, lag,
+                                      args.fs,
+                                      coarse_step_hz=args.freq_step,
+                                      backend=_split_fft_tier(backend))
+        print(f"Refined estimate: {f_ref:+.4f} Hz, {t_ref:.4f} samples "
+              f"({t_ref / args.fs * 1e3:.6f} ms)")
     if args.num_peaks > 1:
         fr, lg, vv = engine.peaks()
         for i in range(args.num_peaks):
             if not np.isfinite(float(vv[i])):
                 print(f"peak {i + 1}: (no further distinct peaks)")
                 continue
-            print(f"peak {i + 1}: {float(fr[i]):+9.3f} Hz "
-                  f"@ lag {int(lg[i]):>6d}  ({float(vv[i]):.5g})")
+            line = (f"peak {i + 1}: {float(fr[i]):+9.3f} Hz "
+                    f"@ lag {int(lg[i]):>6d}  ({float(vv[i]):.5g})")
+            if args.refine and not args.follow:
+                from caf_cookoff_tpu.ops.refine import refine_peak
+
+                f_ref, t_ref, _ = refine_peak(
+                    needle, capture, float(fr[i]), int(lg[i]), args.fs,
+                    coarse_step_hz=args.freq_step,
+                    backend=_split_fft_tier(backend))
+                line += f"  refined {f_ref:+9.4f} Hz @ {t_ref:.4f}"
+            print(line)
     print(f"[{engine.samples_seen} samples ({rate_ms:.0f} ms of capture) "
           f"in {elapsed:.2f} s, chunk={args.chunk}, {backend}]")
     return 0
@@ -762,6 +787,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="track a top-P multi-emitter lattice through "
                     "the stream (NMS windows auto-sized to the "
                     "waveform's resolution cell)")
+    st.add_argument("--refine", action="store_true",
+                    help="zoom re-score the final peak(s) to continuous "
+                    "(freq, lag); file-backed streams only (--follow "
+                    "discards consumed bytes)")
     st.add_argument("--segment", type=int, default=None,
                     help="capture segment of a multi-capture SigMF "
                     "recording to stream")

@@ -71,3 +71,44 @@ def global_peaks(local: CafPeak, axis_names: _AxisNames, num_peaks: int,
         lag_idx = jax.lax.all_gather(lag_idx, name, tiled=True)
     return merge_peaks(CafPeak(value, freq_idx, lag_idx), num_peaks,
                        exclude_freq, exclude_lag)
+
+
+def global_peaks_batched(local: CafPeak, axis_names: _AxisNames,
+                         num_peaks: int, exclude_freq: int,
+                         exclude_lag: int) -> CafPeak:
+    """Batched lattice reduction: fields are ``(..., num_peaks)`` (e.g.
+    one lattice per local pair) and the candidate axis — not the batch
+    axes — folds across the mesh.
+
+    Each named axis all_gathers the lattices (stacked on a new leading
+    axis) and folds that axis into the trailing candidate axis, then a
+    vmapped deterministic merge runs per batch element.  Same
+    replicated-by-construction semantics as :func:`global_peaks`.
+    """
+    names = [axis_names] if isinstance(axis_names, str) else list(axis_names)
+    value = jnp.asarray(local.value)
+    freq_idx = local.freq_idx.astype(jnp.int32)
+    lag_idx = local.lag_idx.astype(jnp.int32)
+
+    def fold(x, name):
+        g = jax.lax.all_gather(x, name)          # (n, ..., C)
+        g = jnp.moveaxis(g, 0, -2)               # (..., n, C)
+        return g.reshape(*g.shape[:-2], g.shape[-2] * g.shape[-1])
+
+    for name in names:
+        value = fold(value, name)
+        freq_idx = fold(freq_idx, name)
+        lag_idx = fold(lag_idx, name)
+
+    def merge_one(v, f, lg):
+        return merge_peaks(CafPeak(v, f, lg), num_peaks, exclude_freq,
+                           exclude_lag)
+
+    flat_v = value.reshape(-1, value.shape[-1])
+    flat_f = freq_idx.reshape(-1, value.shape[-1])
+    flat_l = lag_idx.reshape(-1, value.shape[-1])
+    out = jax.vmap(merge_one)(flat_v, flat_f, flat_l)
+    lead = value.shape[:-1]
+    return CafPeak(out.value.reshape(*lead, num_peaks),
+                   out.freq_idx.reshape(*lead, num_peaks),
+                   out.lag_idx.reshape(*lead, num_peaks))

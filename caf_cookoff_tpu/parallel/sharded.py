@@ -40,7 +40,11 @@ from caf_cookoff_tpu.models.overlap_save import (
 )
 from caf_cookoff_tpu.ops import splitfft
 from caf_cookoff_tpu.ops.peak import CafPeak, find_peak_2d
-from caf_cookoff_tpu.parallel.collectives import global_peak, global_peaks
+from caf_cookoff_tpu.parallel.collectives import (
+    global_peak,
+    global_peaks,
+    global_peaks_batched,
+)
 from caf_cookoff_tpu.parallel.mesh import AXIS_DOPPLER, AXIS_PAIR, AXIS_TIME
 
 shard_map = jax.shard_map
@@ -538,6 +542,114 @@ def _batched_os_peak_jit(ns_re, ns_im, hs_re, hs_im, freqs_padded,
                   P(AXIS_DOPPLER)),
         out_specs=CafPeak(P(AXIS_PAIR), P(AXIS_PAIR), P(AXIS_PAIR)),
     )(ns_re, ns_im, hs_re, hs_im, freqs_padded)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "needle_len", "chunk", "total_lags", "backend",
+                     "num_peaks", "exclude_freq", "exclude_lag"))
+def _batched_os_peaks_jit(ns_re, ns_im, hs_re, hs_im, freqs_padded,
+                          sample_rate, mesh, needle_len, chunk, total_lags,
+                          backend, num_peaks, exclude_freq, exclude_lag):
+    """Per-pair top-``num_peaks`` lattices through the THREE-axis
+    engine (config 5's pattern): pairs data-parallel, lags chunked with
+    ppermute halos, doppler sharded; per-pair lattices fold over
+    ``(doppler, time)`` via :func:`global_peaks_batched`."""
+    k_loc = freqs_padded.shape[0] // mesh.shape[AXIS_DOPPLER]
+    m, _, _ = plan_blocks(needle_len, chunk)
+    halo = needle_len - 1
+
+    def body(ns_re, ns_im, hs_re, hs_im, freqs_loc):
+        hay_ext = tuple(
+            jnp.concatenate([p, _right_halo(p, halo, AXIS_TIME)], axis=-1)
+            for p in (hs_re, hs_im))
+        offset = jax.lax.axis_index(AXIS_TIME) * chunk
+
+        def one(nr, ni, hr, hi):
+            s_conj = needle_spectra_conj((nr, ni), freqs_loc, sample_rate,
+                                         m, backend)
+            local = streaming_peak(s_conj, (hr, hi), needle_len, chunk,
+                                   lag_offset=offset,
+                                   total_lags=total_lags, backend=backend,
+                                   num_peaks=num_peaks,
+                                   exclude_freq=exclude_freq,
+                                   exclude_lag=exclude_lag)
+            return CafPeak(
+                local.value,
+                local.freq_idx + jax.lax.axis_index(AXIS_DOPPLER) * k_loc,
+                local.lag_idx)
+
+        local = jax.vmap(one)(ns_re, ns_im, *hay_ext)   # fields (B_loc, P)
+        return global_peaks_batched(local, (AXIS_DOPPLER, AXIS_TIME),
+                                    num_peaks, exclude_freq, exclude_lag)
+
+    # check_vma=False: all_gather + identical deterministic merges =
+    # replicated by construction (see _os_sharded_peaks_jit).
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(AXIS_PAIR), P(AXIS_PAIR),
+                  P(AXIS_PAIR, AXIS_TIME), P(AXIS_PAIR, AXIS_TIME),
+                  P(AXIS_DOPPLER)),
+        out_specs=CafPeak(P(AXIS_PAIR), P(AXIS_PAIR), P(AXIS_PAIR)),
+        check_vma=False,
+    )(ns_re, ns_im, hs_re, hs_im, freqs_padded)
+
+
+def batched_overlap_save_peaks(needles, haystacks, freqs_hz, sample_rate,
+                               mesh: Mesh, num_peaks: int,
+                               num_lags: Optional[int] = None, *,
+                               exclude_freq: Optional[int] = None,
+                               exclude_lag: Optional[int] = None,
+                               backend: str = "matmul"):
+    """Top-``num_peaks`` emitters PER PAIR on the three-axis mesh.
+
+    The multi-emitter variant of :func:`batched_overlap_save_peak`
+    (BASELINE config 5 is "streaming multi-emitter" at pod scale):
+    returns ``(freqs (B, P), lags (B, P), values (B, P))``, strongest
+    first per pair, empty slots ``-inf``.  Exclusion windows default to
+    the first needle's resolution cell (pass explicit values for
+    heterogeneous batches).
+    """
+    from caf_cookoff_tpu.ops.peak import resolution_cell
+
+    needles = np.asarray(needles)
+    haystacks = np.asarray(haystacks)
+    if needles.ndim != 2 or haystacks.ndim != 2 \
+            or needles.shape[0] != haystacks.shape[0]:
+        raise ValueError(
+            f"need (B, N) needles and (B, L) haystacks, got "
+            f"{needles.shape} vs {haystacks.shape}")
+    n = needles.shape[-1]
+    if haystacks.shape[-1] < n:
+        raise ValueError("haystacks shorter than needles")
+    pair_shards = mesh.shape[AXIS_PAIR]
+    if needles.shape[0] % pair_shards:
+        raise ValueError(
+            f"batch {needles.shape[0]} not divisible by pair axis "
+            f"{pair_shards}")
+    total_lags = num_lags or haystacks.shape[-1] - n + 1
+    t_shards = mesh.shape[AXIS_TIME]
+    needed = min(haystacks.shape[-1], total_lags + n - 1)
+    chunk = max(-(-needed // t_shards), n - 1)
+    width = t_shards * chunk
+    hay_p = np.pad(haystacks,
+                   ((0, 0), (0, width - haystacks.shape[-1]))) \
+        if width > haystacks.shape[-1] else haystacks[:, :width]
+    freqs_np = as_grid(freqs_hz, dtype=np.float32)
+    if exclude_freq is None or exclude_lag is None:
+        auto_f, auto_l = resolution_cell(needles[0], freqs_np, sample_rate)
+        exclude_freq = auto_f if exclude_freq is None else exclude_freq
+        exclude_lag = auto_l if exclude_lag is None else exclude_lag
+    ns_re, ns_im = _split_host(needles)
+    hs_re, hs_im = _split_host(hay_p)
+    freqs_p = pad_axis_to(as_grid(freqs_hz, dtype=ns_re.dtype),
+                          mesh.shape[AXIS_DOPPLER])
+    pk = _batched_os_peaks_jit(ns_re, ns_im, hs_re, hs_im, freqs_p,
+                               float(sample_rate), mesh, n, chunk,
+                               total_lags, backend, int(num_peaks),
+                               int(exclude_freq), int(exclude_lag))
+    return (freqs_p[np.asarray(pk.freq_idx)], np.asarray(pk.lag_idx),
+            np.asarray(pk.value))
 
 
 def batched_overlap_save_peak(needles, haystacks, freqs_hz, sample_rate,

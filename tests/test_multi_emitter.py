@@ -267,6 +267,38 @@ def test_sharded_emitter_straddles_shard_boundary():
     assert not near
 
 
+def test_batched_three_axis_lattices():
+    """Per-pair top-P lattices through the config-5 pattern: pairs x
+    doppler x time all sharded at once, every pair's emitters recovered
+    (the lattice folds over (doppler, time) but stays per-pair)."""
+    from caf_cookoff_tpu.parallel.mesh import make_mesh
+    from caf_cookoff_tpu.parallel.sharded import batched_overlap_save_peaks
+
+    rng = np.random.default_rng(5)
+    pairs, n, total = 4, 1024, 32768
+    needles = (rng.standard_normal((pairs, n))
+               + 1j * rng.standard_normal((pairs, n))).astype(np.complex64)
+    hays = (1e-4 * (rng.standard_normal((pairs, total))
+                    + 1j * rng.standard_normal((pairs, total)))
+            ).astype(np.complex64)
+    t = np.arange(n)
+    truths = {}
+    for b in range(pairs):
+        es = [(-30.0 + 5 * b, 3000 + 700 * b), (40.0 - 5 * b,
+                                                20000 + 900 * b)]
+        truths[b] = es
+        for amp, (f, lag) in zip((1.0, 0.7), es):
+            hays[b, lag:lag + n] += (amp * needles[b] * np.exp(
+                2j * np.pi * f * t / FS)).astype(np.complex64)
+    freqs = np.arange(-100, 100, 2.5, dtype=np.float32)
+    mesh = make_mesh(pair=2, doppler=2, time=2)
+    fr, lg, vv = batched_overlap_save_peaks(needles, hays, freqs, FS,
+                                            mesh, 3)
+    assert fr.shape == (pairs, 3)
+    for b in range(pairs):
+        assert _finite_rows(fr[b], lg[b], vv[b])[:2] == truths[b]
+
+
 # ---------------------------------------------------------------------------
 # CLI
 # ---------------------------------------------------------------------------
