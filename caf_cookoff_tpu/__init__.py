@@ -42,7 +42,11 @@ from caf_cookoff_tpu.models.overlap_save import (
     overlap_save_peaks,
 )
 from caf_cookoff_tpu.ops.peak import find_peaks, merge_peaks, resolution_cell
-from caf_cookoff_tpu.ops.refine import refine_peak, refine_peaks
+from caf_cookoff_tpu.ops.refine import (
+    refine_peak,
+    refine_peak_rate,
+    refine_peaks,
+)
 from caf_cookoff_tpu.ops.shift import apply_fdoa, freq_shift, phasor_bank
 from caf_cookoff_tpu.ops.xcor import xcor, xcor_pair
 
@@ -70,6 +74,7 @@ __all__ = [
     "overlap_save_peaks",
     "phasor_bank",
     "refine_peak",
+    "refine_peak_rate",
     "refine_peaks",
     "resolution_cell",
     "xcor",

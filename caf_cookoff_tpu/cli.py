@@ -293,6 +293,15 @@ def cmd_run(args) -> int:
             backend=_split_fft_tier(backend))
         print(f"Refined estimate: {f_ref:+.4f} Hz, {t_ref:.4f} "
               f"samples ({t_ref / fs * 1e3:.6f} ms)")
+    if args.rate:
+        from caf_cookoff_tpu.ops.refine import refine_peak_rate
+
+        f2, r2, t2, _ = refine_peak_rate(
+            needle, haystack_full, freq, lag, fs,
+            coarse_step_hz=args.freq_step,
+            backend=_split_fft_tier(backend))
+        print(f"Second-order estimate: {f2:+.4f} Hz "
+              f"{r2:+.3f} Hz/s @ {t2:.4f} samples")
     if args.num_peaks > 1:
         from caf_cookoff_tpu.ops.peak import find_peaks, resolution_cell
 
@@ -765,6 +774,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="zoom re-score the peak to continuous "
                    "(freq, lag): ~1e-3 Hz / 1e-3 sample on the golden "
                    "fixtures vs the grid's half-bin snap")
+    r.add_argument("--rate", action="store_true",
+                   help="also estimate a linear doppler RATE (Hz/s) "
+                   "via the second-order (freq, rate, lag) zoom — "
+                   "capability past the reference's first-order model")
     r.add_argument("--num-peaks", type=int, default=1,
                    help="list the N strongest peaks (multi-emitter, "
                    "non-max suppressed)")

@@ -203,6 +203,149 @@ def refine_peak(needle, haystack, freq_hz: float, lag: int, sample_rate,
     return float(f_hat), int(start) + float(tau_hat), float(value)
 
 
+def _joint_freq_rate_scores(z_re, z_im, t_sec, f_grid, r_grid):
+    """|E(f, r)|^2 = |sum_t z[t] e^{-j2pi f t} e^{-j pi r t^2}|^2 on the
+    outer product of the two grids: (pf, pr) via split-complex matmuls.
+    """
+    # Dechirp columns: (n, pr)
+    ph_r = jnp.pi * r_grid[None, :] * (t_sec * t_sec)[:, None]
+    cr, sr = jnp.cos(ph_r), jnp.sin(ph_r)
+    zr_re = z_re[:, None] * cr + z_im[:, None] * sr
+    zr_im = z_im[:, None] * cr - z_re[:, None] * sr
+    # Frequency rows: (pf, n)
+    ph_f = (2.0 * jnp.pi) * f_grid[:, None] * t_sec[None, :]
+    cf, sf = jnp.cos(ph_f), jnp.sin(ph_f)
+    re = cf @ zr_re + sf @ zr_im
+    im = cf @ zr_im - sf @ zr_re
+    return re * re + im * im                       # (pf, pr)
+
+
+def _zoom_freq_rate(z_re, z_im, t_sec, f0, f_span, r0, r_span, points,
+                    iters):
+    """Joint 2-D geometric zoom over (frequency, rate)."""
+    dtype = z_re.dtype
+    f_c = jnp.asarray(f0, dtype)
+    r_c = jnp.asarray(r0, dtype)
+    offs = jnp.linspace(-1.0, 1.0, points, dtype=dtype)
+    value = jnp.asarray(0.0, dtype)
+    for _ in range(iters):
+        f_grid = f_c + offs * f_span
+        r_grid = r_c + offs * r_span
+        scores = _joint_freq_rate_scores(z_re, z_im, t_sec, f_grid,
+                                         r_grid)
+        flat = jnp.argmax(scores)
+        fi, ri = flat // points, flat % points
+        value = scores.reshape(-1)[flat]
+        f_c = f_grid[fi]
+        r_c = r_grid[ri]
+        f_span = 2.0 * (f_grid[1] - f_grid[0])
+        r_span = 2.0 * (r_grid[1] - r_grid[0])
+    return f_c, r_c, value
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "win_len", "backend", "points", "iters"))
+def _refine_rate_jit(n_re, n_im, h_re, h_im, f0, lag0, coarse_step,
+                     max_rate, sample_rate, n, win_len, backend, points,
+                     iters):
+    dtype = n_re.dtype
+    fs = jnp.asarray(sample_rate, dtype)
+    length = h_re.shape[-1]
+    start = jnp.clip(lag0 - GUARD, 0, max(length - win_len, 0))
+    w_re, w_im = (jax.lax.dynamic_slice(p, (start,), (win_len,))
+                  for p in (h_re, h_im))
+    g_re = jax.lax.dynamic_slice(w_re, (lag0 - start,), (n,))
+    g_im = jax.lax.dynamic_slice(w_im, (lag0 - start,), (n,))
+    z_re = n_re * g_re + n_im * g_im
+    z_im = n_re * g_im - n_im * g_re
+    t_sec = jnp.arange(n, dtype=dtype) / fs
+    # Centered time decorrelates the (f, r) pair: over [0, T] a rate
+    # error masquerades as a frequency shift of r*T/2 (a diagonal ridge
+    # an axis-aligned zoom stalls on); over [-T/2, T/2] frequency is
+    # the odd moment and rate the even one, so the 2-D zoom separates.
+    # The estimated frequency is then the MID-window value; convert
+    # back to the window-start convention afterwards.
+    half_t = t_sec[-1] * 0.5
+    t_c = t_sec - half_t
+    f_mid, r_hat, _ = _zoom_freq_rate(
+        z_re, z_im, t_c, f0, jnp.asarray(coarse_step, dtype),
+        jnp.asarray(0.0, dtype), jnp.asarray(max_rate, dtype), points,
+        iters)
+    f_hat = f_mid - r_hat * half_t
+
+    # Fractional-lag zoom with the full second-order model applied to
+    # the needle (same machinery as _refine_jit's TDOA stage).
+    fft_fn, _ = splitfft.get_split_fft(backend)
+    m = next_pow2(win_len + n)
+    phase = (2.0 * jnp.pi) * f_hat * t_sec \
+        + jnp.pi * r_hat * t_sec * t_sec
+    cph, sph = jnp.cos(phase), jnp.sin(phase)
+    y_re = n_re * cph - n_im * sph
+    y_im = n_re * sph + n_im * cph
+    wf = fft_fn(splitfft.pad_split((w_re, w_im), m))
+    yf = fft_fn(splitfft.pad_split((y_re, y_im), m))
+    c_re, c_im = splitfft.cmul_conj(wf, yf)
+    k = jnp.arange(m, dtype=dtype)
+    k = jnp.where(k < m / 2, k, k - m)
+    tau0 = (lag0 - start).astype(dtype)
+    tau_hat, value = _zoom_argmax(c_re, -c_im, tau0,
+                                  jnp.asarray(float(GUARD), dtype),
+                                  k / m, points, iters)
+    inv_m = 1.0 / m
+    return f_hat, r_hat, start, tau_hat, value * (inv_m * inv_m)
+
+
+def refine_peak_rate(needle, haystack, freq_hz: float, lag: int,
+                     sample_rate, *,
+                     max_rate_hz_per_s: Optional[float] = None,
+                     coarse_step_hz: Optional[float] = None,
+                     backend: Optional[str] = None,
+                     points: int = _POINTS, iters: int = 4):
+    """Second-order refinement: continuous (freq_hz, rate_hz_per_s,
+    lag_samples, value) — estimates a LINEAR frequency sweep alongside
+    the offsets.
+
+    A capability past the reference entirely: its CAF model is
+    first-order (constant offset), yet its own generator supports
+    time-varying offsets via phase integration
+    (``utils/generate.py:10-20``) — an emitter with doppler RATE
+    (accelerating platforms) smears across the first-order surface.
+    The product signal at the coarse lag is
+    ``exp(j2pi f t + j pi r t^2)``; a joint geometric zoom over the
+    (f, r) plane (dechirp columns x frequency rows, split-complex
+    matmuls on static shapes) recovers both, then the fractional-lag
+    zoom runs with the full second-order model applied to the needle.
+
+    ``max_rate_hz_per_s`` brackets the rate search; the default is one
+    coarse frequency step of drift over the needle duration (the most
+    a sweep can do before the coarse engine's peak moves off its bin).
+    Returns ``(freq_hz, rate_hz_per_s, lag_samples, value)``.
+    """
+    backend = backend or default_backend()
+    n_re, n_im = splitfft.split_array(needle)
+    h_re, h_im = splitfft.split_array(haystack)
+    n = int(n_re.shape[-1])
+    need = int(lag) + n + GUARD
+    if h_re.shape[-1] < need:
+        pad = need - h_re.shape[-1]
+        h_re = np.pad(h_re, (0, pad))
+        h_im = np.pad(h_im, (0, pad))
+    win_len = n + 2 * GUARD
+    step = 0.5 if coarse_step_hz is None else float(coarse_step_hz)
+    if max_rate_hz_per_s is None:
+        duration = n / float(sample_rate)
+        max_rate_hz_per_s = step / duration
+    f_hat, r_hat, start, tau_hat, value = _refine_rate_jit(
+        jnp.asarray(n_re), jnp.asarray(n_im), jnp.asarray(h_re),
+        jnp.asarray(h_im), jnp.asarray(float(freq_hz), n_re.dtype),
+        jnp.asarray(int(lag), jnp.int32), step,
+        float(max_rate_hz_per_s), float(sample_rate), n, win_len,
+        backend, int(points), int(iters))
+    return (float(f_hat), float(r_hat), int(start) + float(tau_hat),
+            float(value))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n", "win_len", "backend", "points", "iters"))

@@ -150,6 +150,37 @@ def test_cli_run_refine(fixture_pairs, capsys):
     assert abs(f_ref - 35.99) <= 0.01
 
 
+@pytest.mark.parametrize("f0,rate,lag", [(35.99, 3.7, 1234),
+                                          (-92.12, -5.1, 777),
+                                          (10.0, 0.0, 500)])
+def test_refine_peak_rate(f0, rate, lag):
+    """Second-order refinement recovers a linear frequency sweep —
+    capability past the reference's first-order CAF model entirely
+    (its generator supports time-varying offsets,
+    ``utils/generate.py:10-20``, but no engine searches them).  The
+    rate resolution cell is 1/T^2 ~ 137 Hz/s at this window; the
+    estimator lands within ~1/500 of a cell."""
+    from caf_cookoff_tpu.ops.refine import refine_peak_rate
+
+    rng = np.random.default_rng(3)
+    n, total = 4096, 16384
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    t_sec = np.arange(n) / FS
+    hay = (1e-5 * (rng.standard_normal(total)
+                   + 1j * rng.standard_normal(total))).astype(np.complex64)
+    sweep = np.exp(2j * np.pi * f0 * t_sec + 1j * np.pi * rate * t_sec ** 2)
+    hay[lag:lag + n] += (needle * sweep).astype(np.complex64)
+    f_mean = f0 + rate * (n / FS) / 2       # what a coarse engine sees
+    f_hat, r_hat, tau_hat, value = refine_peak_rate(
+        needle, hay, round(f_mean * 2) / 2, lag, FS,
+        coarse_step_hz=0.5, backend="xla")
+    assert abs(f_hat - f0) <= 0.01
+    assert abs(r_hat - rate) <= 0.25
+    assert abs(tau_hat - lag) <= 0.01
+    assert value > 0
+
+
 def test_cli_num_peaks_refine_combined(tmp_path, capsys):
     """--num-peaks P --refine refines EVERY lattice peak."""
     from caf_cookoff_tpu.cli import main
