@@ -556,6 +556,39 @@ def cmd_batch(args) -> int:
         fr = np.array([r[0] for r in results])
         lg = np.array([r[1] for r in results])
         vv = np.array([r[2] for r in results])
+    lattices = None
+    if args.num_peaks > 1:
+        from caf_cookoff_tpu.ops.peak import find_peaks, resolution_cell
+
+        excl_f, excl_l = resolution_cell(needles[0], freqs, fs)
+        if full:
+            # One vmapped lattice-scan program over the whole batch.
+            from caf_cookoff_tpu.models.overlap_save import (
+                batched_overlap_save_peaks_local,
+            )
+
+            lf, ll, lv = batched_overlap_save_peaks_local(
+                np.stack(needles), np.stack(captures), freqs, fs,
+                args.num_peaks, exclude_freq=excl_f, exclude_lag=excl_l,
+                backend=_split_fft_tier(backend))
+        else:
+            from caf_cookoff_tpu.models.filterbank import caf_surface
+
+            rows_f, rows_l, rows_v = [], [], []
+            for nd, cp in zip(needles, captures):
+                surf = np.asarray(caf_surface(nd, cp[:n], freqs, fs,
+                                              backend=backend))
+                pks = find_peaks(surf, args.num_peaks, excl_f, excl_l)
+                rows_f.append(freqs[np.asarray(pks.freq_idx)])
+                rows_l.append(np.asarray(pks.lag_idx))
+                rows_v.append(np.asarray(pks.value))
+            lf, ll, lv = (np.stack(rows_f), np.stack(rows_l),
+                          np.stack(rows_v))
+        lattices = [
+            [(float(lf[i, p]), int(ll[i, p]), float(lv[i, p]))
+             for p in range(args.num_peaks)
+             if np.isfinite(float(lv[i, p]))]
+            for i in range(len(needles))]
     refined = None
     if args.refine:
         from caf_cookoff_tpu.ops.refine import refine_peaks
@@ -577,11 +610,15 @@ def cmd_batch(args) -> int:
         if refined is not None:
             rec["refined_freq_hz"] = refined[i][0]
             rec["refined_lag_samples"] = refined[i][1]
+        if lattices is not None:
+            rec["peaks"] = [{"freq_hz": f, "lag_samples": lg,
+                             "peak_value": v}
+                            for f, lg, v in lattices[i]]
         records.append(rec)
     if args.json:
         print(json.dumps(records, indent=2))
         return 0
-    for r in records:
+    for i, r in enumerate(records):
         line = (f"{r['needle']} x {r['capture']}: "
                 f"{r['freq_hz']:+9.3f} Hz @ lag {r['lag_samples']:>7d} "
                 f"({r['lag_ms']:.4f} ms)  peak {r['peak_value']:.5g}")
@@ -589,6 +626,10 @@ def cmd_batch(args) -> int:
             line += (f"  refined {r['refined_freq_hz']:+9.4f} Hz @ "
                      f"{r['refined_lag_samples']:.4f}")
         print(line)
+        if lattices is not None:
+            for p, (f, lg, v) in enumerate(lattices[i]):
+                print(f"    peak {p + 1}: {f:+9.3f} Hz @ lag {lg:>7d}  "
+                      f"({v:.5g})")
     return 0
 
 
@@ -838,6 +879,10 @@ def build_parser() -> argparse.ArgumentParser:
     bt.add_argument("--refine", action="store_true",
                     help="batched zoom re-score to continuous "
                     "(freq, lag) per pair")
+    bt.add_argument("--num-peaks", type=int, default=1,
+                    help="top-P multi-emitter lattice per pair (NMS "
+                    "windows auto-sized to the first needle's "
+                    "resolution cell)")
     bt.set_defaults(fn=cmd_batch)
 
     b = sub.add_parser("bench", help="README-style strategy table")

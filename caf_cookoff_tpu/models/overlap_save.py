@@ -265,6 +265,63 @@ def overlap_save_peak(needle, haystack, freqs_hz, sample_rate,
             float(peak.value))
 
 
+@functools.partial(
+    jax.jit, static_argnames=("num_lags", "needle_len", "backend",
+                              "num_peaks", "exclude_freq", "exclude_lag"))
+def _os_peaks_batch_jit(ns_re, ns_im, hs_re, hs_im, freqs_hz, sample_rate,
+                        num_lags, needle_len, backend, num_peaks,
+                        exclude_freq, exclude_lag):
+    """vmapped per-pair lattice scan: fields (B, num_peaks)."""
+    return jax.vmap(
+        lambda nr, ni, hr, hi: _os_peaks_jit.__wrapped__(
+            nr, ni, hr, hi, freqs_hz, sample_rate, num_lags, needle_len,
+            backend, num_peaks, exclude_freq, exclude_lag)
+    )(ns_re, ns_im, hs_re, hs_im)
+
+
+def batched_overlap_save_peaks_local(needles, haystacks, freqs_hz,
+                                     sample_rate, num_peaks: int,
+                                     num_lags: Optional[int] = None, *,
+                                     exclude_freq: Optional[int] = None,
+                                     exclude_lag: Optional[int] = None,
+                                     backend: Optional[str] = None):
+    """Top-``num_peaks`` emitters PER PAIR, single device (one vmapped
+    lattice-scan program).
+
+    ``(B, N)`` needles × ``(B, L)`` captures → ``(freqs (B, P),
+    lags (B, P), values (B, P))``, strongest first per pair, empty
+    slots ``-inf``.  The mesh-sharded variant is
+    :func:`caf_cookoff_tpu.parallel.sharded.batched_overlap_save_peaks`.
+    """
+    backend = backend or default_backend()
+    needles = np.asarray(needles)
+    haystacks = np.asarray(haystacks)
+    if needles.ndim != 2 or haystacks.ndim != 2 \
+            or needles.shape[0] != haystacks.shape[0]:
+        raise ValueError(
+            f"need (B, N) needles and (B, L) haystacks, got "
+            f"{needles.shape} vs {haystacks.shape}")
+    n = needles.shape[-1]
+    if haystacks.shape[-1] < n:
+        raise ValueError("haystacks shorter than needles")
+    lags = num_lags or haystacks.shape[-1] - n + 1
+    freqs = as_grid(freqs_hz, dtype=np.float32)
+    if exclude_freq is None or exclude_lag is None:
+        auto_f, auto_l = resolution_cell(needles[0], freqs, sample_rate)
+        exclude_freq = auto_f if exclude_freq is None else exclude_freq
+        exclude_lag = auto_l if exclude_lag is None else exclude_lag
+    ns_re, ns_im = splitfft.split_array(needles)
+    hs_re, hs_im = splitfft.split_array(haystacks)
+    pk = _os_peaks_batch_jit(
+        jnp.asarray(ns_re), jnp.asarray(ns_im), jnp.asarray(hs_re),
+        jnp.asarray(hs_im), jnp.asarray(as_grid(freqs_hz,
+                                                dtype=ns_re.dtype)),
+        float(sample_rate), lags, n, backend, int(num_peaks),
+        int(exclude_freq), int(exclude_lag))
+    return (np.asarray(freqs)[np.asarray(pk.freq_idx)],
+            np.asarray(pk.lag_idx), np.asarray(pk.value))
+
+
 def overlap_save_peaks(needle, haystack, freqs_hz, sample_rate,
                        num_peaks: int,
                        num_lags: Optional[int] = None, *,

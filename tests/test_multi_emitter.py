@@ -304,6 +304,66 @@ def test_batched_three_axis_lattices():
 # ---------------------------------------------------------------------------
 
 
+def test_batched_local_lattices():
+    from caf_cookoff_tpu.models.overlap_save import (
+        batched_overlap_save_peaks_local,
+    )
+
+    rng = np.random.default_rng(5)
+    pairs, n, total = 3, 1024, 32768
+    needles = (rng.standard_normal((pairs, n))
+               + 1j * rng.standard_normal((pairs, n))).astype(np.complex64)
+    hays = (1e-4 * (rng.standard_normal((pairs, total))
+                    + 1j * rng.standard_normal((pairs, total)))
+            ).astype(np.complex64)
+    t = np.arange(n)
+    truths = {}
+    for b in range(pairs):
+        es = [(-30.0 + 5 * b, 3000 + 500 * b), (40.0, 20000 + 700 * b)]
+        truths[b] = es
+        for amp, (f, lag) in zip((1.0, 0.7), es):
+            hays[b, lag:lag + n] += (amp * needles[b] * np.exp(
+                2j * np.pi * f * t / FS)).astype(np.complex64)
+    freqs = np.arange(-100, 100, 2.5, dtype=np.float32)
+    fr, lg, vv = batched_overlap_save_peaks_local(needles, hays, freqs,
+                                                  FS, 3)
+    assert fr.shape == (pairs, 3)
+    for b in range(pairs):
+        assert _finite_rows(fr[b], lg[b], vv[b])[:2] == truths[b]
+
+
+def test_cli_batch_num_peaks(tmp_path, capsys):
+    import json
+
+    from caf_cookoff_tpu.cli import main
+    from caf_cookoff_tpu.utils.io import write_c64
+
+    rng = np.random.default_rng(5)
+    n, total = 1024, 32768
+    t = np.arange(n)
+    specs, truths = [], []
+    for b in range(2):
+        needle = (rng.standard_normal(n)
+                  + 1j * rng.standard_normal(n)).astype(np.complex64)
+        hay = (1e-4 * (rng.standard_normal(total) + 1j
+                       * rng.standard_normal(total))).astype(np.complex64)
+        es = [(-30.0 + 5 * b, 3000 + 100 * b), (40.0, 20000 + 200 * b)]
+        truths.append(es)
+        for amp, (f, lag) in zip((1.0, 0.7), es):
+            hay[lag:lag + n] += (amp * needle * np.exp(
+                2j * np.pi * f * t / FS)).astype(np.complex64)
+        write_c64(str(tmp_path / f"n{b}.c64"), needle)
+        write_c64(str(tmp_path / f"c{b}.c64"), hay)
+        specs.append(f"{tmp_path}/n{b}.c64:{tmp_path}/c{b}.c64")
+    rc = main(["batch", *specs, "--full-haystack", "--num-peaks", "3",
+               "--freq-step", "2.5", "--json"])
+    assert rc == 0
+    records = json.loads(capsys.readouterr().out)
+    for rec, es in zip(records, truths):
+        got = [(p["freq_hz"], p["lag_samples"]) for p in rec["peaks"]][:2]
+        assert got == es
+
+
 def test_cli_full_haystack_num_peaks(tmp_path, capsys):
     from caf_cookoff_tpu.cli import main
     from caf_cookoff_tpu.utils.io import write_c64
