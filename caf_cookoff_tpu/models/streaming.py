@@ -171,6 +171,91 @@ def _stein_stream_step_jit(ws1, ws2, lmat, tail_re, tail_im, ch_re,
     return new_best, local, new_tail, new_bw, new_bw_start
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_blocks", "group", "chunk_len", "needle_pad",
+                     "halo", "interpret", "num_peaks", "exclude_freq",
+                     "exclude_lag"))
+def _stein_stream_lattice_step_jit(ws1, ws2, lmat, tail_re, tail_im,
+                                   ch_re, ch_im, best_value, best_freq,
+                                   best_lag, bws, bw_starts, base_lag,
+                                   valid_len, num_blocks, group,
+                                   chunk_len, needle_pad, halo, interpret,
+                                   num_peaks, exclude_freq, exclude_lag):
+    """Stein-mode multi-emitter step: top-``num_peaks`` lattice through
+    the fused kernel's per-bin (max, argmax), each entry carrying its
+    own guard-extended window slice for the exact final re-score.
+
+    Caveat inherited from the kernel's per-bin contract: two emitters
+    in the SAME doppler bin at different lags present one candidate per
+    chunk window (only the bin's max lag) — distinct-bin emitters (the
+    physical multi-emitter case) are unaffected; the XLA streaming
+    lattice has no such limit if needed.
+    """
+    from caf_cookoff_tpu.ops.pallas_stein import SUPER, fused_span, \
+        fused_stein_rank
+    from caf_cookoff_tpu.ops.peak import merge_peaks
+
+    window = (jnp.concatenate([tail_re, ch_re]),
+              jnp.concatenate([tail_im, ch_im]))
+    win_len = halo + chunk_len
+    carry = needle_pad + 128
+    ext_len = max(win_len, carry)
+    span = fused_span(num_blocks, group, chunk_len)
+    need = span + SUPER - 1
+    h_ext = jnp.stack([jnp.pad(window[0], (0, max(0, need - win_len))),
+                       jnp.pad(window[1], (0, max(0, need - win_len)))]
+                      )[None, :, :need]
+    vals, idxs = fused_stein_rank(
+        ws1, ws2, lmat, h_ext, num_blocks, group, chunk_len,
+        interpret=interpret,
+        num_valid=jnp.reshape(jnp.asarray(valid_len, jnp.int32), (1,)))
+    k = vals.shape[0]
+    cands = CafPeak(vals[:, 0], jnp.arange(k, dtype=jnp.int32),
+                    idxs[:, 0] + base_lag)
+    chunk_lat, _ = merge_peaks(cands, num_peaks, exclude_freq,
+                               exclude_lag, return_indices=True)
+    # Window slice per chunk-lattice entry (vmapped dynamic_slice).
+    wpad = jnp.stack([jnp.pad(p, (0, ext_len - win_len))
+                      for p in window])                     # (2, ext)
+    tau_loc = chunk_lat.lag_idx - base_lag
+    starts_loc = jnp.clip(tau_loc - 64, 0, ext_len - carry)
+
+    def slice_one(ws):
+        return jax.lax.dynamic_slice(wpad, (0, ws), (2, carry))
+
+    chunk_bws = jax.vmap(slice_one)(starts_loc)             # (P, 2, carry)
+    chunk_starts = base_lag + starts_loc
+    # Merge the carried lattice with this chunk's, gathering windows.
+    all_lat = CafPeak(jnp.concatenate([best_value, chunk_lat.value]),
+                      jnp.concatenate([best_freq, chunk_lat.freq_idx]),
+                      jnp.concatenate([best_lag, chunk_lat.lag_idx]))
+    merged, sel = merge_peaks(all_lat, num_peaks, exclude_freq,
+                              exclude_lag, return_indices=True)
+    all_bws = jnp.concatenate([bws, chunk_bws])             # (2P, 2, c)
+    all_starts = jnp.concatenate([bw_starts, chunk_starts])
+    new_bws = all_bws[sel]
+    new_starts = all_starts[sel]
+    local = CafPeak(chunk_lat.value[0], chunk_lat.freq_idx[0],
+                    chunk_lat.lag_idx[0])
+    new_tail = tuple(
+        jax.lax.dynamic_slice(p, (valid_len,), (halo,)) for p in window)
+    return merged, new_bws, new_starts, local, new_tail
+
+
+@functools.partial(
+    jax.jit, static_argnames=("xl", "backend"))
+def _stein_lattice_rescore_jit(n_re, n_im, bws, freqs, sample_rate, xl,
+                               backend):
+    """Exact filterbank re-score of each carried window: (P,) fields."""
+    from caf_cookoff_tpu.models.filterbank import _peak_split_jit
+
+    return jax.vmap(
+        lambda bw: _peak_split_jit.__wrapped__(
+            n_re, n_im, bw[0], bw[1], freqs, sample_rate, xl, backend)
+    )(bws)
+
+
 class StreamingCAF:
     """Stateful chunk-at-a-time CAF over one (needle, capture) pair.
 
@@ -194,13 +279,6 @@ class StreamingCAF:
         backend = backend or default_backend()
         self._stein = backend.startswith("stein")
         self._num_peaks = int(num_peaks)
-        if self._num_peaks > 1 and self._stein:
-            from caf_cookoff_tpu.errors import EligibilityError
-
-            raise EligibilityError(
-                "stein-mode streaming carries a single exact re-score "
-                "window and cannot track a peak lattice; use the "
-                "default backend for num_peaks > 1")
         if self._num_peaks > 1:
             if exclude_freq is None or exclude_lag is None:
                 auto_f, auto_l = resolution_cell(needle, freqs_hz,
@@ -247,9 +325,15 @@ class StreamingCAF:
                 jnp.asarray(self._freqs), self.sample_rate,
                 self._num_blocks, self._block_len)
             self._interpret = jax.default_backend() == "cpu"
-            self._bw = (jnp.zeros(self._needle_pad + 128, rdt),
-                        jnp.zeros(self._needle_pad + 128, rdt))
-            self._bw_start = jnp.asarray(0, jnp.int32)
+            if self._num_peaks > 1:
+                p = self._num_peaks
+                self._bws = jnp.zeros((p, 2, self._needle_pad + 128),
+                                      rdt)
+                self._bw_starts = jnp.zeros(p, jnp.int32)
+            else:
+                self._bw = (jnp.zeros(self._needle_pad + 128, rdt),
+                            jnp.zeros(self._needle_pad + 128, rdt))
+                self._bw_start = jnp.asarray(0, jnp.int32)
         else:
             sc = jax.jit(
                 needle_spectra_conj, static_argnames=("fft_len", "backend")
@@ -321,7 +405,19 @@ class StreamingCAF:
             pad = fixed - valid
             ch_re = np.pad(np.asarray(ch_re), (0, pad))
             ch_im = np.pad(np.asarray(ch_im), (0, pad))
-        if self._stein:
+        if self._stein and self._num_peaks > 1:
+            best, bws, starts, local, tail = _stein_stream_lattice_step_jit(
+                self._ws[0], self._ws[1], self._lmat,
+                self._tail[0], self._tail[1],
+                jnp.asarray(ch_re), jnp.asarray(ch_im),
+                self._best.value, self._best.freq_idx,
+                self._best.lag_idx, self._bws, self._bw_starts,
+                self._base_lag, valid, self._num_blocks, self._group,
+                fixed, self._needle_pad, self.needle_len - 1,
+                self._interpret, self._num_peaks, *self._exclude)
+            self._bws = bws
+            self._bw_starts = starts
+        elif self._stein:
             best, local, tail, bw, bw_start = _stein_stream_step_jit(
                 self._ws[0], self._ws[1], self._lmat,
                 self._tail[0], self._tail[1],
@@ -367,6 +463,9 @@ class StreamingCAF:
         frequency and lag.
         """
         if self._num_peaks > 1:
+            if self._stein:
+                fr, lg, vv = self.peaks()
+                return float(fr[0]), int(lg[0]), float(vv[0])
             return (float(self._freqs[int(self._best.freq_idx[0])]),
                     int(self._best.lag_idx[0]),
                     float(self._best.value[0]))
@@ -390,12 +489,51 @@ class StreamingCAF:
         arrays; slots past the number of distinct detections carry
         ``value=-inf``.  Requires ``num_peaks > 1`` at construction
         (the single-peak stream keeps its cheaper scalar carry).
+
+        In stein mode the running lattice only RANKED; here each
+        entry's carried window is re-scored with exact filterbank rows
+        (the per-entry rank-then-score contract), then the lattice
+        re-sorts on the exact values.
         """
         if self._num_peaks <= 1:
             raise ValueError(
                 "stream was built with num_peaks=1; construct "
                 "StreamingCAF(..., num_peaks=P) to track a lattice")
-        freq_idx = np.asarray(self._best.freq_idx)
-        return (np.asarray(self._freqs)[freq_idx],
-                np.asarray(self._best.lag_idx),
-                np.asarray(self._best.value))
+        if not self._stein:
+            freq_idx = np.asarray(self._best.freq_idx)
+            return (np.asarray(self._freqs)[freq_idx],
+                    np.asarray(self._best.lag_idx),
+                    np.asarray(self._best.value))
+        pk = _stein_lattice_rescore_jit(
+            self._n_planes[0], self._n_planes[1], self._bws,
+            jnp.asarray(self._freqs), self.sample_rate,
+            xcor_length(self._needle_pad), self.backend)
+        coarse_ok = np.isfinite(np.asarray(self._best.value))
+        vals = np.where(coarse_ok, np.asarray(pk.value), -np.inf)
+        bins = np.asarray(pk.freq_idx)
+        lags = np.asarray(self._bw_starts) + np.asarray(pk.lag_idx)
+        order = np.argsort(-vals, kind="stable")
+        # Post-re-score NMS: two coarse cells (e.g. a doppler sidelobe
+        # beyond the bin exclusion) can re-score onto the SAME exact
+        # peak — dedup with the same exclusion windows (host-side; P
+        # entries).
+        ef, el = self._exclude
+        kept = []
+        for i in order:
+            if np.isfinite(vals[i]) and any(
+                    abs(int(bins[i]) - int(bins[j])) <= ef
+                    and abs(int(lags[i]) - int(lags[j])) <= el
+                    for j in kept):
+                continue
+            kept.append(i)
+        out_f = np.full(self._num_peaks, 0.0)
+        out_l = np.zeros(self._num_peaks, np.int64)
+        out_v = np.full(self._num_peaks, -np.inf)
+        freqs_np = np.asarray(self._freqs)
+        for p, i in enumerate(kept[: self._num_peaks]):
+            if not np.isfinite(vals[i]):
+                break
+            out_f[p] = freqs_np[int(bins[i])]
+            out_l[p] = int(lags[i])
+            out_v[p] = vals[i]
+        return out_f, out_l, out_v

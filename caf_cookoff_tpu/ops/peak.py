@@ -165,7 +165,7 @@ def resolution_cell(needle, freqs_hz, sample_rate) -> Tuple[int, int]:
 
 
 def merge_peaks(candidates: CafPeak, num_peaks: int, exclude_freq: int,
-                exclude_lag: int) -> CafPeak:
+                exclude_lag: int, return_indices: bool = False):
     """Greedy NMS merge of ``C`` candidate triples → top-``num_peaks``.
 
     The jit-compatible reduction primitive behind every multi-emitter
@@ -177,6 +177,11 @@ def merge_peaks(candidates: CafPeak, num_peaks: int, exclude_freq: int,
     — matching the serial-scan tie-break of the single-peak reduction.
     Fields of the result are ``(num_peaks,)``; unfilled slots carry
     ``-inf`` / index 0.
+
+    ``return_indices=True`` additionally returns the ``(num_peaks,)``
+    positions of the selected entries in the ORIGINAL candidate order
+    (0 for unfilled slots) so callers can gather per-candidate payloads
+    (e.g. the stein stream's carried re-score windows) alongside.
     """
     v = jnp.asarray(candidates.value)
     f = candidates.freq_idx.astype(jnp.int32)
@@ -188,7 +193,7 @@ def merge_peaks(candidates: CafPeak, num_peaks: int, exclude_freq: int,
         f = jnp.concatenate([f, jnp.zeros(pad, jnp.int32)])
         lg = jnp.concatenate([lg, jnp.zeros(pad, jnp.int32)])
         c = num_peaks
-    order = jnp.lexsort((lg, f, -v))
+    order = jnp.lexsort((lg, f, -v)).astype(jnp.int32)
     v, f, lg = v[order], f[order], lg[order]
     valid = v > -jnp.inf
     close = ((jnp.abs(f[:, None] - f[None, :]) <= exclude_freq)
@@ -206,11 +211,15 @@ def merge_peaks(candidates: CafPeak, num_peaks: int, exclude_freq: int,
     # Kept candidates, in (already value-sorted) order, first P slots.
     sel = jnp.argsort(jnp.where(kept, pos, c))[:num_peaks]
     filled = jnp.arange(num_peaks) < jnp.sum(kept)
-    return CafPeak(
+    out = CafPeak(
         value=jnp.where(filled, v[sel], -jnp.inf),
         freq_idx=jnp.where(filled, f[sel], 0).astype(jnp.int32),
         lag_idx=jnp.where(filled, lg[sel], 0).astype(jnp.int32),
     )
+    if return_indices:
+        orig = jnp.where(filled, order[sel], 0).astype(jnp.int32)
+        return out, orig
+    return out
 
 
 def _parabolic_offset(y_m1, y_0, y_p1):

@@ -218,14 +218,22 @@ def test_streaming_multi_emitter_across_chunks():
     assert s.best()[:2] == truths[0]
 
 
-def test_streaming_stein_rejects_lattice():
-    from caf_cookoff_tpu.errors import EligibilityError
+def test_streaming_stein_lattice():
+    """Multi-emitter through the FUSED stein stream: per-entry carried
+    windows re-score exactly, post-re-score NMS dedups coarse cells
+    that collapse onto one emitter."""
     from caf_cookoff_tpu.models.streaming import StreamingCAF
 
-    needle, _, _ = _multi_emitter_capture()
-    with pytest.raises(EligibilityError):
-        StreamingCAF(needle, np.arange(-100, 100, 2.5), FS,
-                     backend="stein", num_peaks=2)
+    needle, hay, truths = _multi_emitter_capture(
+        truths=((-30.0, 9000, 1.0), (45.0, 40800, 0.8),
+                (10.0, 60000, 0.6)))
+    freqs = np.arange(-100, 100, 2.5, dtype=np.float32)
+    s = StreamingCAF(needle, freqs, FS, num_peaks=4, backend="stein")
+    for off in range(0, len(hay), 8192):
+        s.process(hay[off:off + 8192])
+    fr, lg, vv = s.peaks()
+    assert _finite_rows(fr, lg, vv)[:3] == truths
+    assert s.best()[:2] == truths[0]
 
 
 @pytest.mark.parametrize("shape", [dict(time=4), dict(time=2, doppler=2),

@@ -316,3 +316,30 @@ def test_multi_emitter_scan_on_chip():
     got = [(float(f), int(l)) for f, l, v in zip(fr, lg, vv)
            if np.isfinite(float(v))][:3]
     assert got == [(f, lag) for f, lag, _ in truths]
+
+
+def test_stein_streaming_lattice_on_chip():
+    """Multi-emitter lattice through the FUSED stein stream compiled on
+    the real chip (per-bin kernel rank + carried windows + exact
+    re-score)."""
+    from caf_cookoff_tpu.models.streaming import StreamingCAF
+
+    rng = np.random.default_rng(5)
+    n, total = 1024, 65536
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = (1e-4 * (rng.standard_normal(total)
+                   + 1j * rng.standard_normal(total))).astype(np.complex64)
+    truths = [(-30.0, 9000, 1.0), (45.0, 40800, 0.8), (10.0, 60000, 0.6)]
+    t = np.arange(n)
+    for f, lag, amp in truths:
+        hay[lag:lag + n] += (amp * needle * np.exp(
+            2j * np.pi * f * t / FS)).astype(np.complex64)
+    freqs = np.arange(-100, 100, 2.5, dtype=np.float32)
+    s = StreamingCAF(needle, freqs, FS, num_peaks=4, backend="stein")
+    for off in range(0, total, 8192):
+        s.process(hay[off:off + 8192])
+    fr, lg, vv = s.peaks()
+    got = [(float(f), int(l)) for f, l, v in zip(fr, lg, vv)
+           if np.isfinite(float(v))][:3]
+    assert got == [(f, lag) for f, lag, _ in truths]
