@@ -36,7 +36,7 @@ FS = 48_000.0
 REPS = 4
 
 
-def _chain(step_fn, make_carry0, iters, reps=REPS):
+def _chain(step_fn, make_carry0, iters, reps=None):
     """Chained step time stats over ``reps`` measurement cycles.
 
     Each cycle pairs one chain(1) with one chain(1+iters) measurement
@@ -50,6 +50,10 @@ def _chain(step_fn, make_carry0, iters, reps=REPS):
     import jax
     import jax.numpy as jnp
     from jax import lax
+
+    # Read the module REPS at CALL time (an early-bound default would
+    # freeze the import-time value and silently ignore --reps).
+    reps = REPS if reps is None else reps
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def chain(n):
@@ -393,7 +397,7 @@ def config5_virtual():
             chunk, lags, "xla")
         return jnp.sum(pk.value) * 1e-30
 
-    stats = _chain(step, lambda: jnp.float32(0), iters=2, reps=2)
+    stats = _chain(step, lambda: jnp.float32(0), iters=2)
     return {"metric": "config5_virtual8_8x64x16384_ms_per_pair",
             "value": _round(None if stats["value"] is None else stats["value"] / pairs, 3), "unit": "ms",
             "mesh": "pair=2 x doppler=2 x time=2 (virtual CPU)",

@@ -284,11 +284,21 @@ def cmd_run(args) -> int:
         t_abs = t_frac + lag_origin
         print(f"Sub-bin estimate: {f_frac:+.4f} Hz, {t_abs:.3f} "
               f"samples ({t_abs / fs * 1e3:.5f} ms)")
+    # Refinement takes SIGNED absolute capture offsets.  Full-haystack
+    # lags already are; the truncated path reports the reference's raw
+    # circular xcor index (wrap region = negative lags), which must be
+    # un-wrapped before it can index the capture.
+    def _signed(raw_lag: int) -> int:
+        if full:
+            return int(raw_lag)
+        xl = xcor_length(n)
+        return int(raw_lag) - xl if int(raw_lag) >= xl - n else int(raw_lag)
+
     if args.refine:
         from caf_cookoff_tpu.ops.refine import refine_peak
 
         f_ref, t_ref, v_ref = refine_peak(
-            needle, haystack_full, freq, lag, fs,
+            needle, haystack_full, freq, _signed(lag), fs,
             coarse_step_hz=args.freq_step,
             backend=_split_fft_tier(backend))
         print(f"Refined estimate: {f_ref:+.4f} Hz, {t_ref:.4f} "
@@ -297,7 +307,7 @@ def cmd_run(args) -> int:
         from caf_cookoff_tpu.ops.refine import refine_peak_rate
 
         f2, r2, t2, _ = refine_peak_rate(
-            needle, haystack_full, freq, lag, fs,
+            needle, haystack_full, freq, _signed(lag), fs,
             coarse_step_hz=args.freq_step,
             backend=_split_fft_tier(backend))
         print(f"Second-order estimate: {f2:+.4f} Hz "
@@ -324,8 +334,11 @@ def cmd_run(args) -> int:
         else:
             pks = find_peaks(surface, args.num_peaks,
                              exclude_freq=excl_f, exclude_lag=excl_l)
+            # Raw circular surface columns un-wrap to SIGNED lags:
+            # a wrap-region peak (capture leading the needle) is a
+            # negative lag, not a huge positive one.
             rows = [(float(freqs[int(pks.freq_idx[i])]),
-                     int(pks.lag_idx[i]) + lag_origin,
+                     _signed(int(pks.lag_idx[i])) + lag_origin,
                      float(pks.value[i]))
                     for i in range(args.num_peaks)]
         for i, (f_hz, lag_i, val) in enumerate(rows):
@@ -518,6 +531,11 @@ def cmd_batch(args) -> int:
     if any(len(c) < n for c in captures):
         print("error: capture shorter than needle", file=sys.stderr)
         return 2
+    # --refine reads capture bytes past any engine truncation: keep the
+    # originals, padded to one length (zeros past each capture's end).
+    pad_all = max(c_lens)
+    captures_full = np.stack([np.pad(c, (0, pad_all - len(c)))
+                              for c in captures])
     try:
         if full:
             if any(len(c) <= n for c in captures):
@@ -591,12 +609,21 @@ def cmd_batch(args) -> int:
             for i in range(len(needles))]
     refined = None
     if args.refine:
+        from caf_cookoff_tpu.config import xcor_length
         from caf_cookoff_tpu.ops.refine import refine_peaks
 
-        # One vmapped zoom program over the whole batch.  Captures were
-        # already equalized (padded or truncated) by the engine prep.
+        # One vmapped zoom program over the whole batch, against the
+        # UNTRUNCATED captures (the engines may have cut to needle
+        # length; refine must read past that).  Truncated-mode raw
+        # circular lags un-wrap to signed capture offsets first.
+        if full:
+            lags_signed = np.asarray(lg, np.int64)
+        else:
+            xl = xcor_length(n)
+            raw = np.asarray(lg, np.int64)
+            lags_signed = np.where(raw >= xl - n, raw - xl, raw)
         f_ref, t_ref, _ = refine_peaks(
-            np.stack(needles), np.stack(captures), fr, lg, fs,
+            np.stack(needles), captures_full, fr, lags_signed, fs,
             coarse_step_hz=args.freq_step,
             backend=_split_fft_tier(backend))
         refined = list(zip(f_ref.tolist(), t_ref.tolist()))

@@ -90,22 +90,44 @@ def _zoom_argmax(z_re, z_im, center, span0, t, points, iters):
     return center, value
 
 
+def _extract_window(h_re, h_im, lag: int, n: int):
+    """Host-side (n + 2*GUARD,) window covering capture samples
+    [lag-GUARD, lag+n+GUARD), zero-filled outside the capture.
+
+    Returns ``(w_re, w_im, start)`` with ``start = lag - GUARD``
+    (window sample ``i`` is capture sample ``start + i``; ``start`` may
+    be negative for early lags).  Doing this on the host keeps the jit
+    operand a fixed small shape — one executable serves every lag and
+    capture length, nothing capture-sized crosses to the device, and a
+    too-short capture can never mis-align a clamped device-side slice.
+    """
+    win_len = n + 2 * GUARD
+    start = int(lag) - GUARD
+    w_re = np.zeros(win_len, h_re.dtype)
+    w_im = np.zeros(win_len, h_im.dtype)
+    lo = max(start, 0)
+    hi = min(start + win_len, int(h_re.shape[-1]))
+    if hi > lo:
+        w_re[lo - start:hi - start] = h_re[lo:hi]
+        w_im[lo - start:hi - start] = h_im[lo:hi]
+    return w_re, w_im, start
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "win_len", "backend", "points", "iters"))
-def _refine_jit(n_re, n_im, h_re, h_im, f0, lag0, coarse_step,
-                sample_rate, n, win_len, backend, points, iters):
+    static_argnames=("n", "backend", "points", "iters"))
+def _refine_jit(n_re, n_im, w_re, w_im, f0, coarse_step,
+                sample_rate, n, backend, points, iters):
+    """Core zoom on a pre-extracted window (the coarse lag sits at
+    window-local position GUARD by construction)."""
     dtype = n_re.dtype
     fs = jnp.asarray(sample_rate, dtype)
-    length = h_re.shape[-1]
-    start = jnp.clip(lag0 - GUARD, 0, max(length - win_len, 0))
-    w_re, w_im = (jax.lax.dynamic_slice(p, (start,), (win_len,))
-                  for p in (h_re, h_im))
-    tau0 = (lag0 - start).astype(dtype)        # coarse lag, window-local
+    win_len = w_re.shape[-1]
+    tau0 = jnp.asarray(float(GUARD), dtype)    # coarse lag, window-local
 
     # --- FDOA zoom on the product signal at the coarse (integer) lag.
-    g_re = jax.lax.dynamic_slice(w_re, (lag0 - start,), (n,))
-    g_im = jax.lax.dynamic_slice(w_im, (lag0 - start,), (n,))
+    g_re = w_re[GUARD:GUARD + n]
+    g_im = w_im[GUARD:GUARD + n]
     # z = conj(needle) * window_at_lag
     z_re = n_re * g_re + n_im * g_im
     z_im = n_re * g_im - n_im * g_re
@@ -153,12 +175,18 @@ def _refine_jit(n_re, n_im, h_re, h_im, f0, lag0, coarse_step,
     f_hat, _ = _zoom_argmax(z2_re, z2_im, f_hat,
                             jnp.asarray(coarse_step / 16.0, dtype),
                             t_sec, points, 2)
+    # Precision floor note: near the vertex the relative |Z(f)|^2
+    # curvature per delta-f scales with (pi*df*T)^2, so for SHORT
+    # windows it drops below f32 epsilon and the zoom saturates at
+    # ~1e-4 of an fs/n bin (n=512: ~0.02 Hz; n=4096: ~1e-3 Hz — well
+    # inside the golden contract).  A Kay/phase-slope correction was
+    # tried and measured NO better: its lag-1 autocorrelation sum hits
+    # the same f32 accumulation floor (~2e-6 relative over 4k terms).
 
     inv_m = 1.0 / m
-    # ``start`` returns as an int so the caller composes the absolute
-    # fractional lag in f64 — at capture lags past 2^24 an f32 sum
-    # would eat the fractional part.
-    return f_hat, start, tau_hat, value * (inv_m * inv_m)
+    # tau_hat is window-local; the caller composes start + tau in f64
+    # (at capture lags past 2^24 an f32 sum would eat the fraction).
+    return f_hat, tau_hat, value * (inv_m * inv_m)
 
 
 def refine_peak(needle, haystack, freq_hz: float, lag: int, sample_rate,
@@ -171,36 +199,28 @@ def refine_peak(needle, haystack, freq_hz: float, lag: int, sample_rate,
     ``freq_hz``/``lag`` are any engine's grid-snapped answer;
     ``coarse_step_hz`` is the grid step the answer came from (the zoom's
     initial bracket; defaults to 0.5 Hz, the reference bench grid).
-    Returns ``(freq_hz, lag_samples, value)`` floats — lag is now
-    fractional; ``value`` is the exact ``|r|^2`` at the refined point.
+    ``lag`` is a SIGNED absolute capture offset (negative = the copy
+    starts before the capture; convert raw circular xcor indices with
+    :func:`caf_cookoff_tpu.ops.peak.signed_lag` first).  Returns
+    ``(freq_hz, lag_samples, value)`` floats — lag is now fractional;
+    ``value`` is the exact ``|r|^2`` at the refined point.
 
-    Accuracy on the 10 golden fixtures: <=1e-3 Hz and <=0.02 samples
-    against the injected truth (tests/test_refine.py) — two orders
-    past the <=0.01 Hz / <=0.1 sample targets, vs the reference's
-    half-grid-bin snapping (``caf_rust/tests/test.rs:162`` calls
-    +35.99 Hz "36.0").
+    Accuracy on the 10 golden fixtures: <=1e-2 Hz and <=2e-3 samples
+    against the injected truth (tests/test_refine.py), vs the
+    reference's half-grid-bin snapping (``caf_rust/tests/test.rs:162``
+    calls +35.99 Hz "36.0").
     """
     backend = backend or default_backend()
     n_re, n_im = splitfft.split_array(needle)
     h_re, h_im = splitfft.split_array(haystack)
     n = int(n_re.shape[-1])
-    # Guarantee the window fully covers [lag-GUARD, lag+n+GUARD): a
-    # capture whose tail truncates the copy is zero-extended — without
-    # this, the in-jit dynamic_slice would CLAMP and silently correlate
-    # against a misaligned window.
-    need = int(lag) + n + GUARD
-    if h_re.shape[-1] < need:
-        pad = need - h_re.shape[-1]
-        h_re = np.pad(h_re, (0, pad))
-        h_im = np.pad(h_im, (0, pad))
-    win_len = n + 2 * GUARD
+    w_re, w_im, start = _extract_window(h_re, h_im, int(lag), n)
     step = 0.5 if coarse_step_hz is None else float(coarse_step_hz)
-    f_hat, start, tau_hat, value = _refine_jit(
-        jnp.asarray(n_re), jnp.asarray(n_im), jnp.asarray(h_re),
-        jnp.asarray(h_im), jnp.asarray(float(freq_hz), n_re.dtype),
-        jnp.asarray(int(lag), jnp.int32), step, float(sample_rate),
-        n, win_len, backend, int(points), int(iters))
-    return float(f_hat), int(start) + float(tau_hat), float(value)
+    f_hat, tau_hat, value = _refine_jit(
+        jnp.asarray(n_re), jnp.asarray(n_im), jnp.asarray(w_re),
+        jnp.asarray(w_im), jnp.asarray(float(freq_hz), n_re.dtype),
+        step, float(sample_rate), n, backend, int(points), int(iters))
+    return float(f_hat), start + float(tau_hat), float(value)
 
 
 def _joint_freq_rate_scores(z_re, z_im, t_sec, f_grid, r_grid):
@@ -245,18 +265,15 @@ def _zoom_freq_rate(z_re, z_im, t_sec, f0, f_span, r0, r_span, points,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "win_len", "backend", "points", "iters"))
-def _refine_rate_jit(n_re, n_im, h_re, h_im, f0, lag0, coarse_step,
-                     max_rate, sample_rate, n, win_len, backend, points,
+    static_argnames=("n", "backend", "points", "iters"))
+def _refine_rate_jit(n_re, n_im, w_re, w_im, f0, coarse_step,
+                     max_rate, sample_rate, n, backend, points,
                      iters):
     dtype = n_re.dtype
     fs = jnp.asarray(sample_rate, dtype)
-    length = h_re.shape[-1]
-    start = jnp.clip(lag0 - GUARD, 0, max(length - win_len, 0))
-    w_re, w_im = (jax.lax.dynamic_slice(p, (start,), (win_len,))
-                  for p in (h_re, h_im))
-    g_re = jax.lax.dynamic_slice(w_re, (lag0 - start,), (n,))
-    g_im = jax.lax.dynamic_slice(w_im, (lag0 - start,), (n,))
+    win_len = w_re.shape[-1]
+    g_re = w_re[GUARD:GUARD + n]
+    g_im = w_im[GUARD:GUARD + n]
     z_re = n_re * g_re + n_im * g_im
     z_im = n_re * g_im - n_im * g_re
     t_sec = jnp.arange(n, dtype=dtype) / fs
@@ -288,12 +305,12 @@ def _refine_rate_jit(n_re, n_im, h_re, h_im, f0, lag0, coarse_step,
     c_re, c_im = splitfft.cmul_conj(wf, yf)
     k = jnp.arange(m, dtype=dtype)
     k = jnp.where(k < m / 2, k, k - m)
-    tau0 = (lag0 - start).astype(dtype)
+    tau0 = jnp.asarray(float(GUARD), dtype)
     tau_hat, value = _zoom_argmax(c_re, -c_im, tau0,
                                   jnp.asarray(float(GUARD), dtype),
                                   k / m, points, iters)
     inv_m = 1.0 / m
-    return f_hat, r_hat, start, tau_hat, value * (inv_m * inv_m)
+    return f_hat, r_hat, tau_hat, value * (inv_m * inv_m)
 
 
 def refine_peak_rate(needle, haystack, freq_hz: float, lag: int,
@@ -326,36 +343,30 @@ def refine_peak_rate(needle, haystack, freq_hz: float, lag: int,
     n_re, n_im = splitfft.split_array(needle)
     h_re, h_im = splitfft.split_array(haystack)
     n = int(n_re.shape[-1])
-    need = int(lag) + n + GUARD
-    if h_re.shape[-1] < need:
-        pad = need - h_re.shape[-1]
-        h_re = np.pad(h_re, (0, pad))
-        h_im = np.pad(h_im, (0, pad))
-    win_len = n + 2 * GUARD
+    w_re, w_im, start = _extract_window(h_re, h_im, int(lag), n)
     step = 0.5 if coarse_step_hz is None else float(coarse_step_hz)
     if max_rate_hz_per_s is None:
         duration = n / float(sample_rate)
         max_rate_hz_per_s = step / duration
-    f_hat, r_hat, start, tau_hat, value = _refine_rate_jit(
-        jnp.asarray(n_re), jnp.asarray(n_im), jnp.asarray(h_re),
-        jnp.asarray(h_im), jnp.asarray(float(freq_hz), n_re.dtype),
-        jnp.asarray(int(lag), jnp.int32), step,
-        float(max_rate_hz_per_s), float(sample_rate), n, win_len,
+    f_hat, r_hat, tau_hat, value = _refine_rate_jit(
+        jnp.asarray(n_re), jnp.asarray(n_im), jnp.asarray(w_re),
+        jnp.asarray(w_im), jnp.asarray(float(freq_hz), n_re.dtype),
+        step, float(max_rate_hz_per_s), float(sample_rate), n,
         backend, int(points), int(iters))
-    return (float(f_hat), float(r_hat), int(start) + float(tau_hat),
+    return (float(f_hat), float(r_hat), start + float(tau_hat),
             float(value))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "win_len", "backend", "points", "iters"))
-def _refine_batch_jit(ns_re, ns_im, hs_re, hs_im, f0s, lag0s, coarse_step,
-                      sample_rate, n, win_len, backend, points, iters):
+    static_argnames=("n", "backend", "points", "iters"))
+def _refine_batch_jit(ns_re, ns_im, ws_re, ws_im, f0s, coarse_step,
+                      sample_rate, n, backend, points, iters):
     return jax.vmap(
-        lambda nr, ni, hr, hi, f0, l0: _refine_jit.__wrapped__(
-            nr, ni, hr, hi, f0, l0, coarse_step, sample_rate, n,
-            win_len, backend, points, iters)
-    )(ns_re, ns_im, hs_re, hs_im, f0s, lag0s)
+        lambda nr, ni, wr, wi, f0: _refine_jit.__wrapped__(
+            nr, ni, wr, wi, f0, coarse_step, sample_rate, n,
+            backend, points, iters)
+    )(ns_re, ns_im, ws_re, ws_im, f0s)
 
 
 def refine_peaks(needles, haystacks, freqs_hz, lags, sample_rate, *,
@@ -372,21 +383,21 @@ def refine_peaks(needles, haystacks, freqs_hz, lags, sample_rate, *,
     ns_re, ns_im = splitfft.split_array(np.asarray(needles))
     hs_re, hs_im = splitfft.split_array(np.asarray(haystacks))
     n = int(ns_re.shape[-1])
-    # Zero-extend so every pair's window covers its coarse lag fully
-    # (see refine_peak; the batch pads to the worst lag).
-    need = int(np.max(np.asarray(lags))) + n + GUARD
-    if hs_re.shape[-1] < need:
-        pad = need - hs_re.shape[-1]
-        hs_re = np.pad(hs_re, ((0, 0), (0, pad)))
-        hs_im = np.pad(hs_im, ((0, 0), (0, pad)))
-    win_len = n + 2 * GUARD
+    # Per-pair window extraction on the host (fixed small jit shapes;
+    # negative/short-capture lags zero-fill, never mis-align).
+    ws_re, ws_im, starts = [], [], []
+    for i, lag in enumerate(np.asarray(lags).astype(np.int64)):
+        wr, wi, st = _extract_window(hs_re[i], hs_im[i], int(lag), n)
+        ws_re.append(wr)
+        ws_im.append(wi)
+        starts.append(st)
     step = 0.5 if coarse_step_hz is None else float(coarse_step_hz)
-    f_hat, start, tau_hat, value = _refine_batch_jit(
-        jnp.asarray(ns_re), jnp.asarray(ns_im), jnp.asarray(hs_re),
-        jnp.asarray(hs_im),
-        jnp.asarray(np.asarray(freqs_hz, ns_re.dtype)),
-        jnp.asarray(np.asarray(lags, np.int32)), step,
-        float(sample_rate), n, win_len, backend, int(points), int(iters))
+    f_hat, tau_hat, value = _refine_batch_jit(
+        jnp.asarray(ns_re), jnp.asarray(ns_im),
+        jnp.asarray(np.stack(ws_re)), jnp.asarray(np.stack(ws_im)),
+        jnp.asarray(np.asarray(freqs_hz, ns_re.dtype)), step,
+        float(sample_rate), n, backend, int(points), int(iters))
     return (np.asarray(f_hat),
-            np.asarray(start, np.float64) + np.asarray(tau_hat, np.float64),
+            np.asarray(starts, np.float64) + np.asarray(tau_hat,
+                                                        np.float64),
             np.asarray(value))

@@ -112,12 +112,113 @@ def test_refine_peaks_batched_matches_scalar(fixture_truths):
         assert abs(lg[i] - gt.lag_samples) <= 0.1
         scalar = refine_peak(needles[i], hays[i], f0s[i], lag0s[i],
                              FS, coarse_step_hz=0.5, backend="xla")
-        assert abs(fr[i] - scalar[0]) <= 2e-3
-        assert abs(lg[i] - scalar[1]) <= 2e-3
+        # vmapped and scalar programs lower differently (batched FFTs
+        # and dots accumulate in different orders); each sits within
+        # its own f32 zoom floor (~1e-3 Hz at n=4096).
+        assert abs(fr[i] - scalar[0]) <= 5e-3
+        assert abs(lg[i] - scalar[1]) <= 5e-3
+
+
+def test_refine_short_capture_and_negative_lag():
+    """Code-review regressions: a needle-length capture with lag 0 must
+    not crash (window extraction used to dynamic_slice past the
+    operand), and a NEGATIVE signed lag (capture leads the needle) must
+    refine against the correctly-aligned window rather than a clamped,
+    misaligned one."""
+    rng = np.random.default_rng(11)
+    n = 512
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    t = np.arange(n)
+
+    # Exactly needle-length capture, lag 0.
+    hay0 = (needle * np.exp(2j * np.pi * 25.0 * t / FS)).astype(
+        np.complex64)
+    f_hat, tau_hat, _ = refine_peak(needle, hay0, 25.0, 0, FS,
+                                    coarse_step_hz=0.5, backend="xla")
+    assert abs(f_hat - 25.0) <= 0.01 and abs(tau_hat) <= 0.01
+
+    # Negative lag: the capture starts 5 samples INTO the needle.
+    lag_true = -5
+    hay_neg = (needle[-lag_true:] * np.exp(
+        2j * np.pi * 10.3 * t[-lag_true:] / FS)).astype(np.complex64)
+    f_hat, tau_hat, _ = refine_peak(needle, hay_neg, 10.5, lag_true, FS,
+                                    coarse_step_hz=0.5, backend="xla")
+    assert abs(f_hat - 10.3) <= 0.02
+    assert abs(tau_hat - lag_true) <= 0.05
+
+
+def test_cli_refine_unwraps_circular_lag(tmp_path, capsys):
+    """Truncated-mode coarse lags are RAW circular xcor indices; the
+    CLI must un-wrap the wrap region (negative true lag) before
+    refining — it used to feed the huge positive index straight in and
+    print a noise fit."""
+    from caf_cookoff_tpu.cli import main
+    from caf_cookoff_tpu.config import xcor_length
+    from caf_cookoff_tpu.models.filterbank import caf_peak
+    from caf_cookoff_tpu.utils.io import write_c64
+
+    rng = np.random.default_rng(13)
+    n, lag_true, f_true = 1024, -7, 20.25
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    t = np.arange(n + lag_true)
+    hay = np.zeros(n, np.complex64)
+    hay[: n + lag_true] = (needle[-lag_true:] * np.exp(
+        2j * np.pi * f_true * t / FS)).astype(np.complex64)
+    hay += (1e-4 * (rng.standard_normal(n)
+                    + 1j * rng.standard_normal(n))).astype(np.complex64)
+    freqs = np.arange(-100, 100, 0.25, dtype=np.float32)
+    _, raw_lag, _ = caf_peak(needle, hay, freqs, FS, backend="xla")
+    assert raw_lag == xcor_length(n) + lag_true     # the wrap index
+    write_c64(str(tmp_path / "n.c64"), needle)
+    write_c64(str(tmp_path / "h.c64"), hay)
+    rc = main(["run", str(tmp_path / "n.c64"), str(tmp_path / "h.c64"),
+               "--freq-step", "0.25", "--refine"])
+    assert rc == 0
+    line = [ln for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("Refined estimate:")][0]
+    f_ref = float(line.split()[2])
+    t_ref = float(line.split()[4])
+    assert abs(f_ref - f_true) <= 0.02
+    assert abs(t_ref - lag_true) <= 0.05
+
+
+def test_cli_batch_refine_reads_past_truncation(tmp_path, capsys):
+    """batch --refine (non-full) must refine against the UNTRUNCATED
+    captures: with a capture 2n long and lag past the guard, the
+    truncated window loses the copy's tail and degrades the estimate."""
+    import json
+
+    from caf_cookoff_tpu.cli import main
+    from caf_cookoff_tpu.utils.io import write_c64
+
+    rng = np.random.default_rng(17)
+    n, lag_true, f_true = 1024, 300, -41.37
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = (1e-4 * (rng.standard_normal(2 * n)
+                   + 1j * rng.standard_normal(2 * n))).astype(np.complex64)
+    t = np.arange(n)
+    hay[lag_true:lag_true + n] += (needle * np.exp(
+        2j * np.pi * f_true * t / FS)).astype(np.complex64)
+    write_c64(str(tmp_path / "n.c64"), needle)
+    write_c64(str(tmp_path / "h.c64"), hay)
+    rc = main(["batch", f"{tmp_path}/n.c64:{tmp_path}/h.c64",
+               "--freq-step", "0.25", "--refine", "--json"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out)[0]
+    assert abs(rec["refined_freq_hz"] - f_true) <= 0.01
+    assert abs(rec["refined_lag_samples"] - lag_true) <= 0.05
 
 
 def test_refine_near_capture_edges():
-    """Coarse lags at the very start/end of the capture stay in range."""
+    """Coarse lags at the very start/end of the capture stay in range.
+
+    Frequency tolerance is the SHORT-window f32 floor, not the golden
+    contract: at n=512 the |Z|^2 curvature per mHz falls below f32
+    epsilon and the zoom saturates ~1e-4 of the (fs/n = 93 Hz) bin
+    (see the note in ops/refine._refine_jit)."""
     rng = np.random.default_rng(11)
     n, total = 512, 4096
     needle = (rng.standard_normal(n)
@@ -130,7 +231,7 @@ def test_refine_near_capture_edges():
             2j * np.pi * 25.0 * t / FS)).astype(np.complex64)
         f_hat, tau_hat, _ = refine_peak(needle, hay, 25.0, lag, FS,
                                         coarse_step_hz=0.5, backend="xla")
-        assert abs(f_hat - 25.0) <= 0.01
+        assert abs(f_hat - 25.0) <= 0.05
         assert abs(tau_hat - lag) <= 0.05
 
 
