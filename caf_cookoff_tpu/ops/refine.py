@@ -266,7 +266,7 @@ def _zoom_freq_rate(z_re, z_im, t_sec, f0, f_span, r0, r_span, points,
 @functools.partial(
     jax.jit,
     static_argnames=("n", "backend", "points", "iters"))
-def _refine_rate_jit(n_re, n_im, w_re, w_im, f0, coarse_step,
+def _refine_rate_jit(n_re, n_im, w_re, w_im, f0, r0, coarse_step,
                      max_rate, sample_rate, n, backend, points,
                      iters):
     dtype = n_re.dtype
@@ -285,9 +285,13 @@ def _refine_rate_jit(n_re, n_im, w_re, w_im, f0, coarse_step,
     # back to the window-start convention afterwards.
     half_t = t_sec[-1] * 0.5
     t_c = t_sec - half_t
+    # f0 arrives in the window-START convention; the centered-time zoom
+    # parameterizes the MID-window frequency, so the bracket centers at
+    # f0 + r0*T/2 (for the default r0=0 the two coincide).
+    f_mid0 = f0 + r0 * half_t
     f_mid, r_hat, _ = _zoom_freq_rate(
-        z_re, z_im, t_c, f0, jnp.asarray(coarse_step, dtype),
-        jnp.asarray(0.0, dtype), jnp.asarray(max_rate, dtype), points,
+        z_re, z_im, t_c, f_mid0, jnp.asarray(coarse_step, dtype),
+        r0, jnp.asarray(max_rate, dtype), points,
         iters)
     f_hat = f_mid - r_hat * half_t
 
@@ -315,6 +319,7 @@ def _refine_rate_jit(n_re, n_im, w_re, w_im, f0, coarse_step,
 
 def refine_peak_rate(needle, haystack, freq_hz: float, lag: int,
                      sample_rate, *,
+                     rate0_hz_per_s: float = 0.0,
                      max_rate_hz_per_s: Optional[float] = None,
                      coarse_step_hz: Optional[float] = None,
                      backend: Optional[str] = None,
@@ -334,9 +339,14 @@ def refine_peak_rate(needle, haystack, freq_hz: float, lag: int,
     matmuls on static shapes) recovers both, then the fractional-lag
     zoom runs with the full second-order model applied to the needle.
 
-    ``max_rate_hz_per_s`` brackets the rate search; the default is one
-    coarse frequency step of drift over the needle duration (the most
-    a sweep can do before the coarse engine's peak moves off its bin).
+    ``rate0_hz_per_s`` centers the rate bracket (pass the dechirp-bank
+    coarse answer, :func:`caf_cookoff_tpu.models.rate.rate_caf_peak`,
+    for large sweeps); ``max_rate_hz_per_s`` is its half-width — the
+    default is one coarse frequency step of drift over the needle
+    duration (the most a sweep can do before a FIRST-order engine's
+    peak moves off its bin; chain from the rate bank with half-width =
+    one rate-grid step instead).  ``freq_hz`` uses the window-START
+    convention throughout.
     Returns ``(freq_hz, rate_hz_per_s, lag_samples, value)``.
     """
     backend = backend or default_backend()
@@ -351,6 +361,7 @@ def refine_peak_rate(needle, haystack, freq_hz: float, lag: int,
     f_hat, r_hat, tau_hat, value = _refine_rate_jit(
         jnp.asarray(n_re), jnp.asarray(n_im), jnp.asarray(w_re),
         jnp.asarray(w_im), jnp.asarray(float(freq_hz), n_re.dtype),
+        jnp.asarray(float(rate0_hz_per_s), n_re.dtype),
         step, float(max_rate_hz_per_s), float(sample_rate), n,
         backend, int(points), int(iters))
     return (float(f_hat), float(r_hat), start + float(tau_hat),
