@@ -303,7 +303,33 @@ def cmd_run(args) -> int:
             backend=_split_fft_tier(backend))
         print(f"Refined estimate: {f_ref:+.4f} Hz, {t_ref:.4f} "
               f"samples ({t_ref / fs * 1e3:.6f} ms)")
-    if args.rate:
+    if args.rate_grid:
+        # Hard sweeps (first-order surface smeared): coarse dechirp
+        # bank, then the joint refine bracketed at the bank's answer.
+        from caf_cookoff_tpu.models.rate import rate_caf_peak
+        from caf_cookoff_tpu.ops.refine import refine_peak_rate
+
+        try:
+            r0s, r1s, rss = args.rate_grid.split(":")
+            rates = np.arange(float(r0s), float(r1s) + 1e-9, float(rss))
+        except ValueError:
+            print(f"error: --rate-grid wants START:STOP:STEP, got "
+                  f"{args.rate_grid!r}", file=sys.stderr)
+            return 2
+        r_c, f_c, lag_c, v_c = rate_caf_peak(
+            needle, haystack[: len(needle)], freqs, rates, fs,
+            backend=backend)
+        print(f"Rate-bank peak: {f_c:+.3f} Hz {r_c:+.1f} Hz/s "
+              f"@ lag {lag_c} ({v_c:.5g})")
+        f2, r2, t2, _ = refine_peak_rate(
+            needle, haystack_full, f_c, _signed(lag_c), fs,
+            rate0_hz_per_s=r_c,
+            max_rate_hz_per_s=float(rss),
+            coarse_step_hz=args.freq_step,
+            backend=_split_fft_tier(backend))
+        print(f"Second-order estimate: {f2:+.4f} Hz "
+              f"{r2:+.3f} Hz/s @ {t2:.4f} samples")
+    elif args.rate:
         from caf_cookoff_tpu.ops.refine import refine_peak_rate
 
         f2, r2, t2, _ = refine_peak_rate(
@@ -846,6 +872,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also estimate a linear doppler RATE (Hz/s) "
                    "via the second-order (freq, rate, lag) zoom — "
                    "capability past the reference's first-order model")
+    r.add_argument("--rate-grid", metavar="START:STOP:STEP",
+                   help="hard sweeps: coarse dechirp-bank search over "
+                   "this rate grid (Hz/s) first, then the joint refine "
+                   "(use when the sweep smears the first-order "
+                   "surface; steps <= 1/T^2)")
     r.add_argument("--num-peaks", type=int, default=1,
                    help="list the N strongest peaks (multi-emitter, "
                    "non-max suppressed)")
