@@ -289,10 +289,10 @@ def cmd_run(args) -> int:
     # circular xcor index (wrap region = negative lags), which must be
     # un-wrapped before it can index the capture.
     def _signed(raw_lag: int) -> int:
-        if full:
-            return int(raw_lag)
-        xl = xcor_length(n)
-        return int(raw_lag) - xl if int(raw_lag) >= xl - n else int(raw_lag)
+        from caf_cookoff_tpu.ops.peak import unwrap_lag
+
+        return int(raw_lag) if full else unwrap_lag(raw_lag,
+                                                    xcor_length(n), n)
 
     if args.refine:
         from caf_cookoff_tpu.ops.refine import refine_peak
@@ -367,6 +367,8 @@ def cmd_run(args) -> int:
                      _signed(int(pks.lag_idx[i])) + lag_origin,
                      float(pks.value[i]))
                     for i in range(args.num_peaks)]
+        if args.refine:
+            from caf_cookoff_tpu.ops.refine import refine_peak
         for i, (f_hz, lag_i, val) in enumerate(rows):
             if not np.isfinite(val):
                 print(f"peak {i + 1}: (no further distinct peaks)")
@@ -375,8 +377,6 @@ def cmd_run(args) -> int:
                     f"@ lag {lag_i:>6d}  ({val:.5g})")
             if args.refine:
                 # One cached executable serves every peak (same shapes).
-                from caf_cookoff_tpu.ops.refine import refine_peak
-
                 f_ref, t_ref, _ = refine_peak(
                     needle, haystack_full, f_hz, lag_i, fs,
                     coarse_step_hz=args.freq_step,
@@ -642,12 +642,13 @@ def cmd_batch(args) -> int:
         # UNTRUNCATED captures (the engines may have cut to needle
         # length; refine must read past that).  Truncated-mode raw
         # circular lags un-wrap to signed capture offsets first.
+        from caf_cookoff_tpu.ops.peak import unwrap_lag
+
         if full:
             lags_signed = np.asarray(lg, np.int64)
         else:
-            xl = xcor_length(n)
-            raw = np.asarray(lg, np.int64)
-            lags_signed = np.where(raw >= xl - n, raw - xl, raw)
+            lags_signed = np.array(
+                [unwrap_lag(v, xcor_length(n), n) for v in lg], np.int64)
         f_ref, t_ref, _ = refine_peaks(
             np.stack(needles), captures_full, fr, lags_signed, fs,
             coarse_step_hz=args.freq_step,

@@ -38,10 +38,11 @@ from caf_cookoff_tpu.config import as_grid, default_backend, xcor_length
 from caf_cookoff_tpu.ops import splitfft
 from caf_cookoff_tpu.ops.peak import (
     CafPeak,
+    concat_peaks,
     find_peak_2d,
     find_peaks,
     merge_peaks,
-    resolution_cell,
+    resolve_exclusions,
 )
 from caf_cookoff_tpu.ops.splitfft import SplitComplex
 
@@ -135,12 +136,8 @@ def streaming_peak(s_conj: SplitComplex, haystack: SplitComplex,
             mag2 = jnp.where(keep, mag2, -jnp.inf)
             cand = find_peaks(mag2, num_peaks, exclude_freq, exclude_lag)
             cand = CafPeak(cand.value, cand.freq_idx, cand.lag_idx + b * v)
-            merged = merge_peaks(
-                CafPeak(jnp.concatenate([best.value, cand.value]),
-                        jnp.concatenate([best.freq_idx, cand.freq_idx]),
-                        jnp.concatenate([best.lag_idx, cand.lag_idx])),
-                num_peaks, exclude_freq, exclude_lag)
-            return merged, None
+            return merge_peaks(concat_peaks(best, cand), num_peaks,
+                               exclude_freq, exclude_lag), None
         mag2 = jnp.where(keep, mag2, -1.0)
         cand = find_peak_2d(mag2)
         cand = CafPeak(cand.value, cand.freq_idx, cand.lag_idx + b * v)
@@ -305,19 +302,16 @@ def batched_overlap_save_peaks_local(needles, haystacks, freqs_hz,
     if haystacks.shape[-1] < n:
         raise ValueError("haystacks shorter than needles")
     lags = num_lags or haystacks.shape[-1] - n + 1
-    freqs = as_grid(freqs_hz, dtype=np.float32)
-    if exclude_freq is None or exclude_lag is None:
-        auto_f, auto_l = resolution_cell(needles[0], freqs, sample_rate)
-        exclude_freq = auto_f if exclude_freq is None else exclude_freq
-        exclude_lag = auto_l if exclude_lag is None else exclude_lag
     ns_re, ns_im = splitfft.split_array(needles)
     hs_re, hs_im = splitfft.split_array(haystacks)
+    freqs = as_grid(freqs_hz, dtype=ns_re.dtype)
+    exclude_freq, exclude_lag = resolve_exclusions(
+        needles[0], freqs, sample_rate, exclude_freq, exclude_lag)
     pk = _os_peaks_batch_jit(
         jnp.asarray(ns_re), jnp.asarray(ns_im), jnp.asarray(hs_re),
-        jnp.asarray(hs_im), jnp.asarray(as_grid(freqs_hz,
-                                                dtype=ns_re.dtype)),
+        jnp.asarray(hs_im), jnp.asarray(freqs),
         float(sample_rate), lags, n, backend, int(num_peaks),
-        int(exclude_freq), int(exclude_lag))
+        exclude_freq, exclude_lag)
     return (np.asarray(freqs)[np.asarray(pk.freq_idx)],
             np.asarray(pk.lag_idx), np.asarray(pk.value))
 
@@ -345,13 +339,10 @@ def overlap_save_peaks(needle, haystack, freqs_hz, sample_rate,
     (n_re, n_im), (h_re, h_im), freqs = _prep(needle, haystack, freqs_hz)
     n = n_re.shape[-1]
     lags = num_lags or h_re.shape[-1] - n + 1
-    if exclude_freq is None or exclude_lag is None:
-        auto_f, auto_l = resolution_cell(needle, freqs, sample_rate)
-        exclude_freq = auto_f if exclude_freq is None else exclude_freq
-        exclude_lag = auto_l if exclude_lag is None else exclude_lag
+    exclude_freq, exclude_lag = resolve_exclusions(
+        needle, freqs, sample_rate, exclude_freq, exclude_lag)
     pk = _os_peaks_jit(n_re, n_im, h_re, h_im, jnp.asarray(freqs),
                        float(sample_rate), lags, n, backend,
-                       int(num_peaks), int(exclude_freq),
-                       int(exclude_lag))
+                       int(num_peaks), exclude_freq, exclude_lag)
     return (np.asarray(freqs)[np.asarray(pk.freq_idx)],
             np.asarray(pk.lag_idx), np.asarray(pk.value))

@@ -30,7 +30,12 @@ from caf_cookoff_tpu.models.overlap_save import (
     streaming_peak,
 )
 from caf_cookoff_tpu.ops import splitfft
-from caf_cookoff_tpu.ops.peak import CafPeak, merge_peaks, resolution_cell
+from caf_cookoff_tpu.ops.peak import (
+    CafPeak,
+    concat_peaks,
+    merge_peaks,
+    resolve_exclusions,
+)
 
 
 @functools.partial(
@@ -92,9 +97,7 @@ def _stream_lattice_step_jit(sc_re, sc_im, tail_re, tail_im, ch_re, ch_im,
                            exclude_freq=exclude_freq,
                            exclude_lag=exclude_lag)
     new_best = merge_peaks(
-        CafPeak(jnp.concatenate([best_value, local.value]),
-                jnp.concatenate([best_freq, local.freq_idx]),
-                jnp.concatenate([best_lag, local.lag_idx])),
+        concat_peaks(CafPeak(best_value, best_freq, best_lag), local),
         num_peaks, exclude_freq, exclude_lag)
     halo = needle_len - 1
     new_tail = tuple(
@@ -227,9 +230,8 @@ def _stein_stream_lattice_step_jit(ws1, ws2, lmat, tail_re, tail_im,
     chunk_bws = jax.vmap(slice_one)(starts_loc)             # (P, 2, carry)
     chunk_starts = base_lag + starts_loc
     # Merge the carried lattice with this chunk's, gathering windows.
-    all_lat = CafPeak(jnp.concatenate([best_value, chunk_lat.value]),
-                      jnp.concatenate([best_freq, chunk_lat.freq_idx]),
-                      jnp.concatenate([best_lag, chunk_lat.lag_idx]))
+    all_lat = concat_peaks(CafPeak(best_value, best_freq, best_lag),
+                           chunk_lat)
     merged, sel = merge_peaks(all_lat, num_peaks, exclude_freq,
                               exclude_lag, return_indices=True)
     all_bws = jnp.concatenate([bws, chunk_bws])             # (2P, 2, c)
@@ -280,13 +282,8 @@ class StreamingCAF:
         self._stein = backend.startswith("stein")
         self._num_peaks = int(num_peaks)
         if self._num_peaks > 1:
-            if exclude_freq is None or exclude_lag is None:
-                auto_f, auto_l = resolution_cell(needle, freqs_hz,
-                                                 sample_rate)
-                exclude_freq = auto_f if exclude_freq is None \
-                    else exclude_freq
-                exclude_lag = auto_l if exclude_lag is None else exclude_lag
-            self._exclude = (int(exclude_freq), int(exclude_lag))
+            self._exclude = resolve_exclusions(
+                needle, freqs_hz, sample_rate, exclude_freq, exclude_lag)
         if backend.startswith(("stein", "pallas")):
             # Engine-level names: the streaming transforms themselves
             # run on a split-FFT tier; 'stein*' flips the fused mode.

@@ -164,6 +164,33 @@ def resolution_cell(needle, freqs_hz, sample_rate) -> Tuple[int, int]:
     return exclude_freq, exclude_lag
 
 
+def resolve_exclusions(needle, freqs_hz, sample_rate,
+                       exclude_freq: Optional[int],
+                       exclude_lag: Optional[int]) -> Tuple[int, int]:
+    """Fill unset NMS exclusion windows from :func:`resolution_cell`
+    (the shared default of every multi-peak entry point)."""
+    if exclude_freq is None or exclude_lag is None:
+        auto_f, auto_l = resolution_cell(needle, freqs_hz, sample_rate)
+        exclude_freq = auto_f if exclude_freq is None else exclude_freq
+        exclude_lag = auto_l if exclude_lag is None else exclude_lag
+    return int(exclude_freq), int(exclude_lag)
+
+
+def unwrap_lag(raw_lag: int, xcor_len: int, needle_len: int) -> int:
+    """Host-side :func:`signed_lag`: convert a raw circular xcor column
+    into a signed sample lag (wrap region → negative)."""
+    raw_lag = int(raw_lag)
+    return raw_lag - xcor_len if raw_lag >= xcor_len - needle_len \
+        else raw_lag
+
+
+def concat_peaks(a: CafPeak, b: CafPeak) -> CafPeak:
+    """Concatenate two candidate lattices along the candidate axis."""
+    return CafPeak(jnp.concatenate([a.value, b.value]),
+                   jnp.concatenate([a.freq_idx, b.freq_idx]),
+                   jnp.concatenate([a.lag_idx, b.lag_idx]))
+
+
 def merge_peaks(candidates: CafPeak, num_peaks: int, exclude_freq: int,
                 exclude_lag: int, return_indices: bool = False):
     """Greedy NMS merge of ``C`` candidate triples → top-``num_peaks``.

@@ -610,7 +610,7 @@ def batched_overlap_save_peaks(needles, haystacks, freqs_hz, sample_rate,
     the first needle's resolution cell (pass explicit values for
     heterogeneous batches).
     """
-    from caf_cookoff_tpu.ops.peak import resolution_cell
+    from caf_cookoff_tpu.ops.peak import resolve_exclusions
 
     needles = np.asarray(needles)
     haystacks = np.asarray(haystacks)
@@ -636,10 +636,8 @@ def batched_overlap_save_peaks(needles, haystacks, freqs_hz, sample_rate,
                    ((0, 0), (0, width - haystacks.shape[-1]))) \
         if width > haystacks.shape[-1] else haystacks[:, :width]
     freqs_np = as_grid(freqs_hz, dtype=np.float32)
-    if exclude_freq is None or exclude_lag is None:
-        auto_f, auto_l = resolution_cell(needles[0], freqs_np, sample_rate)
-        exclude_freq = auto_f if exclude_freq is None else exclude_freq
-        exclude_lag = auto_l if exclude_lag is None else exclude_lag
+    exclude_freq, exclude_lag = resolve_exclusions(
+        needles[0], freqs_np, sample_rate, exclude_freq, exclude_lag)
     ns_re, ns_im = _split_host(needles)
     hs_re, hs_im = _split_host(hay_p)
     freqs_p = pad_axis_to(as_grid(freqs_hz, dtype=ns_re.dtype),
@@ -792,7 +790,7 @@ def sharded_overlap_save_peaks(needle, haystack, freqs_hz, sample_rate,
     windows default to the waveform's resolution cell.  Returns
     ``(freqs (P,), lags (P,), values (P,))``; empty slots ``-inf``.
     """
-    from caf_cookoff_tpu.ops.peak import resolution_cell
+    from caf_cookoff_tpu.ops.peak import resolve_exclusions
 
     backend = backend or default_backend()
     needle = np.asarray(needle)
@@ -810,14 +808,12 @@ def sharded_overlap_save_peaks(needle, haystack, freqs_hz, sample_rate,
     n_re, n_im = _split_host(needle)
     h_re, h_im = _split_host(hay_p)
     freqs_np = as_grid(freqs_hz, dtype=n_re.dtype)
-    if exclude_freq is None or exclude_lag is None:
-        auto_f, auto_l = resolution_cell(needle, freqs_np, sample_rate)
-        exclude_freq = auto_f if exclude_freq is None else exclude_freq
-        exclude_lag = auto_l if exclude_lag is None else exclude_lag
+    exclude_freq, exclude_lag = resolve_exclusions(
+        needle, freqs_np, sample_rate, exclude_freq, exclude_lag)
     freqs_p = pad_axis_to(freqs_np, mesh.shape[AXIS_DOPPLER])
     pk = _os_sharded_peaks_jit(n_re, n_im, h_re, h_im, freqs_p,
                                float(sample_rate), mesh, n, chunk,
                                total_lags, backend, int(num_peaks),
-                               int(exclude_freq), int(exclude_lag))
+                               exclude_freq, exclude_lag)
     return (freqs_p[np.asarray(pk.freq_idx)], np.asarray(pk.lag_idx),
             np.asarray(pk.value))
