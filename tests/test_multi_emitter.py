@@ -307,6 +307,53 @@ def test_batched_three_axis_lattices():
         assert _finite_rows(fr[b], lg[b], vv[b])[:2] == truths[b]
 
 
+@pytest.mark.parametrize("seed", range(5))
+def test_lattice_fuzz_and_mesh_determinism(seed):
+    """Randomized emitters: the lattice recovers every injected emitter
+    whose separation exceeds the resolution cell, and the time/doppler-
+    sharded lattice matches the single-device one EXACTLY (same values,
+    same order) across a mesh — determinism across shardings."""
+    from caf_cookoff_tpu.models.overlap_save import overlap_save_peaks
+    from caf_cookoff_tpu.parallel.mesh import make_mesh
+    from caf_cookoff_tpu.parallel.sharded import sharded_overlap_save_peaks
+
+    rng = np.random.default_rng(100 + seed)
+    n, total = 1024, 49152
+    step = float(rng.choice([1.0, 2.5]))
+    freqs = np.arange(-100, 100, step, dtype=np.float32)
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = (1e-4 * (rng.standard_normal(total)
+                   + 1j * rng.standard_normal(total))).astype(np.complex64)
+    from caf_cookoff_tpu.ops.peak import resolution_cell
+
+    excl_f, excl_l = resolution_cell(needle, freqs, FS)
+    num = int(rng.integers(2, 5))
+    # Emitters separated by > the exclusion cell in BOTH axes.
+    t = np.arange(n)
+    truths = []
+    while len(truths) < num:
+        f = float(freqs[int(rng.integers(5, len(freqs) - 5))])
+        lag = int(rng.integers(0, total - n))
+        if all(abs(f - f2) > (excl_f + 2) * step
+               or abs(lag - l2) > excl_l + 2 for f2, l2 in truths):
+            truths.append((f, lag))
+    amps = np.linspace(1.0, 0.5, num)
+    for amp, (f, lag) in zip(amps, truths):
+        hay[lag:lag + n] += (amp * needle * np.exp(
+            2j * np.pi * f * t / FS)).astype(np.complex64)
+    p = num + 1
+    fr, lg, vv = overlap_save_peaks(needle, hay, freqs, FS, p)
+    got = set(_finite_rows(fr, lg, vv)[:num])
+    assert got == set(truths), (seed, got, truths)
+    mesh = make_mesh(time=2, doppler=2,
+                     devices=jax.devices()[:4])
+    fr2, lg2, vv2 = sharded_overlap_save_peaks(needle, hay, freqs, FS,
+                                               mesh, p)
+    assert fr2.tolist() == fr.tolist()
+    assert lg2.tolist() == lg.tolist()
+
+
 # ---------------------------------------------------------------------------
 # CLI
 # ---------------------------------------------------------------------------

@@ -93,6 +93,25 @@ def test_refine_fractional_delay(lag_true, f_true):
     assert abs(tau_hat - lag_true) <= 1e-3
 
 
+@pytest.mark.parametrize("seed", range(5))
+def test_refine_fuzz(seed):
+    """Randomized (freq, fractional lag): recovery holds across the
+    parameter space, not just the hand-picked cases."""
+    rng = np.random.default_rng(200 + seed)
+    f_true = float(rng.uniform(-95, 95))
+    lag_true = float(rng.uniform(100, 10000)) + float(rng.uniform(0, 1))
+    needle, hay = _fractional_pair(lag_frac=lag_true, f_hz=f_true,
+                                   seed=300 + seed)
+    f0 = round(f_true * 2) / 2
+    f_hat, tau_hat, _ = refine_peak(needle, hay, f0, round(lag_true), FS,
+                                    coarse_step_hz=0.5, backend="xla")
+    # Tolerances = the documented contract (<=0.01 Hz / <=0.1 samples);
+    # typical errors are 10-100x tighter but the f32 zoom floor has a
+    # few-mHz tail at n=4096 (seed 3 measured 8.9e-3 Hz).
+    assert abs(f_hat - f_true) <= 1e-2, (seed, f_hat, f_true)
+    assert abs(tau_hat - lag_true) <= 1e-3, (seed, tau_hat, lag_true)
+
+
 def test_refine_peaks_batched_matches_scalar(fixture_truths):
     """The vmapped batch program returns the per-pair answers."""
     freqs = np.arange(-100, 100, 0.5, dtype=np.float32)
