@@ -7,7 +7,11 @@ channel "communication backend" (SURVEY §2.4): named mesh axes
 halo exchange and pmax/pmin peak reduction over ICI.
 """
 
-from caf_cookoff_tpu.parallel.collectives import global_peak
+from caf_cookoff_tpu.parallel.collectives import (
+    global_peak,
+    global_peaks,
+    global_peaks_batched,
+)
 from caf_cookoff_tpu.parallel.mesh import (
     AXIS_DOPPLER,
     AXIS_PAIR,
@@ -19,11 +23,13 @@ from caf_cookoff_tpu.parallel.mesh import (
 from caf_cookoff_tpu.parallel.sharded import (
     batched_caf_peak,
     batched_overlap_save_peak,
+    batched_overlap_save_peaks,
     estimate_hbm_per_chip,
     sharded_batched_stein_peak,
     sharded_caf_peak,
     sharded_caf_surface,
     sharded_overlap_save_peak,
+    sharded_overlap_save_peaks,
     sharded_stein_peak,
 )
 
@@ -33,14 +39,18 @@ __all__ = [
     "AXIS_TIME",
     "batched_caf_peak",
     "batched_overlap_save_peak",
+    "batched_overlap_save_peaks",
     "default_mesh",
     "estimate_hbm_per_chip",
     "factor_devices",
     "global_peak",
+    "global_peaks",
+    "global_peaks_batched",
     "make_mesh",
     "sharded_batched_stein_peak",
     "sharded_caf_peak",
     "sharded_caf_surface",
     "sharded_overlap_save_peak",
+    "sharded_overlap_save_peaks",
     "sharded_stein_peak",
 ]
