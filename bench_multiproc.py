@@ -127,6 +127,9 @@ def _worker(args) -> None:
     elif args.engine == "time":
         result = _worker_time(jax, jnp, np, P, make_mesh, put, AXIS_TIME,
                               nprocs, chain_stats, args.iters, args.reps)
+    elif args.engine == "pair":
+        result = _worker_pair(jax, jnp, np, P, make_mesh, put, nprocs,
+                              chain_stats, args.iters, args.reps)
     else:
         raise SystemExit(f"unknown engine {args.engine}")
     if pid == 0:
@@ -215,12 +218,97 @@ def _worker_doppler(jax, jnp, np, P, make_mesh, put, AXIS_DOPPLER, nprocs,
     comp = chain_stats(lambda k: chain_comp(
         g_nre, g_nim, g_hre, g_him, g_freqs, k), fetch_comp, iters, reps)
     return {
-        "engine": "doppler_strong_400x8192", "n": nprocs,
+        "engine": "doppler_strong_400x8192", "n": nprocs, "mode": "strong",
         "full": full, "compute": comp,
         "collective_ms": round(full["value"] - comp["value"], 3),
         # pmax + 2 pmin on (value, freq, lag) triples: 3 reductions of
         # one 4-byte scalar per device per step.
         "wire_bytes_per_step": 3 * 4 * nprocs,
+    }
+
+
+def _worker_pair(jax, jnp, np, P, make_mesh, put, nprocs, chain_stats,
+                 iters, reps):
+    """WEAK scaling: 2 pairs per process (batch grows with N), pure
+    data parallelism over the ``pair`` axis — zero collectives, so
+    efficiency(N) = T(1)/T(N) reads the harness's own noise floor."""
+    import functools
+
+    from caf_cookoff_tpu.config import xcor_length
+    from caf_cookoff_tpu.models.filterbank import _surface_rows_split
+    from caf_cookoff_tpu.ops import splitfft
+    from caf_cookoff_tpu.ops.peak import find_peak_2d
+    from caf_cookoff_tpu.parallel.mesh import AXIS_PAIR
+    from caf_cookoff_tpu.parallel.sharded import _batched_peak_jit
+
+    per_proc, n, k = 2, 4096, 64
+    batch = per_proc * nprocs
+    freqs_np = np.linspace(-100, 100, k, endpoint=False).astype(np.float32)
+    rng = np.random.default_rng(9)
+    truths = [(float(freqs_np[5 + 2 * b]), 50 + 3 * b)
+              for b in range(batch)]
+    needles = (rng.standard_normal((batch, n))
+               + 1j * rng.standard_normal((batch, n))).astype(np.complex64)
+    hays = np.zeros((batch, n), np.complex64)
+    t = np.arange(n)
+    for b, (f, lag) in enumerate(truths):
+        hays[b, lag:] = (needles[b] * np.exp(
+            2j * np.pi * f * t / FS)).astype(np.complex64)[: n - lag]
+    mesh = make_mesh(pair=nprocs)
+    ns = splitfft.split_array(needles)
+    hs = splitfft.split_array(hays)
+    xl = xcor_length(n)
+    g_ns = tuple(put(p, mesh, P(AXIS_PAIR)) for p in ns)
+    g_hs = tuple(put(p, mesh, P(AXIS_PAIR)) for p in hs)
+    g_freqs = put(freqs_np, mesh, P())
+    # Gate: each process checks its ADDRESSABLE pair shard (a global
+    # fetch would need an allgather in multi-controller mode).
+    pk = _batched_peak_jit(*g_ns, *g_hs, put(freqs_np, mesh, P()), FS,
+                           mesh, xl, "xla")
+    for shard in pk.lag_idx.addressable_shards:
+        b0 = shard.index[0].start or 0
+        for i, got_lag in enumerate(np.asarray(shard.data)):
+            b = b0 + i
+            assert int(got_lag) == truths[b][1], (b, got_lag, truths[b])
+    for shard in pk.freq_idx.addressable_shards:
+        b0 = shard.index[0].start or 0
+        for i, fidx in enumerate(np.asarray(shard.data)):
+            b = b0 + i
+            assert float(freqs_np[int(fidx)]) == truths[b][0], (
+                b, freqs_np[int(fidx)], truths[b])
+
+    def body(ns_re, ns_im, hs_re, hs_im, freqs, carry):
+        pk = jax.vmap(
+            lambda nr, ni, hr, hi: find_peak_2d(splitfft.mag2(
+                _surface_rows_split((nr + carry[0], ni), (hr, hi), freqs,
+                                    FS, xl, "xla")))
+        )(ns_re, ns_im, hs_re, hs_im)
+        return pk.value * 1e-30                      # (B_loc,) sharded
+
+    sm = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(AXIS_PAIR), P(AXIS_PAIR), P(AXIS_PAIR), P(AXIS_PAIR),
+                  P(), P(AXIS_PAIR)),
+        out_specs=P(AXIS_PAIR))
+
+    @functools.partial(jax.jit, static_argnames=("kk",))
+    def chain(nsr, nsi, hsr, hsi, fr_, kk):
+        def step(c, _):
+            return sm(nsr, nsi, hsr, hsi, fr_, c), None
+
+        out, _ = jax.lax.scan(step, jnp.zeros(batch, ns[0].dtype), None,
+                              length=kk)
+        return out
+
+    fetch = lambda out: np.asarray(out.addressable_shards[0].data)
+    stats = chain_stats(
+        lambda kk: chain(*g_ns, *g_hs, g_freqs, kk), fetch, iters, reps)
+    return {
+        "engine": f"pair_weak_{per_proc}perproc_{k}x{2 * n}", "n": nprocs,
+        "mode": "weak",
+        "full": stats, "compute": stats,
+        "collective_ms": 0.0,
+        "wire_bytes_per_step": 0,
     }
 
 
@@ -335,6 +423,7 @@ def _worker_time(jax, jnp, np, P, make_mesh, put, AXIS_TIME, nprocs,
         g_nre, g_nim, g_hre, g_him, g_freqs, kk), fetch_comp, iters, reps)
     return {
         "engine": f"time_strong_{k}x{total_lags}", "n": nprocs,
+        "mode": "strong",
         "full": full, "compute": comp,
         "collective_ms": round(full["value"] - comp["value"], 3),
         # ppermute halo: 2 f32 planes x (n-1) samples per neighbor link
@@ -392,7 +481,7 @@ def main() -> None:
     ap.add_argument("--procs", default="1,2,4",
                     help="comma list of process counts (disjoint "
                     "one-core pins; max = core count)")
-    ap.add_argument("--engines", default="doppler,time")
+    ap.add_argument("--engines", default="doppler,time,pair")
     ap.add_argument("--iters", type=int, default=2,
                     help="chain length per measurement")
     ap.add_argument("--reps", type=int, default=3)
@@ -425,7 +514,9 @@ def main() -> None:
         t1 = rows[0]["full"]["value"]
         c1 = rows[0]["compute"]["value"]
         for r in rows:
-            nd = r["n"]
+            # strong: fixed total problem -> T1/(N*TN); weak: fixed
+            # per-process problem -> T1/TN.
+            nd = r["n"] if r.get("mode") != "weak" else 1
             r["efficiency"] = (round(t1 / (nd * r["full"]["value"]), 3)
                                if r["full"]["value"] > 0 and t1 > 0
                                else None)
