@@ -132,18 +132,24 @@ def main() -> None:
 
     iters = ITERS if on_tpu else 10  # CPU interpret mode is slow
     # The tunnel's execution rate fluctuates run to run (measured
-    # 0.022-0.088 ms/surface across quiet/loaded sessions); take the
-    # best of several full measurement cycles — each is ~0.5 s, so this
-    # costs nothing next to the compile.
-    cycles = 3 if on_tpu else 1
-    ms = float("inf")
-    t_base = t_full = 0.0
+    # 0.022-0.088 ms/surface across quiet/loaded sessions); run several
+    # full measurement cycles — each is ~0.5 s, so this costs nothing
+    # next to the compile — and report the MEDIAN cycle with its spread
+    # so the artifact itself can distinguish tunnel load from a real
+    # regression (a loaded run shows a high load_ms chain(1) proxy and
+    # a wide spread; a regression shifts the median with both quiet).
+    cycles = 5 if on_tpu else 1
+    cand_ms, loads = [], []
     for _ in range(cycles):
         tb = timed_ms(1)
         tf = timed_ms(1 + iters)
-        cand = (tf - tb) / iters
-        if cand < ms:
-            ms, t_base, t_full = cand, tb, tf
+        cand_ms.append((tf - tb) / iters)
+        loads.append(tb)
+    order = sorted(range(cycles), key=lambda i: cand_ms[i])
+    ms = cand_ms[order[cycles // 2]]          # median cycle
+    best_ms = cand_ms[order[0]]
+    spread_ms = cand_ms[order[-1]] - best_ms
+    load_ms = min(loads)                      # chain(1) = dispatch floor
 
     # Sanity: the golden chirp_0 answer must hold on whatever chip ran.
     freq, lag, _ = caf_peak(needle_np, haystack_np, freqs_np, FS,
@@ -157,15 +163,25 @@ def main() -> None:
                                     fft_len), ms, device)
     mfu_note = (f"  {mfu['tflops']} TFLOP/s = {mfu['mfu_pct']}% of bf16 "
                 f"peak" if mfu else "")
-    print(f"chain(1) {t_base:.1f} ms  chain({1 + iters}) {t_full:.1f} ms  "
-          f"per-surface {ms:.4f} ms  surfaces/s/chip {1e3 / ms:.0f}  "
+    print(f"chain(1) {load_ms:.1f} ms  per-surface median {ms:.4f} ms "
+          f"(best {best_ms:.4f}, spread {spread_ms:.4f}, {cycles} cycles "
+          f"x {REPS} reps)  surfaces/s/chip {1e3 / ms:.0f}  "
           f"[stein-refine, golden-exact]{mfu_note}", file=sys.stderr)
 
+    # Self-describing artifact: value is the MEDIAN cycle; best_ms /
+    # spread_ms / load_ms let a reader classify a round-over-round
+    # delta as tunnel load (high load_ms, wide spread, best stable)
+    # vs regression (median shifted with quiet load) without rerunning.
     print(json.dumps({
         "metric": "caf_surface_peak_400x8192_ms",
         "value": round(ms, 4),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / ms, 2),
+        "best_ms": round(best_ms, 4),
+        "spread_ms": round(spread_ms, 4),
+        "load_ms": round(load_ms, 2),
+        "cycles": cycles,
+        "reps": REPS,
         **({"mfu_pct": mfu["mfu_pct"]} if mfu else {}),
     }))
 

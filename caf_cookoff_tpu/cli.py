@@ -278,9 +278,15 @@ def cmd_run(args) -> int:
                  if args.segment is not None else ""))
 
     if args.interp:
+        import warnings
+
         from caf_cookoff_tpu.ops.peak import interpolate_peak
 
-        f_frac, t_frac = interpolate_peak(surface, freqs)
+        print("note: --interp is deprecated; --refine is ~100x more "
+              "accurate", file=sys.stderr)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            f_frac, t_frac = interpolate_peak(surface, freqs)
         t_abs = t_frac + lag_origin
         print(f"Sub-bin estimate: {f_frac:+.4f} Hz, {t_abs:.3f} "
               f"samples ({t_abs / fs * 1e3:.5f} ms)")
@@ -863,8 +869,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the detection back to the haystack's "
                    ".sigmf-meta as a caf: annotation")
     r.add_argument("--interp", action="store_true",
-                   help="also print the sub-bin parabolic (freq, lag) "
-                   "estimate (capability past the reference)")
+                   help="DEPRECATED: sub-bin parabolic (freq, lag) "
+                   "estimate; prefer --refine (~100x more accurate "
+                   "zoom re-score)")
     r.add_argument("--refine", action="store_true",
                    help="zoom re-score the peak to continuous "
                    "(freq, lag): ~1e-3 Hz / 1e-3 sample on the golden "

@@ -90,14 +90,32 @@ def streaming_peak(s_conj: SplitComplex, haystack: SplitComplex,
                    needle_len: int, num_lags: int, lag_offset=0,
                    total_lags: Optional[int] = None,
                    backend: str = "matmul", num_peaks: int = 1,
-                   exclude_freq: int = 2,
-                   exclude_lag: int = 32) -> CafPeak:
+                   exclude_freq: Optional[int] = None,
+                   exclude_lag: Optional[int] = None,
+                   valid_rows: Optional[jax.Array] = None,
+                   with_floor: bool = False):
     """Scan-over-blocks peak of ``num_lags`` local lags (traceable core).
 
     ``lag_offset`` (may be traced, e.g. ``axis_index * chunk``) shifts
     local lags to global lag indices; lags at or beyond ``total_lags``
     (global) are masked out so zero-padded tails cannot win.  Returns a
     :class:`CafPeak` with the *global* lag index.
+
+    ``valid_rows`` (optional ``(K,)`` bool, may be traced) masks whole
+    doppler rows — a doppler-sharded caller whose grid was padded to
+    the mesh axis passes ``global_row < num_bins`` so duplicated pad
+    rows can neither win nor occupy lattice slots (a pad duplicate
+    farther than ``exclude_freq`` from its original would otherwise
+    double-report the same emitter).
+
+    ``with_floor=True`` additionally accumulates the surface's noise
+    floor through the scan — ``(sum, count)`` of every VALID mag^2
+    cell, one fused reduction per block (the surface still never
+    touches HBM) — and returns ``(peak, floor_sum, floor_count)``.
+    Sharded callers ``psum`` the two scalars over their reduction axes
+    before dividing; the mean is the exponential noise cells' scale
+    parameter, which :func:`caf_cookoff_tpu.ops.peak.
+    apply_detection_threshold` turns into detection decisions.
 
     ``num_peaks > 1`` carries a top-``num_peaks`` lattice through the
     scan instead of a single triple: each block contributes its NMS'd
@@ -110,6 +128,12 @@ def streaming_peak(s_conj: SplitComplex, haystack: SplitComplex,
     :func:`caf_cookoff_tpu.ops.peak.resolution_cell`.
     """
     m, v, nblocks = plan_blocks(needle_len, num_lags)
+    if num_peaks > 1 and (exclude_freq is None or exclude_lag is None):
+        raise ValueError(
+            "num_peaks > 1 needs explicit NMS exclusion windows — derive "
+            "them from the waveform via ops.peak.resolve_exclusions "
+            "(hardcoded defaults would be unrelated to your resolution "
+            "cell)")
     d = v + needle_len - 1
     target = nblocks * v + needle_len - 1
     if haystack[0].shape[-1] >= target:
@@ -130,6 +154,8 @@ def streaming_peak(s_conj: SplitComplex, haystack: SplitComplex,
             # of a known-length lag axis (time-sharded overlap-save).
             tau_global = local_ok + lag_offset
             keep = keep & (tau_global < total_lags)
+        if valid_rows is not None:
+            keep = keep & valid_rows[:, None]
         if lattice:
             # Masked lags become -inf sentinels so they can neither win
             # a lattice slot nor suppress a real candidate.

@@ -66,19 +66,21 @@ def grid_frequency(freq_idx: jax.Array, freqs_hz: jax.Array) -> jax.Array:
     return jnp.take(freqs_hz, freq_idx, axis=-1)
 
 
-def find_peaks(surface, num_peaks: int, exclude_freq: int = 2,
-               exclude_lag: int = 32):
+def find_peaks(surface, num_peaks: int, exclude_freq: int,
+               exclude_lag: int):
     """Top-``num_peaks`` surface peaks with non-maximum suppression.
 
     Multi-emitter extraction (a capability past the reference, which
     only ever reports the single global argmax): iteratively take the
     global peak, then mask a ``(2*exclude_freq+1) x (2*exclude_lag+1)``
     exclusion window around it so sidelobes and the mainlobe skirt do
-    not re-detect.  Size the window to the resolution cell: the doppler
-    mainlobe spans ~``fs/N`` Hz (convert to bins of your grid) and the
-    lag mainlobe ~``fs/bandwidth`` samples.  Returns a :class:`CafPeak`
-    whose fields are ``(num_peaks,)`` arrays, strongest first.
-    Jit-compatible (``num_peaks`` static).
+    not re-detect.  The exclusion windows are REQUIRED — size them to
+    the waveform's resolution cell via :func:`resolution_cell` /
+    :func:`resolve_exclusions` (the doppler mainlobe spans ~``fs/N`` Hz
+    in bins of your grid, the lag mainlobe ~``fs/bandwidth`` samples; a
+    hardcoded default would be unrelated to your waveform).  Returns a
+    :class:`CafPeak` whose fields are ``(num_peaks,)`` arrays,
+    strongest first.  Jit-compatible (``num_peaks`` static).
     """
     surface = jnp.asarray(surface)
     k, m = surface.shape
@@ -127,7 +129,11 @@ def doppler_cell_bins(freqs_hz: jax.Array, needle_len: int,
     step = jnp.abs(freqs_hz[min(1, k - 1)] - freqs_hz[0])
     step = jnp.maximum(step, jnp.asarray(1e-30, dtype))
     cell = jnp.asarray(sample_rate, dtype) / needle_len
-    return jnp.maximum(jnp.ceil(cell / step), 1.0).astype(jnp.int32)
+    # Cap at the grid size BEFORE the int cast: a single-frequency grid
+    # (k=1) has step=0 -> cell/step ~1e32, which would overflow int32
+    # into an implementation-defined separation; a window wider than
+    # the grid itself is meaningless anyway.
+    return jnp.clip(jnp.ceil(cell / step), 1.0, float(k)).astype(jnp.int32)
 
 
 def resolution_cell(needle, freqs_hz, sample_rate) -> Tuple[int, int]:
@@ -182,6 +188,55 @@ def unwrap_lag(raw_lag: int, xcor_len: int, needle_len: int) -> int:
     raw_lag = int(raw_lag)
     return raw_lag - xcor_len if raw_lag >= xcor_len - needle_len \
         else raw_lag
+
+
+def detection_threshold_db(num_cells: int,
+                           false_alarm: float = 1e-3) -> float:
+    """SNR threshold (dB over the mean surface floor) for a stated
+    per-search false-alarm probability.
+
+    Noise-only mag^2 cells of an FFT cross-correlation surface are
+    (approximately iid) exponential — each is the squared magnitude of
+    a complex-Gaussian sum — so the chance that ANY of ``num_cells``
+    cells exceeds ``T x mean`` is ``~ num_cells * e^-T``.  Solving for
+    the stated ``false_alarm`` gives ``T = ln(num_cells/false_alarm)``.
+    The reference has no detection decision at all (it reports the
+    argmax unconditionally, ``caf_rust/src/caf/mod.rs:31-42``); this is
+    what turns lattice slots into detections.
+    """
+    n = max(int(num_cells), 2)
+    return 10.0 * float(np.log10(np.log(n / float(false_alarm))))
+
+
+def apply_detection_threshold(values: np.ndarray, floor: float,
+                              num_cells: int,
+                              min_snr_db) -> Tuple[np.ndarray, np.ndarray,
+                                                   float]:
+    """Convert lattice slots into detections (host-side post-pass).
+
+    ``values`` are lattice peak mag^2 (empty slots ``-inf``); ``floor``
+    is the surface's mean mag^2 over all searched cells.  Returns
+    ``(values_masked, snr_db, threshold_db)``: per-slot peak-to-floor
+    in dB, with slots below the threshold masked to ``-inf`` (SNR is
+    monotone in value at a common floor, so masking is always a suffix
+    of the strongest-first lattice).  ``min_snr_db`` is a float, or
+    ``"auto"`` to derive :func:`detection_threshold_db` from the
+    searched cell count at the default false-alarm rate, or ``None``
+    to disable masking (SNRs still returned).
+    """
+    values = np.asarray(values, np.float64)
+    floor = float(floor)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        snr = 10.0 * np.log10(
+            np.where(values > 0, values, np.nan) / max(floor, 1e-300))
+    snr = np.where(np.isfinite(values) & (values > 0), snr, -np.inf)
+    if min_snr_db is None:
+        return values, snr, float("-inf")
+    thresh = (detection_threshold_db(num_cells)
+              if isinstance(min_snr_db, str) and min_snr_db == "auto"
+              else float(min_snr_db))
+    keep = snr >= thresh
+    return np.where(keep, values, -np.inf), snr, thresh
 
 
 def concat_peaks(a: CafPeak, b: CafPeak) -> CafPeak:
@@ -258,20 +313,27 @@ def _parabolic_offset(y_m1, y_0, y_p1):
 
 
 def interpolate_peak(surface, freqs_hz, sample_rate=None):
-    """Sub-bin peak estimate via separable parabolic interpolation.
+    """DEPRECATED sub-bin peak estimate via parabolic interpolation.
 
-    A capability past the reference (all impls report integer grid
-    points): fit a parabola through the peak and its two axis neighbors
-    in each dimension of the (K, M) surface.  Returns
-    ``(freq_hz, lag_samples)`` as floats; edge peaks clamp to the grid.
-    The fractional lag can be converted to seconds by the caller
-    (``sample_rate`` is accepted for symmetry but unused).
+    .. deprecated:: round 4
+        Use :func:`caf_cookoff_tpu.ops.refine.refine_peak` — the
+        jit/vmap-safe zoom re-score, ~100x more accurate on the golden
+        fixtures.  This function is host-only (calls ``float()`` on
+        traced values, so it cannot batch) and fits the weakest sub-bin
+        model; it survives one deprecation cycle for scripts that
+        parsed its output and will then be removed.
 
-    Host-only convenience (calls ``float()`` on traced values) and the
-    weakest sub-bin model — prefer
-    :func:`caf_cookoff_tpu.ops.refine.refine_peak`, the jit/batch-safe
-    zoom re-score that is ~100x more accurate on the golden fixtures.
+    Fits a parabola through the peak and its two axis neighbors in each
+    dimension of the (K, M) surface.  Returns ``(freq_hz, lag_samples)``
+    as floats; edge peaks clamp to the grid.  ``sample_rate`` is
+    accepted for symmetry but unused.
     """
+    import warnings
+
+    warnings.warn(
+        "interpolate_peak is deprecated: use ops.refine.refine_peak "
+        "(jit/vmap-safe, ~100x more accurate)", DeprecationWarning,
+        stacklevel=2)
     del sample_rate
     surface = jnp.asarray(surface)
     freqs_hz = jnp.asarray(freqs_hz, dtype=jnp.float64

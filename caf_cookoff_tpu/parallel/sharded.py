@@ -449,10 +449,10 @@ def _os_sharded_peak_jit(n_re, n_im, h_re, h_im, freqs_padded, sample_rate,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "needle_len", "chunk", "total_lags", "backend",
-                     "num_peaks", "exclude_freq", "exclude_lag"))
+                     "num_peaks", "exclude_freq", "exclude_lag", "num_bins"))
 def _os_sharded_peaks_jit(n_re, n_im, h_re, h_im, freqs_padded, sample_rate,
                           mesh, needle_len, chunk, total_lags, backend,
-                          num_peaks, exclude_freq, exclude_lag):
+                          num_peaks, exclude_freq, exclude_lag, num_bins):
     """Time/doppler-sharded multi-emitter lattice (top-``num_peaks``).
 
     Same halo-exchange layout as :func:`_os_sharded_peak_jit`; each
@@ -460,7 +460,10 @@ def _os_sharded_peaks_jit(n_re, n_im, h_re, h_im, freqs_padded, sample_rate,
     an ``all_gather`` + deterministic merge
     (:func:`caf_cookoff_tpu.parallel.collectives.global_peaks`), so an
     emitter straddling a time-shard boundary — seen by both neighbors
-    via the halo — collapses to one entry.
+    via the halo — collapses to one entry.  Grid-padded doppler rows
+    (``global row >= num_bins``) are masked before the local NMS — a
+    pad duplicate farther than ``exclude_freq`` bins from the last real
+    row would otherwise survive the merge and double-report.
     """
     k_loc = freqs_padded.shape[0] // mesh.shape[AXIS_DOPPLER]
     m, _, _ = plan_blocks(needle_len, chunk)
@@ -473,11 +476,14 @@ def _os_sharded_peaks_jit(n_re, n_im, h_re, h_im, freqs_padded, sample_rate,
             jnp.concatenate([p, _right_halo(p, halo, AXIS_TIME)], axis=-1)
             for p in (h_re, h_im))
         offset = jax.lax.axis_index(AXIS_TIME) * chunk
+        rows_global = (jax.lax.axis_index(AXIS_DOPPLER) * k_loc
+                       + jnp.arange(k_loc, dtype=jnp.int32))
         local = streaming_peak(s_conj, hay_ext, needle_len, chunk,
                                lag_offset=offset, total_lags=total_lags,
                                backend=backend, num_peaks=num_peaks,
                                exclude_freq=exclude_freq,
-                               exclude_lag=exclude_lag)
+                               exclude_lag=exclude_lag,
+                               valid_rows=rows_global < num_bins)
         local = CafPeak(
             local.value,
             local.freq_idx + jax.lax.axis_index(AXIS_DOPPLER) * k_loc,
@@ -547,14 +553,17 @@ def _batched_os_peak_jit(ns_re, ns_im, hs_re, hs_im, freqs_padded,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "needle_len", "chunk", "total_lags", "backend",
-                     "num_peaks", "exclude_freq", "exclude_lag"))
+                     "num_peaks", "exclude_freq", "exclude_lag", "num_bins"))
 def _batched_os_peaks_jit(ns_re, ns_im, hs_re, hs_im, freqs_padded,
                           sample_rate, mesh, needle_len, chunk, total_lags,
-                          backend, num_peaks, exclude_freq, exclude_lag):
+                          backend, num_peaks, exclude_freq, exclude_lag,
+                          num_bins):
     """Per-pair top-``num_peaks`` lattices through the THREE-axis
     engine (config 5's pattern): pairs data-parallel, lags chunked with
     ppermute halos, doppler sharded; per-pair lattices fold over
-    ``(doppler, time)`` via :func:`global_peaks_batched`."""
+    ``(doppler, time)`` via :func:`global_peaks_batched`.  Grid-padded
+    doppler rows mask out before the local NMS (see
+    :func:`_os_sharded_peaks_jit`)."""
     k_loc = freqs_padded.shape[0] // mesh.shape[AXIS_DOPPLER]
     m, _, _ = plan_blocks(needle_len, chunk)
     halo = needle_len - 1
@@ -564,6 +573,8 @@ def _batched_os_peaks_jit(ns_re, ns_im, hs_re, hs_im, freqs_padded,
             jnp.concatenate([p, _right_halo(p, halo, AXIS_TIME)], axis=-1)
             for p in (hs_re, hs_im))
         offset = jax.lax.axis_index(AXIS_TIME) * chunk
+        rows_global = (jax.lax.axis_index(AXIS_DOPPLER) * k_loc
+                       + jnp.arange(k_loc, dtype=jnp.int32))
 
         def one(nr, ni, hr, hi):
             s_conj = needle_spectra_conj((nr, ni), freqs_loc, sample_rate,
@@ -573,7 +584,8 @@ def _batched_os_peaks_jit(ns_re, ns_im, hs_re, hs_im, freqs_padded,
                                    total_lags=total_lags, backend=backend,
                                    num_peaks=num_peaks,
                                    exclude_freq=exclude_freq,
-                                   exclude_lag=exclude_lag)
+                                   exclude_lag=exclude_lag,
+                                   valid_rows=rows_global < num_bins)
             return CafPeak(
                 local.value,
                 local.freq_idx + jax.lax.axis_index(AXIS_DOPPLER) * k_loc,
@@ -645,7 +657,8 @@ def batched_overlap_save_peaks(needles, haystacks, freqs_hz, sample_rate,
     pk = _batched_os_peaks_jit(ns_re, ns_im, hs_re, hs_im, freqs_p,
                                float(sample_rate), mesh, n, chunk,
                                total_lags, backend, int(num_peaks),
-                               int(exclude_freq), int(exclude_lag))
+                               int(exclude_freq), int(exclude_lag),
+                               len(freqs_np))
     return (freqs_p[np.asarray(pk.freq_idx)], np.asarray(pk.lag_idx),
             np.asarray(pk.value))
 
@@ -814,6 +827,6 @@ def sharded_overlap_save_peaks(needle, haystack, freqs_hz, sample_rate,
     pk = _os_sharded_peaks_jit(n_re, n_im, h_re, h_im, freqs_p,
                                float(sample_rate), mesh, n, chunk,
                                total_lags, backend, int(num_peaks),
-                               exclude_freq, exclude_lag)
+                               exclude_freq, exclude_lag, len(freqs_np))
     return (freqs_p[np.asarray(pk.freq_idx)], np.asarray(pk.lag_idx),
             np.asarray(pk.value))

@@ -275,6 +275,64 @@ def test_sharded_emitter_straddles_shard_boundary():
     assert not near
 
 
+def test_sharded_lattice_padded_doppler_no_duplicate():
+    """Doppler-grid padding must not double-report an emitter at the
+    last grid frequency (ADVICE r3: pad_axis_to duplicates the last
+    bin; a duplicate row farther than exclude_freq from the original
+    survived the NMS merge and displaced a real weaker emitter)."""
+    from caf_cookoff_tpu.parallel.mesh import make_mesh
+    from caf_cookoff_tpu.parallel.sharded import sharded_overlap_save_peaks
+
+    # 21 bins pad to 24 on a doppler=4 mesh: pad rows sit 1..3 bins past
+    # the last real row — row +3 is outside exclude_freq=2.  The 25 Hz
+    # step keeps the 1024-sample needle's fs/N ~ 47 Hz mainlobe inside
+    # the 2-bin exclusion so only genuine rows compete for slots.
+    freqs = np.arange(-250.0, 251.0, 25.0, dtype=np.float32)
+    assert len(freqs) == 21
+    needle, hay, truths = _multi_emitter_capture(
+        total=40960, truths=((250.0, 1200, 1.0), (-100.0, 30000, 0.6)))
+    mesh = make_mesh(doppler=4, devices=jax.devices()[:4])
+    fr, lg, vv = sharded_overlap_save_peaks(
+        needle, hay, freqs, FS, mesh, 4, exclude_freq=2, exclude_lag=32)
+    got = _finite_rows(fr, lg, vv)
+    assert got[:2] == truths, got
+    assert len(set(got)) == len(got), f"duplicate lattice rows: {got}"
+
+
+def test_batched_lattice_padded_doppler_no_duplicate():
+    """Same pad-row guard through the three-axis batched lattice."""
+    from caf_cookoff_tpu.parallel.mesh import make_mesh
+    from caf_cookoff_tpu.parallel.sharded import batched_overlap_save_peaks
+
+    freqs = np.arange(-250.0, 251.0, 25.0, dtype=np.float32)
+    rng = np.random.default_rng(7)
+    n, total = 1024, 40960
+    t = np.arange(n)
+    needles, hays, truths = [], [], []
+    for b in range(2):
+        nd = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+        hy = (1e-4 * (rng.standard_normal(total)
+                      + 1j * rng.standard_normal(total))
+              ).astype(np.complex64)
+        es = [(250.0, 1200 + 500 * b), (-100.0 - 25.0 * b,
+                                        30000 + 700 * b)]
+        for amp, (f, lag) in zip((1.0, 0.6), es):
+            hy[lag:lag + n] += (amp * nd * np.exp(
+                2j * np.pi * f * t / FS)).astype(np.complex64)
+        needles.append(nd)
+        hays.append(hy)
+        truths.append(es)
+    mesh = make_mesh(pair=2, doppler=4, devices=jax.devices()[:8])
+    fr, lg, vv = batched_overlap_save_peaks(
+        np.stack(needles), np.stack(hays), freqs, FS, mesh, 4,
+        exclude_freq=2, exclude_lag=32)
+    for b in range(2):
+        got = _finite_rows(fr[b], lg[b], vv[b])
+        assert got[:2] == truths[b], (b, got)
+        assert len(set(got)) == len(got), f"duplicate rows: {got}"
+
+
 def test_batched_three_axis_lattices():
     """Per-pair top-P lattices through the config-5 pattern: pairs x
     doppler x time all sharded at once, every pair's emitters recovered

@@ -97,7 +97,7 @@ WORKER = textwrap.dedent("""
     # Multi-peak lattice across all 4 processes: every emitter
     # recovered, strongest first, incl. the straddler and the tail.
     lat = _os_sharded_peaks_jit(*g, fs, mesh, n, chunk, total_lags,
-                                "xla", 4, 2, 16)
+                                "xla", 4, 2, 16, len(freqs_p))
     got = [(float(freqs_p[int(k)]), int(lg))
            for k, lg, v in zip(np.asarray(lat.freq_idx),
                                np.asarray(lat.lag_idx),

@@ -216,6 +216,51 @@ class TestInterpolatePeak:
         assert (freq, lag) == (0.0, 0.0)
 
 
+def test_interpolate_peak_is_deprecated():
+    """interpolate_peak warns; refine_peak is the supported path."""
+    import warnings
+
+    from caf_cookoff_tpu.ops.peak import interpolate_peak
+
+    surf = np.full((5, 16), 1.0, dtype=np.float32)
+    surf[2, 7] = 10.0
+    with pytest.warns(DeprecationWarning, match="refine_peak"):
+        interpolate_peak(surf, np.arange(5, dtype=np.float32))
+
+
+def test_doppler_cell_bins_single_frequency_grid():
+    """k=1 grids have step 0: the cell must clamp to the grid size, not
+    overflow the int32 cast (ADVICE r3)."""
+    import jax.numpy as jnp
+
+    from caf_cookoff_tpu.ops.peak import doppler_cell_bins
+
+    one = doppler_cell_bins(jnp.asarray([42.0], jnp.float32), 4096, 48e3)
+    assert int(one) == 1
+    # ...and a normal grid still derives the fs/N mainlobe in bins.
+    grid = jnp.arange(-100.0, 100.0, 0.5, dtype=jnp.float32)
+    assert int(doppler_cell_bins(grid, 4096, 48e3)) == 24
+
+
+def test_streaming_peak_lattice_requires_exclusions():
+    """num_peaks>1 without explicit NMS windows is a loud error, not a
+    silent waveform-unrelated default."""
+    import jax.numpy as jnp
+
+    from caf_cookoff_tpu.models.overlap_save import (
+        needle_spectra_conj,
+        streaming_peak,
+    )
+
+    n = 256
+    nsp = needle_spectra_conj(
+        (jnp.zeros(n), jnp.zeros(n)), jnp.zeros(4, jnp.float32), 48e3,
+        512, backend="xla")
+    hay = (jnp.zeros(1024), jnp.zeros(1024))
+    with pytest.raises(ValueError, match="exclusion"):
+        streaming_peak(nsp, hay, n, 512, num_peaks=3)
+
+
 class TestFindPeaks:
     """Multi-emitter non-max-suppressed peak extraction."""
 
