@@ -131,6 +131,24 @@ def _effective_fs(args, *meta_rates) -> float:
 _SPLIT_FFT_TIERS = ("xla", "matmul", "matmul-highest", "matmul-bf16")
 
 
+def _parse_min_snr(value):
+    """``--min-snr-db`` parser: 'auto' (cell-count-derived threshold),
+    'none'/'off' (disable masking), or a float dB value."""
+    if value is None:
+        return None
+    s = str(value).strip().lower()
+    if s in ("none", "off"):
+        return None
+    if s == "auto":
+        return "auto"
+    try:
+        return float(s)
+    except ValueError:
+        raise SystemExit(
+            f"error: --min-snr-db wants 'auto', 'none', or a float dB "
+            f"value, got {value!r}")
+
+
 def _split_fft_tier(backend: str) -> str:
     """Map an engine-level backend name (pallas*, stein*) to a valid
     split-FFT tier for the overlap-save streaming path, which composes
@@ -189,8 +207,11 @@ def cmd_run(args) -> int:
                               file=sys.stderr)
                         state["noted"] = True
             state["engine"] = "overlap-save scan"
-            return overlap_save_peak(needle, haystack, freqs, fs,
-                                     backend=_split_fft_tier(backend))
+            f_os, l_os, v_os, snr_os = overlap_save_peak(
+                needle, haystack, freqs, fs,
+                backend=_split_fft_tier(backend), with_snr=True)
+            state["snr_db"] = snr_os
+            return f_os, l_os, v_os
     else:
         haystack = haystack[: len(needle)]
 
@@ -252,7 +273,8 @@ def cmd_run(args) -> int:
         sample_rate=fs, num_doppler_bins=len(freqs),
         xcor_len=xcor_length(n), elapsed_ms=elapsed_ms,
         peak_to_floor_db=(peak_to_floor_db(surface, value)
-                          if surface is not None else None),
+                          if surface is not None
+                          else state.get("snr_db")),
         backend=backend)
     print(report.result_lines())
     print(f"Peak value: {value:.6g}")
@@ -345,8 +367,13 @@ def cmd_run(args) -> int:
         print(f"Second-order estimate: {f2:+.4f} Hz "
               f"{r2:+.3f} Hz/s @ {t2:.4f} samples")
     if args.num_peaks > 1:
-        from caf_cookoff_tpu.ops.peak import find_peaks, resolution_cell
+        from caf_cookoff_tpu.ops.peak import (
+            apply_detection_threshold,
+            find_peaks,
+            resolution_cell,
+        )
 
+        min_snr = _parse_min_snr(args.min_snr_db)
         # Exclusion windows = the waveform's resolution cell (doppler
         # mainlobe fs/N Hz in grid bins, lag mainlobe fs/bandwidth
         # samples), so mainlobe skirts don't re-detect on any grid.
@@ -358,29 +385,43 @@ def cmd_run(args) -> int:
                 overlap_save_peaks,
             )
 
-            fr, lg, vv = overlap_save_peaks(
+            fr, lg, vv, snr = overlap_save_peaks(
                 needle, haystack, freqs, fs, args.num_peaks,
                 exclude_freq=excl_f, exclude_lag=excl_l,
-                backend=_split_fft_tier(backend))
-            rows = list(zip(fr.tolist(), lg.tolist(), vv.tolist()))
+                backend=_split_fft_tier(backend),
+                min_snr_db=min_snr, with_snr=True)
+            rows = list(zip(fr.tolist(), lg.tolist(), vv.tolist(),
+                            snr.tolist()))
         else:
             pks = find_peaks(surface, args.num_peaks,
                              exclude_freq=excl_f, exclude_lag=excl_l)
+            # Materialized surface: the floor is its mean directly.
+            vals, snr, _ = apply_detection_threshold(
+                np.asarray(pks.value), float(surface.mean()),
+                surface.size, min_snr)
             # Raw circular surface columns un-wrap to SIGNED lags:
             # a wrap-region peak (capture leading the needle) is a
             # negative lag, not a huge positive one.
             rows = [(float(freqs[int(pks.freq_idx[i])]),
                      _signed(int(pks.lag_idx[i])) + lag_origin,
-                     float(pks.value[i]))
+                     float(vals[i]), float(snr[i]))
                     for i in range(args.num_peaks)]
         if args.refine:
             from caf_cookoff_tpu.ops.refine import refine_peak
-        for i, (f_hz, lag_i, val) in enumerate(rows):
+        n_det = sum(1 for r in rows if np.isfinite(r[2]))
+        if min_snr is not None:
+            print(f"Detections: {n_det} of {args.num_peaks} lattice "
+                  f"slots pass the SNR threshold "
+                  f"(--min-snr-db {args.min_snr_db})")
+        for i, (f_hz, lag_i, val, snr_db) in enumerate(rows):
             if not np.isfinite(val):
-                print(f"peak {i + 1}: (no further distinct peaks)")
+                tag = ("below detection threshold"
+                       if np.isfinite(snr_db)
+                       else "no further distinct peaks")
+                print(f"peak {i + 1}: ({tag})")
                 continue
             line = (f"peak {i + 1}: {f_hz:+9.3f} Hz "
-                    f"@ lag {lag_i:>6d}  ({val:.5g})")
+                    f"@ lag {lag_i:>6d}  ({val:.5g}, {snr_db:.1f} dB)")
             if args.refine:
                 # One cached executable serves every peak (same shapes).
                 f_ref, t_ref, _ = refine_peak(
@@ -488,13 +529,23 @@ def cmd_stream(args) -> int:
         print(f"Refined estimate: {f_ref:+.4f} Hz, {t_ref:.4f} samples "
               f"({t_ref / args.fs * 1e3:.6f} ms)")
     if args.num_peaks > 1:
-        fr, lg, vv = engine.peaks()
+        min_snr = _parse_min_snr(args.min_snr_db)
+        fr, lg, vv, snr = engine.peaks(min_snr_db=min_snr, with_snr=True)
+        if min_snr is not None:
+            n_det = int(np.sum(np.isfinite(vv)))
+            print(f"Detections: {n_det} of {args.num_peaks} lattice "
+                  f"slots pass the SNR threshold "
+                  f"(--min-snr-db {args.min_snr_db})")
         for i in range(args.num_peaks):
             if not np.isfinite(float(vv[i])):
-                print(f"peak {i + 1}: (no further distinct peaks)")
+                tag = ("below detection threshold"
+                       if np.isfinite(float(snr[i]))
+                       else "no further distinct peaks")
+                print(f"peak {i + 1}: ({tag})")
                 continue
             line = (f"peak {i + 1}: {float(fr[i]):+9.3f} Hz "
-                    f"@ lag {int(lg[i]):>6d}  ({float(vv[i]):.5g})")
+                    f"@ lag {int(lg[i]):>6d}  ({float(vv[i]):.5g}, "
+                    f"{float(snr[i]):.1f} dB)")
             if args.refine and not args.follow:
                 from caf_cookoff_tpu.ops.refine import refine_peak
 
@@ -608,8 +659,13 @@ def cmd_batch(args) -> int:
         vv = np.array([r[2] for r in results])
     lattices = None
     if args.num_peaks > 1:
-        from caf_cookoff_tpu.ops.peak import find_peaks, resolution_cell
+        from caf_cookoff_tpu.ops.peak import (
+            apply_detection_threshold,
+            find_peaks,
+            resolution_cell,
+        )
 
+        min_snr = _parse_min_snr(args.min_snr_db)
         excl_f, excl_l = resolution_cell(needles[0], freqs, fs)
         if full:
             # One vmapped lattice-scan program over the whole batch.
@@ -620,7 +676,7 @@ def cmd_batch(args) -> int:
             lf, ll, lv = batched_overlap_save_peaks_local(
                 np.stack(needles), np.stack(captures), freqs, fs,
                 args.num_peaks, exclude_freq=excl_f, exclude_lag=excl_l,
-                backend=_split_fft_tier(backend))
+                backend=_split_fft_tier(backend), min_snr_db=min_snr)
         else:
             from caf_cookoff_tpu.models.filterbank import caf_surface
 
@@ -629,9 +685,12 @@ def cmd_batch(args) -> int:
                 surf = np.asarray(caf_surface(nd, cp[:n], freqs, fs,
                                               backend=backend))
                 pks = find_peaks(surf, args.num_peaks, excl_f, excl_l)
+                vals, _, _ = apply_detection_threshold(
+                    np.asarray(pks.value), float(surf.mean()),
+                    surf.size, min_snr)
                 rows_f.append(freqs[np.asarray(pks.freq_idx)])
                 rows_l.append(np.asarray(pks.lag_idx))
-                rows_v.append(np.asarray(pks.value))
+                rows_v.append(vals)
             lf, ll, lv = (np.stack(rows_f), np.stack(rows_l),
                           np.stack(rows_v))
         lattices = [
@@ -888,6 +947,12 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--num-peaks", type=int, default=1,
                    help="list the N strongest peaks (multi-emitter, "
                    "non-max suppressed)")
+    r.add_argument("--min-snr-db", default="auto",
+                   help="detection threshold over the measured noise "
+                   "floor for --num-peaks listings: 'auto' (derived "
+                   "from the searched cell count at 1e-3 false-alarm), "
+                   "'none', or a dB value; slots below it report as "
+                   "non-detections instead of emitters (default: auto)")
     r.add_argument("--segment", type=int, default=None,
                    help="capture segment index for multi-capture SigMF "
                    "recordings (lags count from the segment start; "
@@ -907,6 +972,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="track a top-P multi-emitter lattice through "
                     "the stream (NMS windows auto-sized to the "
                     "waveform's resolution cell)")
+    st.add_argument("--min-snr-db", default="auto",
+                    help="detection threshold over the stream's running "
+                    "noise floor for --num-peaks listings: 'auto', "
+                    "'none', or a dB value (default: auto)")
     st.add_argument("--refine", action="store_true",
                     help="zoom re-score the final peak(s) to continuous "
                     "(freq, lag); file-backed streams only (--follow "
@@ -949,6 +1018,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="top-P multi-emitter lattice per pair (NMS "
                     "windows auto-sized to the first needle's "
                     "resolution cell)")
+    bt.add_argument("--min-snr-db", default="auto",
+                    help="per-pair detection threshold over each "
+                    "pair's measured noise floor for --num-peaks "
+                    "lattices: 'auto', 'none', or a dB value "
+                    "(default: auto)")
     bt.set_defaults(fn=cmd_batch)
 
     b = sub.add_parser("bench", help="README-style strategy table")

@@ -38,6 +38,7 @@ from caf_cookoff_tpu.config import as_grid, default_backend, xcor_length
 from caf_cookoff_tpu.ops import splitfft
 from caf_cookoff_tpu.ops.peak import (
     CafPeak,
+    apply_detection_threshold,
     concat_peaks,
     find_peak_2d,
     find_peaks,
@@ -145,7 +146,8 @@ def streaming_peak(s_conj: SplitComplex, haystack: SplitComplex,
     real_dtype = s_conj[0].dtype
     lattice = num_peaks > 1
 
-    def step(best: CafPeak, b):
+    def step(carry, b):
+        best, fsum, fcnt = carry
         mag2 = _block_rows(hay, s_conj, b, v, d, m, backend)
         local_ok = jax.lax.broadcasted_iota(jnp.int32, (1, v), 1) + b * v
         keep = local_ok < num_lags
@@ -156,14 +158,24 @@ def streaming_peak(s_conj: SplitComplex, haystack: SplitComplex,
             keep = keep & (tau_global < total_lags)
         if valid_rows is not None:
             keep = keep & valid_rows[:, None]
+        if with_floor:
+            # Floor accumulation from the raw (pre-sentinel) block rows:
+            # (sum, count) over every VALID cell, fused into the block's
+            # one pass over VMEM.  f32 count: only ever a mean's
+            # denominator, so the >16.7M rounding (~1e-7 relative) is
+            # irrelevant against dB-scale thresholds.
+            keep_b = jnp.broadcast_to(keep, mag2.shape)
+            fsum = fsum + jnp.sum(jnp.where(keep_b, mag2, 0.0))
+            fcnt = fcnt + jnp.sum(keep_b.astype(real_dtype))
         if lattice:
             # Masked lags become -inf sentinels so they can neither win
             # a lattice slot nor suppress a real candidate.
             mag2 = jnp.where(keep, mag2, -jnp.inf)
             cand = find_peaks(mag2, num_peaks, exclude_freq, exclude_lag)
             cand = CafPeak(cand.value, cand.freq_idx, cand.lag_idx + b * v)
-            return merge_peaks(concat_peaks(best, cand), num_peaks,
-                               exclude_freq, exclude_lag), None
+            merged = merge_peaks(concat_peaks(best, cand), num_peaks,
+                                 exclude_freq, exclude_lag)
+            return (merged, fsum, fcnt), None
         mag2 = jnp.where(keep, mag2, -1.0)
         cand = find_peak_2d(mag2)
         cand = CafPeak(cand.value, cand.freq_idx, cand.lag_idx + b * v)
@@ -173,7 +185,7 @@ def streaming_peak(s_conj: SplitComplex, haystack: SplitComplex,
             freq_idx=jnp.where(take, cand.freq_idx, best.freq_idx),
             lag_idx=jnp.where(take, cand.lag_idx, best.lag_idx),
         )
-        return merged, None
+        return (merged, fsum, fcnt), None
 
     # The scan carry must match the body output's varying-manual-axes
     # when traced inside shard_map; deriving the init from the traced
@@ -194,10 +206,13 @@ def streaming_peak(s_conj: SplitComplex, haystack: SplitComplex,
     # int32 block ids: under x64 a default arange is int64 and
     # `cand.lag_idx + b * v` would widen the carry mid-scan (c128
     # parity mode runs this path under jax.enable_x64).
-    best, _ = jax.lax.scan(step, init,
-                           jnp.arange(nblocks, dtype=jnp.int32))
-    return CafPeak(best.value, best.freq_idx,
+    (best, fsum, fcnt), _ = jax.lax.scan(
+        step, (init, zero, zero), jnp.arange(nblocks, dtype=jnp.int32))
+    peak = CafPeak(best.value, best.freq_idx,
                    best.lag_idx + jnp.asarray(lag_offset, jnp.int32))
+    if with_floor:
+        return peak, fsum, fcnt
+    return peak
 
 
 @functools.partial(
@@ -220,29 +235,31 @@ def _os_surface_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate, num_lags,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_lags", "needle_len", "backend"))
+    jax.jit, static_argnames=("num_lags", "needle_len", "backend",
+                              "with_floor"))
 def _os_peak_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate, num_lags,
-                 needle_len, backend="matmul"):
+                 needle_len, backend="matmul", with_floor=False):
     m, _, _ = plan_blocks(needle_len, num_lags)
     s_conj = needle_spectra_conj((n_re, n_im), freqs_hz, sample_rate, m,
                                  backend)
     return streaming_peak(s_conj, (h_re, h_im), needle_len, num_lags,
-                          backend=backend)
+                          backend=backend, with_floor=with_floor)
 
 
 @functools.partial(
     jax.jit, static_argnames=("num_lags", "needle_len", "backend",
-                              "num_peaks", "exclude_freq", "exclude_lag"))
+                              "num_peaks", "exclude_freq", "exclude_lag",
+                              "with_floor"))
 def _os_peaks_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate, num_lags,
                   needle_len, backend, num_peaks, exclude_freq,
-                  exclude_lag):
+                  exclude_lag, with_floor=False):
     m, _, _ = plan_blocks(needle_len, num_lags)
     s_conj = needle_spectra_conj((n_re, n_im), freqs_hz, sample_rate, m,
                                  backend)
     return streaming_peak(s_conj, (h_re, h_im), needle_len, num_lags,
                           backend=backend, num_peaks=num_peaks,
                           exclude_freq=exclude_freq,
-                          exclude_lag=exclude_lag)
+                          exclude_lag=exclude_lag, with_floor=with_floor)
 
 
 def _prep(needle, haystack, freqs_hz):
@@ -270,35 +287,73 @@ def overlap_save_surface(needle, haystack, freqs_hz, sample_rate,
                            float(sample_rate), lags, n, backend)
 
 
+def mean_floor(floor_sum, floor_count):
+    """Mean mag^2 over all searched cells from the scan's accumulators
+    (scalars, or per-pair arrays from the batched engines)."""
+    return (np.asarray(floor_sum, np.float64)
+            / np.maximum(np.asarray(floor_count, np.float64), 1.0))
+
+
+def detection_rows(freqs_np, pk: CafPeak, floor, num_cells: int,
+                   min_snr_db, with_snr: bool):
+    """Shared lattice→detections epilogue of every multi-peak endpoint.
+
+    Applies :func:`caf_cookoff_tpu.ops.peak.apply_detection_threshold`
+    (slots below the SNR threshold mask to ``-inf``) and shapes the
+    ``(freqs, lags, values[, snr_db])`` host output.  ``pk`` fields may
+    be ``(P,)`` or batched ``(..., P)``.
+    """
+    vals, snr, _ = apply_detection_threshold(
+        np.asarray(pk.value), floor, num_cells, min_snr_db)
+    out = (np.asarray(freqs_np)[np.asarray(pk.freq_idx)],
+           np.asarray(pk.lag_idx), vals)
+    return out + ((snr,) if with_snr else ())
+
+
 def overlap_save_peak(needle, haystack, freqs_hz, sample_rate,
                       num_lags: Optional[int] = None, *,
-                      backend: Optional[str] = None) -> Tuple[float, int, float]:
+                      backend: Optional[str] = None,
+                      with_snr: bool = False):
     """(freq_hz, lag, value) peak of the long-haystack CAF.
 
     Streams blocks through a ``lax.scan`` — the full surface never
     touches HBM, so arbitrarily long captures run in O(K*M) memory.
+    ``with_snr=True`` appends the peak-to-floor ratio in dB (the floor
+    is the mean mag^2 over every searched cell, accumulated inside the
+    same scan): ``(freq_hz, lag, value, snr_db)``.
     """
     backend = backend or default_backend()
     (n_re, n_im), (h_re, h_im), freqs = _prep(needle, haystack, freqs_hz)
     n = n_re.shape[-1]
     lags = num_lags or h_re.shape[-1] - n + 1
-    peak = _os_peak_jit(n_re, n_im, h_re, h_im, jnp.asarray(freqs),
-                        float(sample_rate), lags, n, backend)
+    out = _os_peak_jit(n_re, n_im, h_re, h_im, jnp.asarray(freqs),
+                       float(sample_rate), lags, n, backend,
+                       with_floor=with_snr)
+    if with_snr:
+        peak, fsum, fcnt = out
+        floor = mean_floor(fsum, fcnt)
+        snr_db = (10.0 * float(np.log10(float(peak.value)
+                                        / max(floor, 1e-300)))
+                  if float(peak.value) > 0 else float("-inf"))
+        return (float(freqs[int(peak.freq_idx)]), int(peak.lag_idx),
+                float(peak.value), snr_db)
+    peak = out
     return (float(freqs[int(peak.freq_idx)]), int(peak.lag_idx),
             float(peak.value))
 
 
 @functools.partial(
     jax.jit, static_argnames=("num_lags", "needle_len", "backend",
-                              "num_peaks", "exclude_freq", "exclude_lag"))
+                              "num_peaks", "exclude_freq", "exclude_lag",
+                              "with_floor"))
 def _os_peaks_batch_jit(ns_re, ns_im, hs_re, hs_im, freqs_hz, sample_rate,
                         num_lags, needle_len, backend, num_peaks,
-                        exclude_freq, exclude_lag):
+                        exclude_freq, exclude_lag, with_floor=False):
     """vmapped per-pair lattice scan: fields (B, num_peaks)."""
     return jax.vmap(
         lambda nr, ni, hr, hi: _os_peaks_jit.__wrapped__(
             nr, ni, hr, hi, freqs_hz, sample_rate, num_lags, needle_len,
-            backend, num_peaks, exclude_freq, exclude_lag)
+            backend, num_peaks, exclude_freq, exclude_lag, with_floor)
     )(ns_re, ns_im, hs_re, hs_im)
 
 
@@ -307,14 +362,19 @@ def batched_overlap_save_peaks_local(needles, haystacks, freqs_hz,
                                      num_lags: Optional[int] = None, *,
                                      exclude_freq: Optional[int] = None,
                                      exclude_lag: Optional[int] = None,
-                                     backend: Optional[str] = None):
+                                     backend: Optional[str] = None,
+                                     min_snr_db=None,
+                                     with_snr: bool = False):
     """Top-``num_peaks`` emitters PER PAIR, single device (one vmapped
     lattice-scan program).
 
     ``(B, N)`` needles × ``(B, L)`` captures → ``(freqs (B, P),
-    lags (B, P), values (B, P))``, strongest first per pair, empty
-    slots ``-inf``.  The mesh-sharded variant is
-    :func:`caf_cookoff_tpu.parallel.sharded.batched_overlap_save_peaks`.
+    lags (B, P), values (B, P)[, snr_db (B, P)])``, strongest first per
+    pair, empty slots ``-inf``.  ``min_snr_db`` / ``with_snr`` apply
+    the per-pair detection threshold (each pair gets its own measured
+    floor — see :func:`overlap_save_peaks`).  The mesh-sharded variant
+    is :func:`caf_cookoff_tpu.parallel.sharded.
+    batched_overlap_save_peaks`.
     """
     backend = backend or default_backend()
     needles = np.asarray(needles)
@@ -333,13 +393,19 @@ def batched_overlap_save_peaks_local(needles, haystacks, freqs_hz,
     freqs = as_grid(freqs_hz, dtype=ns_re.dtype)
     exclude_freq, exclude_lag = resolve_exclusions(
         needles[0], freqs, sample_rate, exclude_freq, exclude_lag)
-    pk = _os_peaks_batch_jit(
+    want_floor = with_snr or min_snr_db is not None
+    out = _os_peaks_batch_jit(
         jnp.asarray(ns_re), jnp.asarray(ns_im), jnp.asarray(hs_re),
         jnp.asarray(hs_im), jnp.asarray(freqs),
         float(sample_rate), lags, n, backend, int(num_peaks),
-        exclude_freq, exclude_lag)
-    return (np.asarray(freqs)[np.asarray(pk.freq_idx)],
-            np.asarray(pk.lag_idx), np.asarray(pk.value))
+        exclude_freq, exclude_lag, with_floor=want_floor)
+    if not want_floor:
+        pk = out
+        return (np.asarray(freqs)[np.asarray(pk.freq_idx)],
+                np.asarray(pk.lag_idx), np.asarray(pk.value))
+    pk, fsum, fcnt = out
+    return detection_rows(freqs, pk, mean_floor(fsum, fcnt),
+                          lags * freqs.shape[0], min_snr_db, with_snr)
 
 
 def overlap_save_peaks(needle, haystack, freqs_hz, sample_rate,
@@ -347,7 +413,8 @@ def overlap_save_peaks(needle, haystack, freqs_hz, sample_rate,
                        num_lags: Optional[int] = None, *,
                        exclude_freq: Optional[int] = None,
                        exclude_lag: Optional[int] = None,
-                       backend: Optional[str] = None):
+                       backend: Optional[str] = None,
+                       min_snr_db=None, with_snr: bool = False):
     """Top-``num_peaks`` emitters of a long capture, strongest first.
 
     Multi-emitter extraction through the streaming scan (BASELINE
@@ -358,8 +425,18 @@ def overlap_save_peaks(needle, haystack, freqs_hz, sample_rate,
     block boundaries deduplicate.  Exclusion windows default to the
     waveform's resolution cell (:func:`ops.peak.resolution_cell`).
 
-    Returns ``(freqs_hz (P,), lags (P,), values (P,))`` numpy arrays;
-    slots past the number of distinct detections carry ``value=-inf``.
+    Detection decisions: with ``min_snr_db`` (a float, or ``"auto"``
+    for :func:`ops.peak.detection_threshold_db` at the searched cell
+    count) slots whose peak-to-floor dB falls below the threshold mask
+    to ``-inf`` — a lattice slot filled by a noise maximum stops
+    masquerading as an emitter.  The floor is the mean mag^2 over every
+    searched cell, accumulated inside the same scan (the surface still
+    never materializes).  ``with_snr=True`` appends per-slot
+    peak-to-floor dB.
+
+    Returns ``(freqs_hz (P,), lags (P,), values (P,)[, snr_db (P,)])``
+    numpy arrays; slots past the number of distinct detections carry
+    ``value=-inf``.
     """
     backend = backend or default_backend()
     (n_re, n_im), (h_re, h_im), freqs = _prep(needle, haystack, freqs_hz)
@@ -367,8 +444,15 @@ def overlap_save_peaks(needle, haystack, freqs_hz, sample_rate,
     lags = num_lags or h_re.shape[-1] - n + 1
     exclude_freq, exclude_lag = resolve_exclusions(
         needle, freqs, sample_rate, exclude_freq, exclude_lag)
-    pk = _os_peaks_jit(n_re, n_im, h_re, h_im, jnp.asarray(freqs),
-                       float(sample_rate), lags, n, backend,
-                       int(num_peaks), exclude_freq, exclude_lag)
-    return (np.asarray(freqs)[np.asarray(pk.freq_idx)],
-            np.asarray(pk.lag_idx), np.asarray(pk.value))
+    want_floor = with_snr or min_snr_db is not None
+    out = _os_peaks_jit(n_re, n_im, h_re, h_im, jnp.asarray(freqs),
+                        float(sample_rate), lags, n, backend,
+                        int(num_peaks), exclude_freq, exclude_lag,
+                        with_floor=want_floor)
+    if not want_floor:
+        pk = out
+        return (np.asarray(freqs)[np.asarray(pk.freq_idx)],
+                np.asarray(pk.lag_idx), np.asarray(pk.value))
+    pk, fsum, fcnt = out
+    return detection_rows(freqs, pk, mean_floor(fsum, fcnt),
+                          lags * freqs.shape[0], min_snr_db, with_snr)

@@ -42,8 +42,8 @@ from caf_cookoff_tpu.ops.peak import (
     jax.jit,
     static_argnames=("needle_len", "chunk_len", "backend"))
 def _stream_step_jit(sc_re, sc_im, tail_re, tail_im, ch_re, ch_im,
-                     best_value, best_freq, best_lag, base_lag, valid_len,
-                     needle_len, chunk_len, backend):
+                     best_value, best_freq, best_lag, fsum, fcnt,
+                     base_lag, valid_len, needle_len, chunk_len, backend):
     """One streaming step: correlate [tail | chunk], update global best.
 
     The window covers lags [base_lag, base_lag + chunk_len): each new
@@ -52,13 +52,17 @@ def _stream_step_jit(sc_re, sc_im, tail_re, tail_im, ch_re, ch_im,
     <= the static ``chunk_len``) masks the lags of a zero-padded short
     chunk — the same executable serves every chunk length, so an uneven
     final chunk never triggers a mid-stream recompile.
+
+    ``fsum``/``fcnt`` are the running noise-floor accumulators ((sum,
+    count) of every valid mag^2 cell seen so far); each window's
+    contribution is fused into the same scan over its blocks.
     """
     window = (jnp.concatenate([tail_re, ch_re]),
               jnp.concatenate([tail_im, ch_im]))
-    local = streaming_peak((sc_re, sc_im), window, needle_len, chunk_len,
-                           lag_offset=base_lag,
-                           total_lags=base_lag + valid_len,
-                           backend=backend)
+    local, wsum, wcnt = streaming_peak(
+        (sc_re, sc_im), window, needle_len, chunk_len,
+        lag_offset=base_lag, total_lags=base_lag + valid_len,
+        backend=backend, with_floor=True)
     take = local.value > best_value
     new_best = CafPeak(
         value=jnp.where(take, local.value, best_value),
@@ -69,7 +73,7 @@ def _stream_step_jit(sc_re, sc_im, tail_re, tail_im, ch_re, ch_im,
     # The next tail ends at the last VALID sample (padding excluded).
     new_tail = tuple(
         jax.lax.dynamic_slice(p, (valid_len,), (halo,)) for p in window)
-    return new_best, local, new_tail
+    return new_best, local, new_tail, fsum + wsum, fcnt + wcnt
 
 
 @functools.partial(
@@ -77,32 +81,33 @@ def _stream_step_jit(sc_re, sc_im, tail_re, tail_im, ch_re, ch_im,
     static_argnames=("needle_len", "chunk_len", "backend", "num_peaks",
                      "exclude_freq", "exclude_lag"))
 def _stream_lattice_step_jit(sc_re, sc_im, tail_re, tail_im, ch_re, ch_im,
-                             best_value, best_freq, best_lag, base_lag,
-                             valid_len, needle_len, chunk_len, backend,
-                             num_peaks, exclude_freq, exclude_lag):
+                             best_value, best_freq, best_lag, fsum, fcnt,
+                             base_lag, valid_len, needle_len, chunk_len,
+                             backend, num_peaks, exclude_freq, exclude_lag):
     """Multi-emitter streaming step: this window's top-``num_peaks``
     lattice NMS-merged into the running global lattice.
 
-    Same window/lag bookkeeping as :func:`_stream_step_jit`; the merge
-    deduplicates an emitter whose mainlobe skirt leaks into the next
-    chunk's window (detected once per window, within one exclusion
-    cell), so chunk boundaries never double-count.
+    Same window/lag bookkeeping as :func:`_stream_step_jit` (including
+    the running floor accumulators); the merge deduplicates an emitter
+    whose mainlobe skirt leaks into the next chunk's window (detected
+    once per window, within one exclusion cell), so chunk boundaries
+    never double-count.
     """
     window = (jnp.concatenate([tail_re, ch_re]),
               jnp.concatenate([tail_im, ch_im]))
-    local = streaming_peak((sc_re, sc_im), window, needle_len, chunk_len,
-                           lag_offset=base_lag,
-                           total_lags=base_lag + valid_len,
-                           backend=backend, num_peaks=num_peaks,
-                           exclude_freq=exclude_freq,
-                           exclude_lag=exclude_lag)
+    local, wsum, wcnt = streaming_peak(
+        (sc_re, sc_im), window, needle_len, chunk_len,
+        lag_offset=base_lag, total_lags=base_lag + valid_len,
+        backend=backend, num_peaks=num_peaks,
+        exclude_freq=exclude_freq, exclude_lag=exclude_lag,
+        with_floor=True)
     new_best = merge_peaks(
         concat_peaks(CafPeak(best_value, best_freq, best_lag), local),
         num_peaks, exclude_freq, exclude_lag)
     halo = needle_len - 1
     new_tail = tuple(
         jax.lax.dynamic_slice(p, (valid_len,), (halo,)) for p in window)
-    return new_best, local, new_tail
+    return new_best, local, new_tail, fsum + wsum, fcnt + wcnt
 
 
 @functools.partial(
@@ -246,16 +251,30 @@ def _stein_stream_lattice_step_jit(ws1, ws2, lmat, tail_re, tail_im,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("xl", "backend"))
+    jax.jit, static_argnames=("xl", "max_lag", "backend"))
 def _stein_lattice_rescore_jit(n_re, n_im, bws, freqs, sample_rate, xl,
-                               backend):
-    """Exact filterbank re-score of each carried window: (P,) fields."""
-    from caf_cookoff_tpu.models.filterbank import _peak_split_jit
+                               max_lag, backend):
+    """Exact filterbank re-score of each carried window: (P,) fields.
 
-    return jax.vmap(
-        lambda bw: _peak_split_jit.__wrapped__(
-            n_re, n_im, bw[0], bw[1], freqs, sample_rate, xl, backend)
-    )(bws)
+    The argmax is CONSTRAINED to window lags ``[0, max_lag]`` — the
+    full-overlap neighborhood the window was carried for (the candidate
+    sits ~64 samples in; ``max_lag = carry - needle_len``).  An
+    unconstrained argmax over the window's circular xcor can land on a
+    partial/wrapped alignment against ANOTHER emitter's content leaking
+    into the slice, reporting a huge value at a meaningless absolute
+    lag that the post-re-score NMS cannot dedup.
+    """
+    from caf_cookoff_tpu.models.filterbank import _surface_rows_split
+    from caf_cookoff_tpu.ops.peak import find_peak_2d
+
+    def one(bw):
+        rows = _surface_rows_split((n_re, n_im), (bw[0], bw[1]), freqs,
+                                   sample_rate, xl, backend)
+        mag2 = splitfft.mag2(rows)
+        cols = jax.lax.broadcasted_iota(jnp.int32, mag2.shape, 1)
+        return find_peak_2d(jnp.where(cols <= max_lag, mag2, -jnp.inf))
+
+    return jax.vmap(one)(bws)
 
 
 class StreamingCAF:
@@ -340,6 +359,14 @@ class StreamingCAF:
             self._sc_re, self._sc_im = sc
         halo = self.needle_len - 1
         self._tail = (jnp.zeros(halo, rdt), jnp.zeros(halo, rdt))
+        # Noise-floor state: measured (sum, count) accumulators for the
+        # XLA paths; sample-energy sums for the stein path's model
+        # floor (the fused kernel emits per-bin maxima, not cells).
+        self._fsum = jnp.zeros((), rdt)
+        self._fcnt = jnp.zeros((), rdt)
+        self._h2_sum = 0.0
+        self._needle_energy = float(np.sum(np.asarray(n_re) ** 2)
+                                    + np.sum(np.asarray(n_im) ** 2))
         if self._num_peaks > 1:
             p = self._num_peaks
             self._best = CafPeak(jnp.full(p, -np.inf, rdt),
@@ -361,6 +388,30 @@ class StreamingCAF:
     @property
     def samples_seen(self) -> int:
         return self._samples_seen
+
+    def noise_floor(self) -> float:
+        """Mean mag^2 per surface cell over everything seen so far.
+
+        XLA paths: measured — the per-window scans accumulate
+        (sum, count) over every valid cell (the surface never
+        materializes).  Stein path: the exponential-cell model
+        ``Σ|n|² · mean|h|²`` (a noise-only xcor cell is a
+        complex-Gaussian sum with that second moment) — the fused
+        kernel reduces each bin to its (max, argmax), so there are no
+        cells to average.  Returns 0.0 before any chunk.
+        """
+        if self._stein:
+            if self._samples_seen == 0:
+                return 0.0
+            return self._needle_energy * self._h2_sum / self._samples_seen
+        cnt = float(self._fcnt)
+        return float(self._fsum) / cnt if cnt > 0 else 0.0
+
+    def searched_cells(self) -> int:
+        """Number of (doppler, lag) cells searched so far — the ``n``
+        of the false-alarm calculation in
+        :func:`caf_cookoff_tpu.ops.peak.detection_threshold_db`."""
+        return int(self._samples_seen) * int(len(self._freqs))
 
     def process(self, chunk) -> Tuple[float, int, float]:
         """Consume one chunk; returns this chunk's (freq, lag, value).
@@ -427,23 +478,30 @@ class StreamingCAF:
             self._bw = bw
             self._bw_start = bw_start
         elif self._num_peaks > 1:
-            best, local, tail = _stream_lattice_step_jit(
+            best, local, tail, fsum, fcnt = _stream_lattice_step_jit(
                 self._sc_re, self._sc_im, self._tail[0], self._tail[1],
                 jnp.asarray(ch_re), jnp.asarray(ch_im),
                 self._best.value, self._best.freq_idx,
-                self._best.lag_idx, self._base_lag, valid,
-                self.needle_len, fixed, self.backend, self._num_peaks,
-                *self._exclude)
+                self._best.lag_idx, self._fsum, self._fcnt,
+                self._base_lag, valid, self.needle_len, fixed,
+                self.backend, self._num_peaks, *self._exclude)
+            self._fsum, self._fcnt = fsum, fcnt
             # The contract: report this chunk's strongest local peak.
             local = CafPeak(local.value[0], local.freq_idx[0],
                             local.lag_idx[0])
         else:
-            best, local, tail = _stream_step_jit(
+            best, local, tail, fsum, fcnt = _stream_step_jit(
                 self._sc_re, self._sc_im, self._tail[0], self._tail[1],
                 jnp.asarray(ch_re), jnp.asarray(ch_im),
                 self._best.value, self._best.freq_idx,
-                self._best.lag_idx, self._base_lag, valid,
-                self.needle_len, fixed, self.backend)
+                self._best.lag_idx, self._fsum, self._fcnt,
+                self._base_lag, valid, self.needle_len, fixed,
+                self.backend)
+            self._fsum, self._fcnt = fsum, fcnt
+        if self._stein:
+            # Model-floor inputs: only the VALID samples of this chunk.
+            self._h2_sum += float(np.sum(np.asarray(ch_re[:valid]) ** 2)
+                                  + np.sum(np.asarray(ch_im[:valid]) ** 2))
         self._best = best
         self._tail = tail
         self._samples_seen += valid
@@ -469,42 +527,61 @@ class StreamingCAF:
         if not self._stein or not np.isfinite(float(self._best.value)):
             return (float(self._freqs[int(self._best.freq_idx)]),
                     int(self._best.lag_idx), float(self._best.value))
-        from caf_cookoff_tpu.models.filterbank import _peak_split_jit
+        pk = _stein_lattice_rescore_jit(
+            self._n_planes[0], self._n_planes[1],
+            jnp.stack(self._bw)[None], jnp.asarray(self._freqs),
+            self.sample_rate, xcor_length(self._needle_pad),
+            self._needle_pad + 128 - self.needle_len, self.backend)
+        return (float(self._freqs[int(pk.freq_idx[0])]),
+                int(self._bw_start) + int(pk.lag_idx[0]),
+                float(pk.value[0]))
 
-        peak = _peak_split_jit(
-            self._n_planes[0], self._n_planes[1], self._bw[0],
-            self._bw[1], jnp.asarray(self._freqs), self.sample_rate,
-            xcor_length(self._needle_pad), self.backend)
-        return (float(self._freqs[int(peak.freq_idx)]),
-                int(self._bw_start) + int(peak.lag_idx),
-                float(peak.value))
-
-    def peaks(self):
+    def peaks(self, min_snr_db=None, with_snr: bool = False):
         """Global running top-``num_peaks`` lattice, strongest first.
 
-        Returns ``(freqs_hz (P,), lags (P,), values (P,))`` numpy
-        arrays; slots past the number of distinct detections carry
-        ``value=-inf``.  Requires ``num_peaks > 1`` at construction
-        (the single-peak stream keeps its cheaper scalar carry).
+        Returns ``(freqs_hz (P,), lags (P,), values (P,)[, snr_db])``
+        numpy arrays; slots past the number of distinct detections
+        carry ``value=-inf``.  Requires ``num_peaks > 1`` at
+        construction (the single-peak stream keeps its cheaper scalar
+        carry).
+
+        Detection decisions: ``min_snr_db`` (float or ``"auto"``) masks
+        slots whose peak-to-:meth:`noise_floor` dB falls below the
+        threshold to ``-inf`` — a slot holding a noise maximum stops
+        counting as an emitter; ``with_snr=True`` appends the per-slot
+        dB.
 
         In stein mode the running lattice only RANKED; here each
         entry's carried window is re-scored with exact filterbank rows
         (the per-entry rank-then-score contract), then the lattice
         re-sorts on the exact values.
         """
+        from caf_cookoff_tpu.ops.peak import apply_detection_threshold
+
         if self._num_peaks <= 1:
             raise ValueError(
                 "stream was built with num_peaks=1; construct "
                 "StreamingCAF(..., num_peaks=P) to track a lattice")
+
+        def _finish(freqs, lags, values):
+            if min_snr_db is None and not with_snr:
+                return freqs, lags, values
+            vals, snr, _ = apply_detection_threshold(
+                values, self.noise_floor(), self.searched_cells(),
+                min_snr_db)
+            out = (freqs, lags, vals)
+            return out + ((snr,) if with_snr else ())
+
         if not self._stein:
             freq_idx = np.asarray(self._best.freq_idx)
-            return (np.asarray(self._freqs)[freq_idx],
-                    np.asarray(self._best.lag_idx),
-                    np.asarray(self._best.value))
+            return _finish(np.asarray(self._freqs)[freq_idx],
+                           np.asarray(self._best.lag_idx),
+                           np.asarray(self._best.value))
         pk = _stein_lattice_rescore_jit(
             self._n_planes[0], self._n_planes[1], self._bws,
             jnp.asarray(self._freqs), self.sample_rate,
-            xcor_length(self._needle_pad), self.backend)
+            xcor_length(self._needle_pad),
+            self._needle_pad + 128 - self.needle_len, self.backend)
         coarse_ok = np.isfinite(np.asarray(self._best.value))
         vals = np.where(coarse_ok, np.asarray(pk.value), -np.inf)
         bins = np.asarray(pk.freq_idx)
@@ -533,4 +610,4 @@ class StreamingCAF:
             out_f[p] = freqs_np[int(bins[i])]
             out_l[p] = int(lags[i])
             out_v[p] = vals[i]
-        return out_f, out_l, out_v
+        return _finish(out_f, out_l, out_v)

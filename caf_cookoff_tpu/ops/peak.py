@@ -208,27 +208,32 @@ def detection_threshold_db(num_cells: int,
     return 10.0 * float(np.log10(np.log(n / float(false_alarm))))
 
 
-def apply_detection_threshold(values: np.ndarray, floor: float,
+def apply_detection_threshold(values: np.ndarray, floor,
                               num_cells: int,
                               min_snr_db) -> Tuple[np.ndarray, np.ndarray,
                                                    float]:
     """Convert lattice slots into detections (host-side post-pass).
 
     ``values`` are lattice peak mag^2 (empty slots ``-inf``); ``floor``
-    is the surface's mean mag^2 over all searched cells.  Returns
-    ``(values_masked, snr_db, threshold_db)``: per-slot peak-to-floor
-    in dB, with slots below the threshold masked to ``-inf`` (SNR is
-    monotone in value at a common floor, so masking is always a suffix
-    of the strongest-first lattice).  ``min_snr_db`` is a float, or
-    ``"auto"`` to derive :func:`detection_threshold_db` from the
-    searched cell count at the default false-alarm rate, or ``None``
-    to disable masking (SNRs still returned).
+    is the surface's mean mag^2 over all searched cells — a scalar, or
+    an array broadcastable against ``values`` (batched engines carry
+    one floor per pair).  Returns ``(values_masked, snr_db,
+    threshold_db)``: per-slot peak-to-floor in dB, with slots below the
+    threshold masked to ``-inf`` (SNR is monotone in value at a common
+    floor, so masking is always a suffix of the strongest-first
+    lattice).  ``min_snr_db`` is a float, or ``"auto"`` to derive
+    :func:`detection_threshold_db` from the searched cell count at the
+    default false-alarm rate, or ``None`` to disable masking (SNRs
+    still returned).
     """
     values = np.asarray(values, np.float64)
-    floor = float(floor)
+    floor = np.maximum(np.asarray(floor, np.float64), 1e-300)
+    if floor.ndim and floor.ndim < values.ndim:
+        floor = floor.reshape(floor.shape + (1,) * (values.ndim
+                                                    - floor.ndim))
     with np.errstate(divide="ignore", invalid="ignore"):
         snr = 10.0 * np.log10(
-            np.where(values > 0, values, np.nan) / max(floor, 1e-300))
+            np.where(values > 0, values, np.nan) / floor)
     snr = np.where(np.isfinite(values) & (values > 0), snr, -np.inf)
     if min_snr_db is None:
         return values, snr, float("-inf")

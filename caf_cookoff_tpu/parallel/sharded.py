@@ -449,10 +449,12 @@ def _os_sharded_peak_jit(n_re, n_im, h_re, h_im, freqs_padded, sample_rate,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "needle_len", "chunk", "total_lags", "backend",
-                     "num_peaks", "exclude_freq", "exclude_lag", "num_bins"))
+                     "num_peaks", "exclude_freq", "exclude_lag", "num_bins",
+                     "with_floor"))
 def _os_sharded_peaks_jit(n_re, n_im, h_re, h_im, freqs_padded, sample_rate,
                           mesh, needle_len, chunk, total_lags, backend,
-                          num_peaks, exclude_freq, exclude_lag, num_bins):
+                          num_peaks, exclude_freq, exclude_lag, num_bins,
+                          with_floor=False):
     """Time/doppler-sharded multi-emitter lattice (top-``num_peaks``).
 
     Same halo-exchange layout as :func:`_os_sharded_peak_jit`; each
@@ -464,6 +466,12 @@ def _os_sharded_peaks_jit(n_re, n_im, h_re, h_im, freqs_padded, sample_rate,
     (``global row >= num_bins``) are masked before the local NMS — a
     pad duplicate farther than ``exclude_freq`` bins from the last real
     row would otherwise survive the merge and double-report.
+
+    ``with_floor``: each shard's scan also accumulates its (sum, count)
+    of valid mag^2 cells (pad rows and out-of-range lags excluded by
+    the same masks), and the two scalars ``psum`` over
+    ``(doppler, time)`` — the global noise-floor statistic costs two
+    scalar collectives.  Returns ``(lattice, floor_sum, floor_count)``.
     """
     k_loc = freqs_padded.shape[0] // mesh.shape[AXIS_DOPPLER]
     m, _, _ = plan_blocks(needle_len, chunk)
@@ -478,27 +486,36 @@ def _os_sharded_peaks_jit(n_re, n_im, h_re, h_im, freqs_padded, sample_rate,
         offset = jax.lax.axis_index(AXIS_TIME) * chunk
         rows_global = (jax.lax.axis_index(AXIS_DOPPLER) * k_loc
                        + jnp.arange(k_loc, dtype=jnp.int32))
-        local = streaming_peak(s_conj, hay_ext, needle_len, chunk,
-                               lag_offset=offset, total_lags=total_lags,
-                               backend=backend, num_peaks=num_peaks,
-                               exclude_freq=exclude_freq,
-                               exclude_lag=exclude_lag,
-                               valid_rows=rows_global < num_bins)
+        out = streaming_peak(s_conj, hay_ext, needle_len, chunk,
+                             lag_offset=offset, total_lags=total_lags,
+                             backend=backend, num_peaks=num_peaks,
+                             exclude_freq=exclude_freq,
+                             exclude_lag=exclude_lag,
+                             valid_rows=rows_global < num_bins,
+                             with_floor=with_floor)
+        local = out[0] if with_floor else out
         local = CafPeak(
             local.value,
             local.freq_idx + jax.lax.axis_index(AXIS_DOPPLER) * k_loc,
             local.lag_idx)
-        return global_peaks(local, (AXIS_DOPPLER, AXIS_TIME), num_peaks,
-                            exclude_freq, exclude_lag)
+        lat = global_peaks(local, (AXIS_DOPPLER, AXIS_TIME), num_peaks,
+                           exclude_freq, exclude_lag)
+        if with_floor:
+            fsum = jax.lax.psum(out[1], (AXIS_DOPPLER, AXIS_TIME))
+            fcnt = jax.lax.psum(out[2], (AXIS_DOPPLER, AXIS_TIME))
+            return lat, fsum, fcnt
+        return lat
 
     # check_vma=False: the lattice reduction ends in all_gather + a
     # deterministic merge every shard computes identically, so the
     # output IS replicated — but vma cannot infer that (all_gather
     # outputs stay 'varying' and no varying->invariant pcast exists).
+    out_specs = (CafPeak(P(), P(), P()), P(), P()) if with_floor \
+        else CafPeak(P(), P(), P())
     return shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P(AXIS_TIME), P(AXIS_TIME), P(AXIS_DOPPLER)),
-        out_specs=CafPeak(P(), P(), P()),
+        out_specs=out_specs,
         check_vma=False,
     )(n_re, n_im, h_re, h_im, freqs_padded)
 
@@ -553,17 +570,24 @@ def _batched_os_peak_jit(ns_re, ns_im, hs_re, hs_im, freqs_padded,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "needle_len", "chunk", "total_lags", "backend",
-                     "num_peaks", "exclude_freq", "exclude_lag", "num_bins"))
+                     "num_peaks", "exclude_freq", "exclude_lag", "num_bins",
+                     "with_floor"))
 def _batched_os_peaks_jit(ns_re, ns_im, hs_re, hs_im, freqs_padded,
                           sample_rate, mesh, needle_len, chunk, total_lags,
                           backend, num_peaks, exclude_freq, exclude_lag,
-                          num_bins):
+                          num_bins, with_floor=False):
     """Per-pair top-``num_peaks`` lattices through the THREE-axis
     engine (config 5's pattern): pairs data-parallel, lags chunked with
     ppermute halos, doppler sharded; per-pair lattices fold over
     ``(doppler, time)`` via :func:`global_peaks_batched`.  Grid-padded
     doppler rows mask out before the local NMS (see
-    :func:`_os_sharded_peaks_jit`)."""
+    :func:`_os_sharded_peaks_jit`).
+
+    ``with_floor``: per-pair (sum, count) floor accumulators ``psum``
+    over ``(doppler, time)`` — each pair keeps its OWN measured noise
+    floor (pairs are independent captures), sharded over ``pair`` like
+    the lattices.  Returns ``(lattice, floor_sum (B,), count (B,))``.
+    """
     k_loc = freqs_padded.shape[0] // mesh.shape[AXIS_DOPPLER]
     m, _, _ = plan_blocks(needle_len, chunk)
     halo = needle_len - 1
@@ -579,30 +603,42 @@ def _batched_os_peaks_jit(ns_re, ns_im, hs_re, hs_im, freqs_padded,
         def one(nr, ni, hr, hi):
             s_conj = needle_spectra_conj((nr, ni), freqs_loc, sample_rate,
                                          m, backend)
-            local = streaming_peak(s_conj, (hr, hi), needle_len, chunk,
-                                   lag_offset=offset,
-                                   total_lags=total_lags, backend=backend,
-                                   num_peaks=num_peaks,
-                                   exclude_freq=exclude_freq,
-                                   exclude_lag=exclude_lag,
-                                   valid_rows=rows_global < num_bins)
-            return CafPeak(
+            out = streaming_peak(s_conj, (hr, hi), needle_len, chunk,
+                                 lag_offset=offset,
+                                 total_lags=total_lags, backend=backend,
+                                 num_peaks=num_peaks,
+                                 exclude_freq=exclude_freq,
+                                 exclude_lag=exclude_lag,
+                                 valid_rows=rows_global < num_bins,
+                                 with_floor=with_floor)
+            local = out[0] if with_floor else out
+            local = CafPeak(
                 local.value,
                 local.freq_idx + jax.lax.axis_index(AXIS_DOPPLER) * k_loc,
                 local.lag_idx)
+            return (local, out[1], out[2]) if with_floor else local
 
-        local = jax.vmap(one)(ns_re, ns_im, *hay_ext)   # fields (B_loc, P)
-        return global_peaks_batched(local, (AXIS_DOPPLER, AXIS_TIME),
-                                    num_peaks, exclude_freq, exclude_lag)
+        out = jax.vmap(one)(ns_re, ns_im, *hay_ext)   # fields (B_loc, P)
+        local = out[0] if with_floor else out
+        lat = global_peaks_batched(local, (AXIS_DOPPLER, AXIS_TIME),
+                                   num_peaks, exclude_freq, exclude_lag)
+        if with_floor:
+            fsum = jax.lax.psum(out[1], (AXIS_DOPPLER, AXIS_TIME))
+            fcnt = jax.lax.psum(out[2], (AXIS_DOPPLER, AXIS_TIME))
+            return lat, fsum, fcnt
+        return lat
 
     # check_vma=False: all_gather + identical deterministic merges =
     # replicated by construction (see _os_sharded_peaks_jit).
+    lat_spec = CafPeak(P(AXIS_PAIR), P(AXIS_PAIR), P(AXIS_PAIR))
+    out_specs = (lat_spec, P(AXIS_PAIR), P(AXIS_PAIR)) if with_floor \
+        else lat_spec
     return shard_map(
         body, mesh=mesh,
         in_specs=(P(AXIS_PAIR), P(AXIS_PAIR),
                   P(AXIS_PAIR, AXIS_TIME), P(AXIS_PAIR, AXIS_TIME),
                   P(AXIS_DOPPLER)),
-        out_specs=CafPeak(P(AXIS_PAIR), P(AXIS_PAIR), P(AXIS_PAIR)),
+        out_specs=out_specs,
         check_vma=False,
     )(ns_re, ns_im, hs_re, hs_im, freqs_padded)
 
@@ -612,16 +648,24 @@ def batched_overlap_save_peaks(needles, haystacks, freqs_hz, sample_rate,
                                num_lags: Optional[int] = None, *,
                                exclude_freq: Optional[int] = None,
                                exclude_lag: Optional[int] = None,
-                               backend: str = "matmul"):
+                               backend: str = "matmul",
+                               min_snr_db=None, with_snr: bool = False):
     """Top-``num_peaks`` emitters PER PAIR on the three-axis mesh.
 
     The multi-emitter variant of :func:`batched_overlap_save_peak`
     (BASELINE config 5 is "streaming multi-emitter" at pod scale):
-    returns ``(freqs (B, P), lags (B, P), values (B, P))``, strongest
-    first per pair, empty slots ``-inf``.  Exclusion windows default to
-    the first needle's resolution cell (pass explicit values for
-    heterogeneous batches).
+    returns ``(freqs (B, P), lags (B, P), values (B, P)[, snr (B, P)])``,
+    strongest first per pair, empty slots ``-inf``.  Exclusion windows
+    default to the first needle's resolution cell (pass explicit values
+    for heterogeneous batches).  ``min_snr_db`` / ``with_snr`` apply
+    the detection threshold against each pair's own measured floor,
+    ``psum``-reduced over ``(doppler, time)``
+    (see :func:`caf_cookoff_tpu.models.overlap_save.overlap_save_peaks`).
     """
+    from caf_cookoff_tpu.models.overlap_save import (
+        detection_rows,
+        mean_floor,
+    )
     from caf_cookoff_tpu.ops.peak import resolve_exclusions
 
     needles = np.asarray(needles)
@@ -654,13 +698,20 @@ def batched_overlap_save_peaks(needles, haystacks, freqs_hz, sample_rate,
     hs_re, hs_im = _split_host(hay_p)
     freqs_p = pad_axis_to(as_grid(freqs_hz, dtype=ns_re.dtype),
                           mesh.shape[AXIS_DOPPLER])
-    pk = _batched_os_peaks_jit(ns_re, ns_im, hs_re, hs_im, freqs_p,
-                               float(sample_rate), mesh, n, chunk,
-                               total_lags, backend, int(num_peaks),
-                               int(exclude_freq), int(exclude_lag),
-                               len(freqs_np))
-    return (freqs_p[np.asarray(pk.freq_idx)], np.asarray(pk.lag_idx),
-            np.asarray(pk.value))
+    want_floor = with_snr or min_snr_db is not None
+    out = _batched_os_peaks_jit(ns_re, ns_im, hs_re, hs_im, freqs_p,
+                                float(sample_rate), mesh, n, chunk,
+                                total_lags, backend, int(num_peaks),
+                                int(exclude_freq), int(exclude_lag),
+                                len(freqs_np), with_floor=want_floor)
+    if not want_floor:
+        pk = out
+        return (freqs_p[np.asarray(pk.freq_idx)], np.asarray(pk.lag_idx),
+                np.asarray(pk.value))
+    pk, fsum, fcnt = out
+    return detection_rows(freqs_p, pk, mean_floor(fsum, fcnt),
+                          total_lags * len(freqs_np), min_snr_db,
+                          with_snr)
 
 
 def batched_overlap_save_peak(needles, haystacks, freqs_hz, sample_rate,
@@ -792,7 +843,8 @@ def sharded_overlap_save_peaks(needle, haystack, freqs_hz, sample_rate,
                                num_lags: Optional[int] = None, *,
                                exclude_freq: Optional[int] = None,
                                exclude_lag: Optional[int] = None,
-                               backend: str = "matmul"):
+                               backend: str = "matmul",
+                               min_snr_db=None, with_snr: bool = False):
     """Top-``num_peaks`` emitters of a time-sharded long capture.
 
     The multi-emitter variant of :func:`sharded_overlap_save_peak`:
@@ -800,9 +852,17 @@ def sharded_overlap_save_peaks(needle, haystack, freqs_hz, sample_rate,
     chunk, lattices reduce over ``(doppler, time)`` via all_gather +
     deterministic merge, and emitters straddling shard boundaries
     (reachable through the ppermute halo) deduplicate.  Exclusion
-    windows default to the waveform's resolution cell.  Returns
-    ``(freqs (P,), lags (P,), values (P,))``; empty slots ``-inf``.
+    windows default to the waveform's resolution cell.
+    ``min_snr_db`` / ``with_snr`` apply the detection threshold against
+    the global measured floor (two scalar ``psum``s over the mesh — see
+    :func:`caf_cookoff_tpu.models.overlap_save.overlap_save_peaks`).
+    Returns ``(freqs (P,), lags (P,), values (P,)[, snr_db (P,)])``;
+    empty slots ``-inf``.
     """
+    from caf_cookoff_tpu.models.overlap_save import (
+        detection_rows,
+        mean_floor,
+    )
     from caf_cookoff_tpu.ops.peak import resolve_exclusions
 
     backend = backend or default_backend()
@@ -824,9 +884,17 @@ def sharded_overlap_save_peaks(needle, haystack, freqs_hz, sample_rate,
     exclude_freq, exclude_lag = resolve_exclusions(
         needle, freqs_np, sample_rate, exclude_freq, exclude_lag)
     freqs_p = pad_axis_to(freqs_np, mesh.shape[AXIS_DOPPLER])
-    pk = _os_sharded_peaks_jit(n_re, n_im, h_re, h_im, freqs_p,
-                               float(sample_rate), mesh, n, chunk,
-                               total_lags, backend, int(num_peaks),
-                               exclude_freq, exclude_lag, len(freqs_np))
-    return (freqs_p[np.asarray(pk.freq_idx)], np.asarray(pk.lag_idx),
-            np.asarray(pk.value))
+    want_floor = with_snr or min_snr_db is not None
+    out = _os_sharded_peaks_jit(n_re, n_im, h_re, h_im, freqs_p,
+                                float(sample_rate), mesh, n, chunk,
+                                total_lags, backend, int(num_peaks),
+                                exclude_freq, exclude_lag, len(freqs_np),
+                                with_floor=want_floor)
+    if not want_floor:
+        pk = out
+        return (freqs_p[np.asarray(pk.freq_idx)], np.asarray(pk.lag_idx),
+                np.asarray(pk.value))
+    pk, fsum, fcnt = out
+    return detection_rows(freqs_p, pk, mean_floor(fsum, fcnt),
+                          total_lags * len(freqs_np), min_snr_db,
+                          with_snr)
