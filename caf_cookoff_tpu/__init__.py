@@ -41,7 +41,10 @@ from caf_cookoff_tpu.models.overlap_save import (
     overlap_save_peak,
     overlap_save_peaks,
 )
-from caf_cookoff_tpu.models.rate import rate_caf_peak
+from caf_cookoff_tpu.models.rate import (
+    rate_caf_peak,
+    rate_overlap_save_peak,
+)
 from caf_cookoff_tpu.ops.peak import find_peaks, merge_peaks, resolution_cell
 from caf_cookoff_tpu.ops.refine import (
     refine_peak,
@@ -75,6 +78,7 @@ __all__ = [
     "overlap_save_peaks",
     "phasor_bank",
     "rate_caf_peak",
+    "rate_overlap_save_peak",
     "refine_peak",
     "refine_peak_rate",
     "refine_peaks",

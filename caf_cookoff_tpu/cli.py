@@ -334,7 +334,7 @@ def cmd_run(args) -> int:
     if args.rate_grid:
         # Hard sweeps (first-order surface smeared): coarse dechirp
         # bank, then the joint refine bracketed at the bank's answer.
-        from caf_cookoff_tpu.models.rate import rate_caf_peak
+        from caf_cookoff_tpu.ops.peak import unwrap_lag
         from caf_cookoff_tpu.ops.refine import refine_peak_rate
 
         try:
@@ -344,13 +344,32 @@ def cmd_run(args) -> int:
             print(f"error: --rate-grid wants START:STOP:STEP, got "
                   f"{args.rate_grid!r}", file=sys.stderr)
             return 2
-        r_c, f_c, lag_c, v_c = rate_caf_peak(
-            needle, haystack[: len(needle)], freqs, rates, fs,
-            backend=backend)
+        if full:
+            # Joint (rate, doppler, lag) search over the WHOLE capture:
+            # the dechirp bank rides the overlap-save block scan, so an
+            # accelerating emitter at ANY lag is found (the bank on a
+            # needle-length prefix would miss everything past it).
+            # Overlap-save lags are linear — no circular unwrap.
+            from caf_cookoff_tpu.models.rate import rate_overlap_save_peak
+
+            r_c, f_c, lag_c, v_c = rate_overlap_save_peak(
+                needle, haystack, freqs, rates, fs,
+                backend=_split_fft_tier(backend))
+            lag_signed = int(lag_c)
+        else:
+            from caf_cookoff_tpu.models.rate import rate_caf_peak
+
+            r_c, f_c, lag_c, v_c = rate_caf_peak(
+                needle, haystack[: len(needle)], freqs, rates, fs,
+                backend=backend)
+            # The bank's lag is a raw CIRCULAR xcor index from the
+            # truncated window — a wrap-region (negative) lag must not
+            # reach the refiner as a huge positive capture offset.
+            lag_signed = unwrap_lag(lag_c, xcor_length(n), n)
         print(f"Rate-bank peak: {f_c:+.3f} Hz {r_c:+.1f} Hz/s "
-              f"@ lag {lag_c} ({v_c:.5g})")
+              f"@ lag {lag_signed} ({v_c:.5g})")
         f2, r2, t2, _ = refine_peak_rate(
-            needle, haystack_full, f_c, _signed(lag_c), fs,
+            needle, haystack_full, f_c, lag_signed, fs,
             rate0_hz_per_s=r_c,
             max_rate_hz_per_s=float(rss),
             coarse_step_hz=args.freq_step,

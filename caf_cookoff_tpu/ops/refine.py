@@ -317,6 +317,43 @@ def _refine_rate_jit(n_re, n_im, w_re, w_im, f0, r0, coarse_step,
     return f_hat, r_hat, tau_hat, value * (inv_m * inv_m)
 
 
+def _polish_freq_rate_f64(n_c, g_c, sample_rate, f_start, r_hat,
+                          f_span, r_span, points=_POINTS, iters=6):
+    """Host f64 joint (f, r) zoom — the precision stage past the
+    on-device f32 score floor.
+
+    Near the (f, r) vertex the score surface is flat to ~(pi dr
+    sigma_{t^2})^2/2 relative — at dr ~ 2 Hz/s over a 4096-sample
+    window that is ~5e-6, BELOW the f32 summation noise of a 4k-term
+    coherent sum (~1e-5), so the device zoom saturates ~2 Hz/s off
+    (measured, noiseless).  A few f64 zoom iterations on the already
+    -extracted window (33^2 x n complex MACs per iter, microseconds on
+    host) land ~1e-3 Hz/s.  ``f_start`` is window-START frequency;
+    returns the same convention.
+    """
+    n = n_c.shape[-1]
+    t = np.arange(n, dtype=np.float64) / float(sample_rate)
+    half_t = t[-1] * 0.5
+    t_c = t - half_t
+    z = np.conj(n_c).astype(np.complex128) * g_c.astype(np.complex128)
+    f_c = float(f_start) + float(r_hat) * half_t   # mid-window
+    r_c = float(r_hat)
+    offs = np.linspace(-1.0, 1.0, points)
+    t2 = t_c * t_c
+    for _ in range(iters):
+        f_grid = f_c + offs * f_span
+        r_grid = r_c + offs * r_span
+        zr = z[:, None] * np.exp(-1j * np.pi * r_grid[None, :] * t2[:, None])
+        e = np.exp(-2j * np.pi * f_grid[:, None] * t_c[None, :])
+        scores = np.abs(e @ zr) ** 2                   # (pf, pr)
+        fi, ri = np.unravel_index(int(scores.argmax()), scores.shape)
+        f_c = float(f_grid[fi])
+        r_c = float(r_grid[ri])
+        f_span = 2.0 * (f_grid[1] - f_grid[0])
+        r_span = 2.0 * (r_grid[1] - r_grid[0])
+    return f_c - r_c * half_t, r_c
+
+
 def refine_peak_rate(needle, haystack, freq_hz: float, lag: int,
                      sample_rate, *,
                      rate0_hz_per_s: float = 0.0,
@@ -364,8 +401,17 @@ def refine_peak_rate(needle, haystack, freq_hz: float, lag: int,
         jnp.asarray(float(rate0_hz_per_s), n_re.dtype),
         step, float(max_rate_hz_per_s), float(sample_rate), n,
         backend, int(points), int(iters))
-    return (float(f_hat), float(r_hat), start + float(tau_hat),
-            float(value))
+    # f64 host polish: the on-device zoom saturates at the f32 score
+    # floor (~2 Hz/s over a 4096-sample window); re-bracket generously
+    # around its answer and converge in double precision.
+    n_c = np.asarray(n_re, np.float64) + 1j * np.asarray(n_im, np.float64)
+    g_c = (np.asarray(w_re[GUARD:GUARD + n], np.float64)
+           + 1j * np.asarray(w_im[GUARD:GUARD + n], np.float64))
+    f_pol, r_pol = _polish_freq_rate_f64(
+        n_c, g_c, sample_rate, float(f_hat), float(r_hat),
+        f_span=max(step / 8.0, 0.05),
+        r_span=max(float(max_rate_hz_per_s) / 16.0, 4.0))
+    return (f_pol, r_pol, start + float(tau_hat), float(value))
 
 
 @functools.partial(

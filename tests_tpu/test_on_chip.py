@@ -343,3 +343,72 @@ def test_stein_streaming_lattice_on_chip():
     got = [(float(f), int(l)) for f, l, v in zip(fr, lg, vv)
            if np.isfinite(float(v))][:3]
     assert got == [(f, lag) for f, lag, _ in truths]
+
+
+def test_rate_overlap_save_on_chip():
+    """Round-4: joint (rate, doppler, lag) search over a long capture
+    compiled on the real chip — a 400 Hz/s sweep at lag 50k in a
+    65536-lag capture, coarse dechirp-bank x overlap-save then refined
+    to <=0.1 Hz/s."""
+    from scipy.signal import filtfilt, firwin
+
+    from caf_cookoff_tpu.models.rate import rate_overlap_save_peak
+    from caf_cookoff_tpu.ops.refine import refine_peak_rate
+
+    rng = np.random.default_rng(42)
+    n, total = 4096, 65536 + 4096
+    lag_true, rate_true, f0 = 50_000, 400.0, -400.0
+    taps = firwin(127, 0.25)
+    needle = filtfilt(taps, 1.0, rng.standard_normal(n)
+                      + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = (0.002 * (rng.standard_normal(total)
+                    + 1j * rng.standard_normal(total))
+           ).astype(np.complex64)
+    t_abs = (lag_true + np.arange(n)) / FS
+    ph = 2 * np.pi * f0 * t_abs + np.pi * rate_true * t_abs * t_abs
+    hay[lag_true:lag_true + n] += (needle
+                                   * np.exp(1j * ph)).astype(np.complex64)
+    f_ws = f0 + rate_true * lag_true / FS
+    freqs = np.arange(-100.0, 100.1, 2.5, dtype=np.float32)
+    rates = np.arange(-600.0, 601.0, 150.0)
+    r_c, f_c, lag_c, _ = rate_overlap_save_peak(
+        needle, hay, freqs, rates, FS, backend="matmul")
+    assert abs(lag_c - lag_true) <= 2
+    assert abs(r_c - rate_true) <= 150.0
+    f2, r2, t2, _ = refine_peak_rate(
+        needle, hay, f_c, lag_c, FS, rate0_hz_per_s=r_c,
+        max_rate_hz_per_s=150.0, coarse_step_hz=2.5, backend="matmul")
+    assert abs(r2 - rate_true) <= 0.1
+    assert abs(t2 - lag_true) <= 0.1
+    assert abs(f2 - f_ws) <= 0.05
+
+
+def test_detection_threshold_on_chip():
+    """Round-4 detection decisions compiled on the chip: noise-only
+    capture -> zero detections; two emitters in eight slots -> two."""
+    from caf_cookoff_tpu.models.overlap_save import overlap_save_peaks
+
+    rng = np.random.default_rng(7)
+    n, total = 512, 4096
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    freqs = np.arange(-100.0, 100.1, 2.5, dtype=np.float32)
+    rng2 = np.random.default_rng(1000)
+    noise = (rng2.standard_normal(total)
+             + 1j * rng2.standard_normal(total)).astype(np.complex64)
+    _, _, vv = overlap_save_peaks(needle, noise, freqs, FS, 4,
+                                  min_snr_db="auto", backend="matmul")
+    assert int(np.sum(np.isfinite(vv))) == 0
+
+    hay = noise.copy()
+    t = np.arange(n)
+    for f, lag, amp in [(30.0, 800, 1.0), (-60.0, 2500, 0.7)]:
+        hay[lag:lag + n] += (amp * needle * np.exp(
+            2j * np.pi * f * t / FS)).astype(np.complex64)
+    fr, lg, vv, snr = overlap_save_peaks(
+        needle, hay, freqs, FS, 8, min_snr_db="auto", with_snr=True,
+        backend="matmul")
+    det = [(float(f), int(l)) for f, l, v in zip(fr, lg, vv)
+           if np.isfinite(v)]
+    assert len(det) == 2
+    assert [lag for _, lag in det] == [800, 2500]
