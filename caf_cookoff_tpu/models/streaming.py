@@ -191,14 +191,16 @@ def _stein_stream_lattice_step_jit(ws1, ws2, lmat, tail_re, tail_im,
                                    chunk_len, needle_pad, halo, interpret,
                                    num_peaks, exclude_freq, exclude_lag):
     """Stein-mode multi-emitter step: top-``num_peaks`` lattice through
-    the fused kernel's per-bin (max, argmax), each entry carrying its
-    own guard-extended window slice for the exact final re-score.
+    the fused kernel's per-bin TOP-2-SEPARATED (max, argmax), each
+    entry carrying its own guard-extended window slice for the exact
+    final re-score.
 
-    Caveat inherited from the kernel's per-bin contract: two emitters
-    in the SAME doppler bin at different lags present one candidate per
-    chunk window (only the bin's max lag) — distinct-bin emitters (the
-    physical multi-emitter case) are unaffected; the XLA streaming
-    lattice has no such limit if needed.
+    The kernel's ``want_top2`` epilogue (round 4) carries two
+    ``>=exclude_lag``-separated lag candidates per doppler bin per
+    chunk window, so two emitters sharing a doppler bin at distinct
+    lags BOTH reach the lattice (previously only the bin's single max
+    did); three or more same-bin emitters in ONE window still need the
+    XLA streaming lattice.
     """
     from caf_cookoff_tpu.ops.pallas_stein import SUPER, fused_span, \
         fused_stein_rank
@@ -214,13 +216,20 @@ def _stein_stream_lattice_step_jit(ws1, ws2, lmat, tail_re, tail_im,
     h_ext = jnp.stack([jnp.pad(window[0], (0, max(0, need - win_len))),
                        jnp.pad(window[1], (0, max(0, need - win_len)))]
                       )[None, :, :need]
-    vals, idxs = fused_stein_rank(
+    vals, idxs, vals2, idxs2 = fused_stein_rank(
         ws1, ws2, lmat, h_ext, num_blocks, group, chunk_len,
         interpret=interpret,
-        num_valid=jnp.reshape(jnp.asarray(valid_len, jnp.int32), (1,)))
+        num_valid=jnp.reshape(jnp.asarray(valid_len, jnp.int32), (1,)),
+        want_top2=True, sep=exclude_lag)
     k = vals.shape[0]
-    cands = CafPeak(vals[:, 0], jnp.arange(k, dtype=jnp.int32),
-                    idxs[:, 0] + base_lag)
+    bins = jnp.arange(k, dtype=jnp.int32)
+    # Slot-2 sentinel (-1.0: no separated second candidate) -> -inf so
+    # the merge can neither keep nor suppress with it.
+    v2 = jnp.where(vals2[:, 0] < 0, -jnp.inf, vals2[:, 0])
+    cands = CafPeak(jnp.concatenate([vals[:, 0], v2]),
+                    jnp.concatenate([bins, bins]),
+                    jnp.concatenate([idxs[:, 0], idxs2[:, 0]])
+                    + base_lag)
     chunk_lat, _ = merge_peaks(cands, num_peaks, exclude_freq,
                                exclude_lag, return_indices=True)
     # Window slice per chunk-lattice entry (vmapped dynamic_slice).

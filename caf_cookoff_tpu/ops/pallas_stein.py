@@ -67,7 +67,8 @@ _SEED_ROWS = 16  # bf16 sublane tile: Hankel rows are built 16 at a time
 def _fused_stein_kernel(*refs, num_blocks: int,
                         sup: int, tile: int, num_chunks: int,
                         num_lags: int, span: int, a_chunks: int,
-                        want_idxs: bool, dyn_valid: bool):
+                        want_idxs: bool, dyn_valid: bool,
+                        want_top2: bool = False, sep: int = 0):
     """One program = one pair, the ENTIRE Stein pipeline in VMEM.
 
     Stage A builds the Hankel operator rows (shifted copies of the
@@ -89,7 +90,24 @@ def _fused_stein_kernel(*refs, num_blocks: int,
     would shadow the same bin's in-range peak and the whole bin would
     then be dropped — so the bound must cut inside the scan itself.
     """
-    if dyn_valid:
+    vals2_ref = idxs2_ref = None
+    if want_top2:
+        # Top-2-separated mode: the elementwise accumulator cannot hold
+        # two same-bin lags (two tiles' maxima landing on one lane
+        # position collapse), so each tile reduces to its per-bin
+        # (max, argmax) plus a >=sep-separated second, and the 2
+        # running + 2 tile candidates merge greedily — exact for two
+        # emitters anywhere in the window with |lag1-lag2| > sep.
+        if dyn_valid:
+            (ws1_ref, ws2_ref, l_ref, h_ref, nl_ref, vals_ref, idxs_ref,
+             vals2_ref, idxs2_ref, co_ref, hank_ref, seed_ref, g_ref,
+             vtop_ref, ltop_ref) = refs
+        else:
+            (ws1_ref, ws2_ref, l_ref, h_ref, vals_ref, idxs_ref,
+             vals2_ref, idxs2_ref, co_ref, hank_ref, seed_ref, g_ref,
+             vtop_ref, ltop_ref) = refs
+        vacc_ref = iacc_ref = None
+    elif dyn_valid:
         (ws1_ref, ws2_ref, l_ref, h_ref, nl_ref, vals_ref, idxs_ref,
          co_ref, hank_ref, seed_ref, g_ref, vacc_ref, iacc_ref) = refs
     else:
@@ -160,6 +178,33 @@ def _fused_stein_kernel(*refs, num_blocks: int,
             col_iota = jax.lax.broadcasted_iota(
                 jnp.int32, (kp, tile), 1) + coff
             mag2 = jnp.where(col_iota < num_lags, mag2, -1.0)
+        if want_top2:
+            lag_t = jax.lax.broadcasted_iota(
+                jnp.int32, (kp, tile), 1) + coff
+            m1 = jnp.max(mag2, axis=1, keepdims=True)
+            a1 = jnp.min(jnp.where(mag2 >= m1, lag_t, _BIG_IDX),
+                         axis=1, keepdims=True)
+            masked = jnp.where(jnp.abs(lag_t - a1) <= sep, -1.0, mag2)
+            m2 = jnp.max(masked, axis=1, keepdims=True)
+            a2 = jnp.min(jnp.where(masked >= m2, lag_t, _BIG_IDX),
+                         axis=1, keepdims=True)
+            if c == 0:
+                vtop_ref[:] = jnp.concatenate([m1, m2], axis=1)
+                ltop_ref[:] = jnp.concatenate([a1, a2], axis=1)
+            else:
+                # Greedy top-2-separated of {carry1, carry2, m1, m2}.
+                v4 = jnp.concatenate([vtop_ref[:], m1, m2], axis=1)
+                l4 = jnp.concatenate([ltop_ref[:], a1, a2], axis=1)
+                v1 = jnp.max(v4, axis=1, keepdims=True)
+                l1 = jnp.min(jnp.where(v4 >= v1, l4, _BIG_IDX),
+                             axis=1, keepdims=True)
+                vm = jnp.where(jnp.abs(l4 - l1) <= sep, -1.0, v4)
+                v2 = jnp.max(vm, axis=1, keepdims=True)
+                l2 = jnp.min(jnp.where(vm >= v2, l4, _BIG_IDX),
+                             axis=1, keepdims=True)
+                vtop_ref[:] = jnp.concatenate([v1, v2], axis=1)
+                ltop_ref[:] = jnp.concatenate([l1, l2], axis=1)
+            continue
         if c == 0:
             vacc_ref[:] = mag2
             if want_idxs:
@@ -171,9 +216,21 @@ def _fused_stein_kernel(*refs, num_blocks: int,
             iacc_ref[:] = jnp.where(take, jnp.int32(c), iacc_ref[:])
         else:
             vacc_ref[:] = jnp.maximum(mag2, vacc_ref[:])
+    pid = pl.program_id(0)
+    kp, p = vals_ref.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (kp, p), 1)
+    mine = lane == pid
+    if want_top2:
+        vt = vtop_ref[:]
+        lt = ltop_ref[:]
+        lt = jnp.where(lt == _BIG_IDX, 0, lt)    # sentinel lag -> 0
+        vals_ref[:] = jnp.where(mine, vt[:, 0:1], vals_ref[:])
+        idxs_ref[:] = jnp.where(mine, lt[:, 0:1], idxs_ref[:])
+        vals2_ref[:] = jnp.where(mine, vt[:, 1:2], vals2_ref[:])
+        idxs2_ref[:] = jnp.where(mine, lt[:, 1:2], idxs2_ref[:])
+        return
     macc = vacc_ref[:]
     colmax = jnp.max(macc, axis=1, keepdims=True)
-    kp = macc.shape[0]
     if want_idxs:
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (kp, tile), 1)
         lag = iacc_ref[:] * tile + lane_i
@@ -181,10 +238,6 @@ def _fused_stein_kernel(*refs, num_blocks: int,
                          axis=1, keepdims=True)
     else:
         colarg = jnp.zeros((kp, 1), jnp.int32)
-    pid = pl.program_id(0)
-    kp, p = vals_ref.shape
-    lane = jax.lax.broadcasted_iota(jnp.int32, (kp, p), 1)
-    mine = lane == pid
     vals_ref[:] = jnp.where(mine, colmax, vals_ref[:])
     idxs_ref[:] = jnp.where(mine, colarg, idxs_ref[:])
 
@@ -235,12 +288,14 @@ def _vmem_demand(b2: int, span: int, sup: int, sr: int, m_pad: int,
 @functools.partial(
     jax.jit,
     static_argnames=("num_blocks", "sup", "num_lags", "interpret",
-                     "a_chunks", "want_idxs", "windows", "share_h"))
+                     "a_chunks", "want_idxs", "windows", "share_h",
+                     "want_top2", "sep"))
 def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, sup: int,
                      num_lags: int, interpret: bool = False,
                      a_chunks: int = 4, want_idxs: bool = True,
                      windows: int = 1, share_h: int = 1,
-                     num_valid=None):
+                     num_valid=None, want_top2: bool = False,
+                     sep: int = 0):
     """Per-(pair, bin) (max |R|^2, arg lag) — fully fused batch engine.
 
     ``lmat``: (P, 2B, 2*sup) dense needle-tap operator (Gr rows then
@@ -273,6 +328,15 @@ def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, sup: int,
     chunk): the per-bin (max, argmax) cannot be masked afterwards
     without dropping the bin's in-range peak along with the
     out-of-range shadow.
+
+    ``want_top2=True`` (requires ``sep``, the minimum lag separation in
+    samples) returns per-bin top-TWO lag candidates: ``(vals, idxs,
+    vals2, idxs2)``, where slot 2 carries the strongest lag at least
+    ``sep`` samples from slot 1's (value ``-1.0`` when no second
+    candidate exists) — the same-doppler-bin multi-emitter mode the
+    streaming lattice uses.  Exact for two emitters anywhere in the
+    window with ``|lag1 - lag2| > sep``; a third same-bin emitter needs
+    the XLA lattice path.
     """
     k, b2 = ws1.shape
     p_eff = max(h_ext.shape[0] * share_h, lmat.shape[0] * windows)
@@ -294,11 +358,14 @@ def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, sup: int,
                          f"(*, 2, {span + SUPER - 1})")
     m_pad = -(-num_lags // FUSED_TILE) * FUSED_TILE
     dyn_valid = num_valid is not None
+    if want_top2:
+        want_idxs = True
     kernel = functools.partial(
         _fused_stein_kernel, num_blocks=num_blocks, sup=sup,
         tile=FUSED_TILE, num_chunks=m_pad // FUSED_TILE,
         num_lags=num_lags, span=span, a_chunks=a_chunks,
-        want_idxs=want_idxs, dyn_valid=dyn_valid)
+        want_idxs=want_idxs, dyn_valid=dyn_valid,
+        want_top2=want_top2, sep=int(sep))
     cdtype = jnp.bfloat16
     p = p_eff
     sr = min(_SEED_ROWS, sup)
@@ -327,28 +394,32 @@ def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, sup: int,
         in_specs.append(pl.BlockSpec((p_eff,), lambda i: (0,),
                                      memory_space=pltpu.SMEM))
         operands.append(num_valid)
-    vals, idxs = pl.pallas_call(
+    out_spec = pl.BlockSpec((kp, p), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out_dtypes = [jnp.float32, jnp.int32] * (2 if want_top2 else 1)
+    n_outs = len(out_dtypes)
+    if want_top2:
+        # (kp, 2) running (top1, top2) value/lag carries replace the
+        # elementwise accumulators.
+        acc_scratch = [pltpu.VMEM((kp, 2), jnp.float32),
+                       pltpu.VMEM((kp, 2), jnp.int32)]
+    else:
+        acc_scratch = [
+            pltpu.VMEM((kp, FUSED_TILE), jnp.float32),
+            pltpu.VMEM((kp, FUSED_TILE if want_idxs else 1), jnp.int32)]
+    outs = pl.pallas_call(
         kernel,
         grid=(p,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((kp, p), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((kp, p), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((kp, p), jnp.float32),
-            jax.ShapeDtypeStruct((kp, p), jnp.int32),
-        ),
+        out_specs=tuple(out_spec for _ in range(n_outs)),
+        out_shape=tuple(jax.ShapeDtypeStruct((kp, p), dt)
+                        for dt in out_dtypes),
         scratch_shapes=[
             pltpu.VMEM((b2, span), cdtype),
             pltpu.VMEM((2, 2 * sup, span // a_chunks), cdtype),
             pltpu.VMEM((2, sr, span // a_chunks + sup), cdtype),
             pltpu.VMEM((b2, m_pad), cdtype),
-            pltpu.VMEM((kp, FUSED_TILE), jnp.float32),
-            pltpu.VMEM((kp, FUSED_TILE if want_idxs else 1), jnp.int32),
-        ],
+        ] + acc_scratch,
         # The default scoped-VMEM budget (16 MB) is far under what the
         # co/G scratch needs, and small block lengths double the
         # block-count rows (b2 = 2N/sup) — so size the limit from the
@@ -363,6 +434,10 @@ def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, sup: int,
                 b2, span, sup, sr, m_pad, kp, p, a_chunks, want_idxs)),
         interpret=interpret,
     )(*operands)
+    if want_top2:
+        vals, idxs, vals2, idxs2 = outs
+        return vals[:k], idxs[:k], vals2[:k], idxs2[:k]
+    vals, idxs = outs
     return vals[:k], idxs[:k]
 
 

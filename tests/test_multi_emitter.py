@@ -236,6 +236,51 @@ def test_streaming_stein_lattice():
     assert s.best()[:2] == truths[0]
 
 
+def test_streaming_stein_same_bin_emitters():
+    """Two emitters in the SAME doppler bin at distinct lags inside ONE
+    chunk window both reach the lattice through the fused stein stream.
+
+    Round-3 caveat (retired): the kernel's per-bin (max, argmax)
+    epilogue presented one candidate per doppler bin per window, so the
+    weaker same-bin emitter was invisible whenever both fell in one
+    chunk.  The ``want_top2`` epilogue carries a second
+    ``>=exclude_lag``-separated lag candidate per bin, making this the
+    BASELINE config-4 case the XLA path already handled."""
+    from caf_cookoff_tpu.models.streaming import StreamingCAF
+
+    # Lags 9000 and 12000 both land in chunk window [8192, 16384):
+    # same frequency => same doppler bin, 3000-sample separation.
+    needle, hay, truths = _multi_emitter_capture(
+        truths=((-30.0, 9000, 1.0), (-30.0, 12000, 0.7)))
+    freqs = np.arange(-100, 100, 2.5, dtype=np.float32)
+    s = StreamingCAF(needle, freqs, FS, num_peaks=2, backend="stein")
+    for off in range(0, len(hay), 8192):
+        s.process(hay[off:off + 8192])
+    fr, lg, vv = s.peaks()
+    assert _finite_rows(fr, lg, vv) == truths
+    assert s.best()[:2] == truths[0]
+
+
+def test_streaming_stein_same_bin_weaker_first():
+    """Same-bin pair with the WEAKER emitter at the earlier lag — pins
+    that slot 2 is the separated second max, not just 'the later lag'."""
+    from caf_cookoff_tpu.models.streaming import StreamingCAF
+
+    needle, hay, truths = _multi_emitter_capture(
+        truths=((10.0, 13500, 1.0), (10.0, 9100, 0.65)))
+    freqs = np.arange(-100, 100, 2.5, dtype=np.float32)
+    s = StreamingCAF(needle, freqs, FS, num_peaks=3, backend="stein")
+    for off in range(0, len(hay), 8192):
+        s.process(hay[off:off + 8192])
+    fr, lg, vv = s.peaks()
+    got = _finite_rows(fr, lg, vv)
+    assert got[:2] == truths
+    # Nothing spurious within one exclusion cell of either emitter.
+    for f, lag in truths:
+        near = [(g, l) for g, l in got[2:] if g == f and abs(l - lag) < 64]
+        assert not near
+
+
 @pytest.mark.parametrize("shape", [dict(time=4), dict(time=2, doppler=2),
                                    dict(time=8), dict(time=4, doppler=2)])
 def test_sharded_multi_emitter(shape):

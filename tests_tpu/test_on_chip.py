@@ -115,6 +115,35 @@ def test_streaming_stein_on_chip(chirp):
     assert (freq, lag) == (69.25, 202)
 
 
+def test_streaming_stein_same_bin_on_chip():
+    """The fused kernel's ``want_top2`` epilogue on real hardware: two
+    emitters in one doppler bin at distinct lags inside one chunk
+    window, both recovered by the stein stream's lattice."""
+    from caf_cookoff_tpu.models.streaming import StreamingCAF
+
+    rng = np.random.default_rng(7)
+    n, total = 1024, 32768
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = (1e-4 * (rng.standard_normal(total)
+                   + 1j * rng.standard_normal(total))
+           ).astype(np.complex64)
+    t = np.arange(n)
+    truths = [(-30.0, 9000), (-30.0, 12000)]
+    for amp, (f, lag) in zip((1.0, 0.7), truths):
+        hay[lag:lag + n] += (amp * needle * np.exp(
+            2j * np.pi * f * t / FS)).astype(np.complex64)
+    freqs = np.arange(-100, 100, 2.5, dtype=np.float32)
+    s = StreamingCAF(needle, freqs, FS, num_peaks=2, backend="stein",
+                     chunk_len=8192)
+    for off in range(0, total, 8192):
+        s.process(hay[off:off + 8192])
+    fr, lg, vv = s.peaks()
+    got = [(float(f), int(l)) for f, l, v in zip(fr, lg, vv)
+           if np.isfinite(float(v))]
+    assert got == truths
+
+
 def test_banded_wide_span_on_chip():
     """Banded Stein (16 bands as the kernel's batch axis) compiled on
     chip: exact wide-span answer vs the matmul filterbank."""
