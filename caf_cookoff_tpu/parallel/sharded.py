@@ -83,6 +83,68 @@ def _split_host(x) -> Tuple[np.ndarray, np.ndarray]:
     return splitfft.split_array(np.asarray(x))
 
 
+def streaming_peak_deferred_halo(s_conj, h_local, h_halo, needle_len: int,
+                                 chunk: int, lag_offset, total_lags,
+                                 backend: str, num_peaks: int = 1,
+                                 exclude_freq: Optional[int] = None,
+                                 exclude_lag: Optional[int] = None,
+                                 valid_rows=None, with_floor: bool = False):
+    """Shard-local overlap-save scan with the neighbor halo consumed
+    ONLY by the boundary blocks — the ``ppermute`` overlaps interior
+    compute instead of serializing exchange-then-scan.
+
+    A block covering local lags ``[b*V, b*V + V)`` reads samples
+    ``[b*V, b*V + V + N - 1)``: every block whose read window stays
+    inside the shard's own ``chunk`` samples never touches the
+    exchanged halo.  The scan therefore splits into an interior scan
+    (pure local data, no dependency on the collective) and a short
+    boundary scan over the final ``<= ceil((N-1)/V) + 1`` blocks; with
+    the ``ppermute`` result feeding only the second scan, the scheduler
+    is free to run the collective concurrently with the interior
+    compute (latency hiding — the round-3 time-axis pinned efficiency
+    was collective-latency-bound at N=4).
+
+    Semantics are identical to :func:`streaming_peak` over
+    ``concat([local, halo])``: same lag/row/validity masks, same
+    earliest-lag tie-break (the interior scan owns the earlier lags and
+    the boundary result only wins on a STRICT greater; the lattice path
+    reuses the same ``merge_peaks`` the chunked stream already chains),
+    and the floor accumulators sum over the two disjoint lag ranges.
+    """
+    from caf_cookoff_tpu.ops.peak import concat_peaks, merge_peaks
+
+    _, v, nblocks = plan_blocks(needle_len, chunk)
+    d = v + needle_len - 1
+    b_int = min((chunk - d) // v + 1, nblocks) if chunk >= d else 0
+    kw = dict(total_lags=total_lags, backend=backend, num_peaks=num_peaks,
+              exclude_freq=exclude_freq, exclude_lag=exclude_lag,
+              valid_rows=valid_rows, with_floor=with_floor)
+    if b_int <= 0:
+        hay_ext = tuple(jnp.concatenate([p, q], axis=-1)
+                        for p, q in zip(h_local, h_halo))
+        return streaming_peak(s_conj, hay_ext, needle_len, chunk,
+                              lag_offset=lag_offset, **kw)
+    lags_int = b_int * v           # b_int*v + N-1 <= chunk: local-only
+    out_i = streaming_peak(s_conj, h_local, needle_len, lags_int,
+                           lag_offset=lag_offset, **kw)
+    tail = tuple(jnp.concatenate([p[..., lags_int:], q], axis=-1)
+                 for p, q in zip(h_local, h_halo))
+    out_b = streaming_peak(s_conj, tail, needle_len, chunk - lags_int,
+                           lag_offset=lag_offset + lags_int, **kw)
+    pk_i, pk_b = (out_i[0], out_b[0]) if with_floor else (out_i, out_b)
+    if num_peaks > 1:
+        pk = merge_peaks(concat_peaks(pk_i, pk_b), num_peaks,
+                         exclude_freq, exclude_lag)
+    else:
+        take = pk_b.value > pk_i.value   # strict: earlier lags win ties
+        pk = CafPeak(jnp.where(take, pk_b.value, pk_i.value),
+                     jnp.where(take, pk_b.freq_idx, pk_i.freq_idx),
+                     jnp.where(take, pk_b.lag_idx, pk_i.lag_idx))
+    if with_floor:
+        return pk, out_i[1] + out_b[1], out_i[2] + out_b[2]
+    return pk
+
+
 # ---------------------------------------------------------------------------
 # Doppler-sharded filterbank surface / peak (truncated-haystack workload)
 # ---------------------------------------------------------------------------
@@ -424,15 +486,16 @@ def _os_sharded_peak_jit(n_re, n_im, h_re, h_im, freqs_padded, sample_rate,
     halo = needle_len - 1
 
     def body(n_re, n_im, h_re, h_im, freqs_loc):
+        # Halo first, consumed only by the boundary blocks inside the
+        # deferred-halo scan — the ppermute overlaps interior compute.
+        h_halo = tuple(_right_halo(p, halo, AXIS_TIME)
+                       for p in (h_re, h_im))
         s_conj = needle_spectra_conj((n_re, n_im), freqs_loc, sample_rate,
                                      m, backend)
-        hay_ext = tuple(
-            jnp.concatenate([p, _right_halo(p, halo, AXIS_TIME)], axis=-1)
-            for p in (h_re, h_im))
         offset = jax.lax.axis_index(AXIS_TIME) * chunk
-        local = streaming_peak(s_conj, hay_ext, needle_len, chunk,
-                               lag_offset=offset, total_lags=total_lags,
-                               backend=backend)
+        local = streaming_peak_deferred_halo(
+            s_conj, (h_re, h_im), h_halo, needle_len, chunk, offset,
+            total_lags, backend)
         local = CafPeak(
             local.value,
             local.freq_idx + jax.lax.axis_index(AXIS_DOPPLER) * k_loc,
@@ -478,21 +541,18 @@ def _os_sharded_peaks_jit(n_re, n_im, h_re, h_im, freqs_padded, sample_rate,
     halo = needle_len - 1
 
     def body(n_re, n_im, h_re, h_im, freqs_loc):
+        h_halo = tuple(_right_halo(p, halo, AXIS_TIME)
+                       for p in (h_re, h_im))
         s_conj = needle_spectra_conj((n_re, n_im), freqs_loc, sample_rate,
                                      m, backend)
-        hay_ext = tuple(
-            jnp.concatenate([p, _right_halo(p, halo, AXIS_TIME)], axis=-1)
-            for p in (h_re, h_im))
         offset = jax.lax.axis_index(AXIS_TIME) * chunk
         rows_global = (jax.lax.axis_index(AXIS_DOPPLER) * k_loc
                        + jnp.arange(k_loc, dtype=jnp.int32))
-        out = streaming_peak(s_conj, hay_ext, needle_len, chunk,
-                             lag_offset=offset, total_lags=total_lags,
-                             backend=backend, num_peaks=num_peaks,
-                             exclude_freq=exclude_freq,
-                             exclude_lag=exclude_lag,
-                             valid_rows=rows_global < num_bins,
-                             with_floor=with_floor)
+        out = streaming_peak_deferred_halo(
+            s_conj, (h_re, h_im), h_halo, needle_len, chunk, offset,
+            total_lags, backend, num_peaks=num_peaks,
+            exclude_freq=exclude_freq, exclude_lag=exclude_lag,
+            valid_rows=rows_global < num_bins, with_floor=with_floor)
         local = out[0] if with_floor else out
         local = CafPeak(
             local.value,
@@ -538,24 +598,25 @@ def _batched_os_peak_jit(ns_re, ns_im, hs_re, hs_im, freqs_padded,
 
     def body(ns_re, ns_im, hs_re, hs_im, freqs_loc):
         # ns: (B_loc, N); hs: (B_loc, chunk) — halo from the right time
-        # neighbor is exchanged for the whole local pair block at once.
-        hay_ext = tuple(
-            jnp.concatenate([p, _right_halo(p, halo, AXIS_TIME)], axis=-1)
-            for p in (hs_re, hs_im))
+        # neighbor is exchanged for the whole local pair block at once,
+        # and consumed only by each pair's boundary blocks (deferred
+        # halo: the ppermute overlaps the interior scans).
+        hs_halo = tuple(_right_halo(p, halo, AXIS_TIME)
+                        for p in (hs_re, hs_im))
         offset = jax.lax.axis_index(AXIS_TIME) * chunk
 
-        def one(nr, ni, hr, hi):
+        def one(nr, ni, hr, hi, qr, qi):
             s_conj = needle_spectra_conj((nr, ni), freqs_loc, sample_rate,
                                          m, backend)
-            local = streaming_peak(s_conj, (hr, hi), needle_len, chunk,
-                                   lag_offset=offset,
-                                   total_lags=total_lags, backend=backend)
+            local = streaming_peak_deferred_halo(
+                s_conj, (hr, hi), (qr, qi), needle_len, chunk, offset,
+                total_lags, backend)
             return CafPeak(
                 local.value,
                 local.freq_idx + jax.lax.axis_index(AXIS_DOPPLER) * k_loc,
                 local.lag_idx)
 
-        local = jax.vmap(one)(ns_re, ns_im, *hay_ext)
+        local = jax.vmap(one)(ns_re, ns_im, hs_re, hs_im, *hs_halo)
         return global_peak(local, (AXIS_DOPPLER, AXIS_TIME))
 
     return shard_map(
@@ -593,24 +654,20 @@ def _batched_os_peaks_jit(ns_re, ns_im, hs_re, hs_im, freqs_padded,
     halo = needle_len - 1
 
     def body(ns_re, ns_im, hs_re, hs_im, freqs_loc):
-        hay_ext = tuple(
-            jnp.concatenate([p, _right_halo(p, halo, AXIS_TIME)], axis=-1)
-            for p in (hs_re, hs_im))
+        hs_halo = tuple(_right_halo(p, halo, AXIS_TIME)
+                        for p in (hs_re, hs_im))
         offset = jax.lax.axis_index(AXIS_TIME) * chunk
         rows_global = (jax.lax.axis_index(AXIS_DOPPLER) * k_loc
                        + jnp.arange(k_loc, dtype=jnp.int32))
 
-        def one(nr, ni, hr, hi):
+        def one(nr, ni, hr, hi, qr, qi):
             s_conj = needle_spectra_conj((nr, ni), freqs_loc, sample_rate,
                                          m, backend)
-            out = streaming_peak(s_conj, (hr, hi), needle_len, chunk,
-                                 lag_offset=offset,
-                                 total_lags=total_lags, backend=backend,
-                                 num_peaks=num_peaks,
-                                 exclude_freq=exclude_freq,
-                                 exclude_lag=exclude_lag,
-                                 valid_rows=rows_global < num_bins,
-                                 with_floor=with_floor)
+            out = streaming_peak_deferred_halo(
+                s_conj, (hr, hi), (qr, qi), needle_len, chunk, offset,
+                total_lags, backend, num_peaks=num_peaks,
+                exclude_freq=exclude_freq, exclude_lag=exclude_lag,
+                valid_rows=rows_global < num_bins, with_floor=with_floor)
             local = out[0] if with_floor else out
             local = CafPeak(
                 local.value,
@@ -618,7 +675,8 @@ def _batched_os_peaks_jit(ns_re, ns_im, hs_re, hs_im, freqs_padded,
                 local.lag_idx)
             return (local, out[1], out[2]) if with_floor else local
 
-        out = jax.vmap(one)(ns_re, ns_im, *hay_ext)   # fields (B_loc, P)
+        out = jax.vmap(one)(ns_re, ns_im, hs_re, hs_im, *hs_halo)
+        # fields (B_loc, P)
         local = out[0] if with_floor else out
         lat = global_peaks_batched(local, (AXIS_DOPPLER, AXIS_TIME),
                                    num_peaks, exclude_freq, exclude_lag)

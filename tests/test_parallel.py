@@ -142,6 +142,74 @@ def test_batched_overlap_save_three_axes():
             f_true[b], lags[b])
 
 
+def test_deferred_halo_matches_plain_scan():
+    """streaming_peak_deferred_halo == streaming_peak over
+    concat([local, halo]) — single peak bitwise, lattice + floor on
+    well-separated emitters — for chunk sizes hitting every interior/
+    boundary split (including chunk < d where everything is boundary).
+
+    This is the latency-hiding restructure (round-4 verdict item 2):
+    correctness must not depend on WHERE the scan is split.
+    """
+    import jax.numpy as jnp
+
+    from caf_cookoff_tpu.models.overlap_save import (
+        needle_spectra_conj,
+        plan_blocks,
+        streaming_peak,
+    )
+    from caf_cookoff_tpu.ops import splitfft
+    from caf_cookoff_tpu.parallel.sharded import (
+        streaming_peak_deferred_halo,
+    )
+
+    n = 256
+    rng = np.random.default_rng(21)
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    freqs = np.arange(-100, 100, 10.0, dtype=np.float32)
+    total = 8192
+    hay = (1e-4 * (rng.standard_normal(total)
+                   + 1j * rng.standard_normal(total))
+           ).astype(np.complex64)
+    t = np.arange(n)
+    for f, lag, amp in ((-30.0, 700, 1.0), (40.0, 3000, 0.6)):
+        hay[lag:lag + n] += (amp * needle * np.exp(
+            2j * np.pi * f * t / FS)).astype(np.complex64)
+    n_sp = tuple(jnp.asarray(p) for p in splitfft.split_array(needle))
+    h_sp = splitfft.split_array(hay)
+    halo = n - 1
+    for chunk in (4096, 3500, 200):      # multi-block, ragged, < d
+        m, _, _ = plan_blocks(n, chunk)
+        s_conj = needle_spectra_conj(n_sp, jnp.asarray(freqs), FS, m,
+                                     "xla")
+        local = tuple(jnp.asarray(p[:chunk]) for p in h_sp)
+        nbr = tuple(jnp.asarray(p[chunk:chunk + halo]) for p in h_sp)
+        ext = tuple(jnp.concatenate([a, b]) for a, b in zip(local, nbr))
+        want = streaming_peak(s_conj, ext, n, chunk, backend="xla")
+        got = streaming_peak_deferred_halo(
+            s_conj, local, nbr, n, chunk, 0, None, "xla")
+        assert (int(got.freq_idx), int(got.lag_idx)) == \
+            (int(want.freq_idx), int(want.lag_idx)), chunk
+        assert float(got.value) == float(want.value), chunk
+        # Lattice + floor accumulators over the same split.
+        want_l, ws, wc = streaming_peak(
+            s_conj, ext, n, chunk, backend="xla", num_peaks=3,
+            exclude_freq=2, exclude_lag=64, with_floor=True)
+        got_l, gs, gc = streaming_peak_deferred_halo(
+            s_conj, local, nbr, n, chunk, 0, None, "xla", num_peaks=3,
+            exclude_freq=2, exclude_lag=64, with_floor=True)
+        assert float(gc) == float(wc), chunk
+        np.testing.assert_allclose(float(gs), float(ws), rtol=1e-6)
+        finite = np.isfinite(np.asarray(want_l.value))
+        np.testing.assert_array_equal(
+            np.asarray(got_l.freq_idx)[finite],
+            np.asarray(want_l.freq_idx)[finite], err_msg=str(chunk))
+        np.testing.assert_array_equal(
+            np.asarray(got_l.lag_idx)[finite],
+            np.asarray(want_l.lag_idx)[finite], err_msg=str(chunk))
+
+
 def test_hbm_estimate_model():
     from caf_cookoff_tpu.parallel import estimate_hbm_per_chip
 
