@@ -49,6 +49,12 @@ DOPPLER_GATE = (69.25, 202)      # chirp_0 truth on the 0.25-binnable grid
 # and dominate the efficiency read).
 TIME_SHAPE = dict(n=1024, total_lags=65_536, num_bins=64)
 TIME_GATE_SEED = 3
+# Combined-axes (BASELINE config 5) shape: 4 pairs x 64 bins x 32768
+# lags through the per-pair lattice engine (_batched_os_peaks_jit's
+# composition), mesh factored 2x2 at N=4.
+CONFIG5_SHAPE = dict(n=1024, total_lags=32_768, num_bins=64, pairs=4,
+                     num_peaks=2)
+CONFIG5_GATE_SEED = 11
 
 
 def _free_port() -> int:
@@ -130,6 +136,10 @@ def _worker(args) -> None:
     elif args.engine == "pair":
         result = _worker_pair(jax, jnp, np, P, make_mesh, put, nprocs,
                               chain_stats, args.iters, args.reps)
+    elif args.engine in ("config5_dt", "config5_pt"):
+        result = _worker_config5(jax, jnp, np, P, make_mesh, put, nprocs,
+                                 chain_stats, args.iters, args.reps,
+                                 args.engine[-2:])
     else:
         raise SystemExit(f"unknown engine {args.engine}")
     if pid == 0:
@@ -324,7 +334,10 @@ def _worker_time(jax, jnp, np, P, make_mesh, put, AXIS_TIME, nprocs,
     from caf_cookoff_tpu.ops import splitfft
     from caf_cookoff_tpu.ops.peak import CafPeak
     from caf_cookoff_tpu.parallel.collectives import global_peak
-    from caf_cookoff_tpu.parallel.sharded import _right_halo
+    from caf_cookoff_tpu.parallel.sharded import (
+        _right_halo,
+        streaming_peak_deferred_halo,
+    )
 
     n, total_lags, k = (TIME_SHAPE["n"], TIME_SHAPE["total_lags"],
                         TIME_SHAPE["num_bins"])
@@ -354,15 +367,16 @@ def _worker_time(jax, jnp, np, P, make_mesh, put, AXIS_TIME, nprocs,
     g_freqs = put(freqs_np, mesh, P())
 
     def body_full(n_re, n_im, h_re, h_im, freqs, carry):
+        # Deferred halo (matches the production engine): the ppermute
+        # feeds only the boundary blocks, overlapping interior compute.
+        h_halo = tuple(_right_halo(p, halo, AXIS_TIME)
+                       for p in (h_re, h_im))
         s_conj = needle_spectra_conj((n_re + carry[0], n_im), freqs, FS,
                                      m, "xla")
-        hay_ext = tuple(
-            jnp.concatenate([p, _right_halo(p, halo, AXIS_TIME)], axis=-1)
-            for p in (h_re, h_im))
         offset = jax.lax.axis_index(AXIS_TIME) * chunk
-        local = streaming_peak(s_conj, hay_ext, n, chunk,
-                               lag_offset=offset, total_lags=total_lags,
-                               backend="xla")
+        local = streaming_peak_deferred_halo(
+            s_conj, (h_re, h_im), h_halo, n, chunk, offset, total_lags,
+            "xla")
         g = global_peak(local, AXIS_TIME)
         return jnp.reshape(g.value, (1,)) * 1e-30
 
@@ -435,19 +449,238 @@ def _worker_time(jax, jnp, np, P, make_mesh, put, AXIS_TIME, nprocs,
 
 def _time_local(jax, jnp, n_re, n_im, h_re, h_im, freqs, m, n, chunk,
                 total_lags, halo, axis):
+    from caf_cookoff_tpu.models.overlap_save import needle_spectra_conj
+    from caf_cookoff_tpu.parallel.sharded import (
+        _right_halo,
+        streaming_peak_deferred_halo,
+    )
+
+    h_halo = tuple(_right_halo(p, halo, axis) for p in (h_re, h_im))
+    s_conj = needle_spectra_conj((n_re, n_im), freqs, FS, m, "xla")
+    offset = jax.lax.axis_index(axis) * chunk
+    return streaming_peak_deferred_halo(
+        s_conj, (h_re, h_im), h_halo, n, chunk, offset, total_lags, "xla")
+
+
+def _worker_config5(jax, jnp, np, P, make_mesh, put, nprocs, chain_stats,
+                    iters, reps, axes):
+    """Combined-axes STRONG scaling (BASELINE config 5's composition):
+    4 pairs x 64 bins x 32768 lags through the per-pair multi-emitter
+    lattice engine — the ``_batched_os_peaks_jit`` shape, where a wrong
+    axis ordering or a reduce-over-(doppler,time)-leaving-pair bug
+    would first show under real multi-process collectives.
+
+    ``axes='dt'``: pairs local (vmapped), mesh = doppler x time —
+    2x2 at N=4; collectives = ppermute halos over ``time`` PLUS the
+    per-pair lattice all_gather over ``(doppler, time)``.
+    ``axes='pt'``: bins local, mesh = pair x time — 2x2 at N=4; the
+    lattice all_gather folds over ``time`` only (``pair`` stays a
+    data axis, per-pair results sharded).
+
+    The compute twin runs the identical per-shard math with zero halo
+    and no cross-shard merge, so ``collective_ms`` attributes the
+    combined-axes collective stack.  Both factorizations gate on every
+    pair's TWO injected emitters recovered exactly through the mesh.
+    """
+    import functools
+
     from caf_cookoff_tpu.models.overlap_save import (
         needle_spectra_conj,
+        plan_blocks,
         streaming_peak,
     )
-    from caf_cookoff_tpu.parallel.sharded import _right_halo
+    from caf_cookoff_tpu.ops import splitfft
+    from caf_cookoff_tpu.ops.peak import CafPeak
+    from caf_cookoff_tpu.parallel.collectives import global_peaks_batched
+    from caf_cookoff_tpu.parallel.mesh import (
+        AXIS_DOPPLER,
+        AXIS_PAIR,
+        AXIS_TIME,
+    )
+    from caf_cookoff_tpu.parallel.sharded import (
+        _right_halo,
+        pad_axis_to,
+        streaming_peak_deferred_halo,
+    )
 
-    s_conj = needle_spectra_conj((n_re, n_im), freqs, FS, m, "xla")
-    hay_ext = tuple(
-        jnp.concatenate([p, _right_halo(p, halo, axis)], axis=-1)
-        for p in (h_re, h_im))
-    offset = jax.lax.axis_index(axis) * chunk
-    return streaming_peak(s_conj, hay_ext, n, chunk, lag_offset=offset,
-                          total_lags=total_lags, backend="xla")
+    n, total_lags, k, batch, num_peaks = (
+        CONFIG5_SHAPE["n"], CONFIG5_SHAPE["total_lags"],
+        CONFIG5_SHAPE["num_bins"], CONFIG5_SHAPE["pairs"],
+        CONFIG5_SHAPE["num_peaks"])
+    tm = min(nprocs, 2)          # time axis: 1, 2, 2 at N = 1, 2, 4
+    om = nprocs // tm            # other axis (doppler or pair)
+    rng = np.random.default_rng(CONFIG5_GATE_SEED)
+    freqs_np = np.linspace(-100, 100, k, endpoint=False).astype(np.float32)
+    needles = (rng.standard_normal((batch, n)) + 1j
+               * rng.standard_normal((batch, n))).astype(np.complex64)
+    hays = (1e-4 * (rng.standard_normal((batch, total_lags + n - 1)) + 1j
+                    * rng.standard_normal((batch, total_lags + n - 1)))
+            ).astype(np.complex64)
+    t = np.arange(n)
+    truths = []                  # per pair: [(freq, lag) strongest-first]
+    for b in range(batch):
+        pair_truths = [(float(freqs_np[7 + 5 * b]), 900 + 1000 * b),
+                       (float(freqs_np[40 - 4 * b]), total_lags - 1 - 700 * b)]
+        for amp, (f, lag) in zip((1.0, 0.7), pair_truths):
+            end = min(lag + n, hays.shape[1])
+            hays[b, lag:end] += (amp * needles[b] * np.exp(
+                2j * np.pi * f * t / FS)).astype(np.complex64)[: end - lag]
+        truths.append(pair_truths)
+
+    # Resolution-derived NMS cell (1024 samples at 48 kHz: the doppler
+    # mainlobe spans ~15 of these 3.125 Hz bins — a hardcoded cell
+    # would let sidelobes of emitter 1 occupy lattice slots).
+    from caf_cookoff_tpu.ops.peak import resolve_exclusions
+
+    excl_f, excl_l = resolve_exclusions(needles[0], freqs_np, FS,
+                                        None, None)
+    needed = total_lags + n - 1
+    chunk = max(-(-needed // tm), n - 1)
+    if tm * chunk > hays.shape[1]:
+        hays = np.pad(hays, ((0, 0), (0, tm * chunk - hays.shape[1])))
+    else:
+        hays = hays[:, : tm * chunk]
+    ns = splitfft.split_array(needles)
+    hs = splitfft.split_array(hays)
+    m, _, _ = plan_blocks(n, chunk)
+    halo = n - 1
+
+    if axes == "dt":
+        mesh = make_mesh(doppler=om, time=tm)
+        freqs_p = pad_axis_to(freqs_np, om)
+        k_loc = freqs_p.shape[0] // om
+        ns_spec, hs_spec, fr_spec = P(), P(None, AXIS_TIME), P(AXIS_DOPPLER)
+        reduce_axes = (AXIS_DOPPLER, AXIS_TIME)
+        lat_spec = CafPeak(P(), P(), P())
+        full_carry, full_len = P(), 1
+    else:
+        mesh = make_mesh(pair=om, time=tm)
+        freqs_p, k_loc = freqs_np, k
+        ns_spec, hs_spec, fr_spec = (P(AXIS_PAIR),
+                                     P(AXIS_PAIR, AXIS_TIME), P())
+        reduce_axes = (AXIS_TIME,)
+        lat_spec = CafPeak(P(AXIS_PAIR), P(AXIS_PAIR), P(AXIS_PAIR))
+        full_carry, full_len = P(AXIS_PAIR), om
+    g_ns = tuple(put(p, mesh, ns_spec) for p in ns)
+    g_hs = tuple(put(p, mesh, hs_spec) for p in hs)
+    g_freqs = put(freqs_p, mesh, fr_spec)
+
+    def lattices(ns_re, ns_im, hs_re, hs_im, freqs_loc, seed):
+        """Per-pair (B_loc, num_peaks) lattices reduced over the mesh."""
+        hs_halo = tuple(_right_halo(p, halo, AXIS_TIME)
+                        for p in (hs_re, hs_im))
+        offset = jax.lax.axis_index(AXIS_TIME) * chunk
+        if axes == "dt":
+            row0 = jax.lax.axis_index(AXIS_DOPPLER) * k_loc
+        else:
+            row0 = jnp.int32(0)
+        rows_global = row0 + jnp.arange(k_loc, dtype=jnp.int32)
+
+        def one(nr, ni, hr, hi, qr, qi):
+            s_conj = needle_spectra_conj((nr + seed, ni), freqs_loc, FS,
+                                         m, "xla")
+            lat = streaming_peak_deferred_halo(
+                s_conj, (hr, hi), (qr, qi), n, chunk, offset, total_lags,
+                "xla", num_peaks=num_peaks, exclude_freq=excl_f,
+                exclude_lag=excl_l, valid_rows=rows_global < k)
+            return CafPeak(lat.value, lat.freq_idx + row0, lat.lag_idx)
+
+        local = jax.vmap(one)(ns_re, ns_im, hs_re, hs_im, *hs_halo)
+        return global_peaks_batched(local, reduce_axes, num_peaks,
+                                    excl_f, excl_l)
+
+    def body_full(ns_re, ns_im, hs_re, hs_im, freqs_loc, carry):
+        g = lattices(ns_re, ns_im, hs_re, hs_im, freqs_loc, carry[0])
+        val = jnp.sum(jnp.where(jnp.isfinite(g.value), g.value, 0.0))
+        return jnp.reshape(val, (1,)) * 1e-30
+
+    def body_compute(ns_re, ns_im, hs_re, hs_im, freqs_loc, carry):
+        # Identical per-shard math: zero halo (no neighbor traffic),
+        # local lattices only (no all_gather merge).
+        if axes == "dt":
+            row0 = jax.lax.axis_index(AXIS_DOPPLER) * k_loc
+        else:
+            row0 = jnp.int32(0)
+        rows_global = row0 + jnp.arange(k_loc, dtype=jnp.int32)
+
+        def one(nr, ni, hr, hi):
+            s_conj = needle_spectra_conj((nr + carry[0], ni), freqs_loc,
+                                         FS, m, "xla")
+            hay_ext = tuple(jnp.pad(p, ((0, halo),)) for p in (hr, hi))
+            lat = streaming_peak(s_conj, hay_ext, n, chunk,
+                                 backend="xla", num_peaks=num_peaks,
+                                 exclude_freq=excl_f, exclude_lag=excl_l,
+                                 valid_rows=rows_global < k)
+            return lat
+
+        lat = jax.vmap(one)(ns_re, ns_im, hs_re, hs_im)
+        val = jnp.sum(jnp.where(jnp.isfinite(lat.value), lat.value, 0.0))
+        return jnp.reshape(val, (1,)) * 1e-30
+
+    def make_chain(body, carry_spec, carry_len):
+        sm = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(ns_spec, ns_spec, hs_spec, hs_spec, fr_spec,
+                      carry_spec),
+            out_specs=carry_spec, check_vma=False)
+
+        @functools.partial(jax.jit, static_argnames=("kk",))
+        def chain(nsr, nsi, hsr, hsi, fr_, kk):
+            def step(c, _):
+                return sm(nsr, nsi, hsr, hsi, fr_, c), None
+
+            out, _ = jax.lax.scan(
+                step, jnp.zeros((carry_len,), nsr.dtype), None, length=kk)
+            return out
+
+        return chain
+
+    # Gate: every pair's two injected emitters, exactly, through THIS
+    # mesh's combined collectives (lattice replicated for dt; sharded
+    # over pair for pt — each process checks its addressable shard).
+    sm_lat = jax.jit(jax.shard_map(
+        lambda nr, ni, hr, hi, fr_: lattices(nr, ni, hr, hi, fr_,
+                                             jnp.float32(0)),
+        mesh=mesh,
+        in_specs=(ns_spec, ns_spec, hs_spec, hs_spec, fr_spec),
+        out_specs=lat_spec, check_vma=False))
+    lat = sm_lat(*g_ns, *g_hs, g_freqs)
+    for fshard, lshard in zip(lat.freq_idx.addressable_shards,
+                              lat.lag_idx.addressable_shards):
+        b0 = (fshard.index[0].start or 0) if axes == "pt" else 0
+        fidx = np.asarray(fshard.data)
+        lagi = np.asarray(lshard.data)
+        for i in range(fidx.shape[0]):
+            got = [(float(freqs_p[fi]), int(lg))
+                   for fi, lg in zip(fidx[i], lagi[i])]
+            assert got == truths[b0 + i], (axes, b0 + i, got,
+                                           truths[b0 + i])
+
+    chain_full = make_chain(body_full, full_carry, full_len)
+    chain_comp = make_chain(body_compute, P(AXIS_TIME), tm)
+    fetch = lambda out: np.asarray(out.addressable_shards[0].data)
+    full = chain_stats(lambda kk: chain_full(
+        *g_ns, *g_hs, g_freqs, kk), fetch, iters, reps)
+    comp = chain_stats(lambda kk: chain_comp(
+        *g_ns, *g_hs, g_freqs, kk), fetch, iters, reps)
+    # Wire model per step: halo ppermute on every time link of every
+    # mesh row (2 f32 planes x (n-1) samples x local pair count), plus
+    # the per-pair lattice all_gather (3 fields x 4 B x pairs x P) over
+    # each reduction axis hop.
+    b_loc = batch if axes == "dt" else batch // om
+    halo_bytes = 2 * 4 * (n - 1) * b_loc * max(tm - 1, 0) * om
+    gather_hops = (nprocs - 1) if axes == "dt" else (tm - 1) * om
+    gather_bytes = 3 * 4 * b_loc * num_peaks * max(gather_hops, 0)
+    return {
+        "engine": (f"config5_{axes}_{batch}pair_{k}x{total_lags}"
+                   f"_mesh{om}x{tm}"),
+        "n": nprocs, "mode": "strong",
+        "mesh": ({"doppler": om, "time": tm} if axes == "dt"
+                 else {"pair": om, "time": tm}),
+        "full": full, "compute": comp,
+        "collective_ms": round(full["value"] - comp["value"], 3),
+        "wire_bytes_per_step": halo_bytes + gather_bytes,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -481,7 +714,8 @@ def main() -> None:
     ap.add_argument("--procs", default="1,2,4",
                     help="comma list of process counts (disjoint "
                     "one-core pins; max = core count)")
-    ap.add_argument("--engines", default="doppler,time,pair")
+    ap.add_argument("--engines",
+                    default="doppler,time,pair,config5_dt,config5_pt")
     ap.add_argument("--iters", type=int, default=2,
                     help="chain length per measurement")
     ap.add_argument("--reps", type=int, default=3)

@@ -61,15 +61,21 @@ def global_peaks(local: CafPeak, axis_names: _AxisNames, num_peaks: int,
     time-shard boundary is detected by both neighbors and must collapse
     to one entry.
     """
-    names = [axis_names] if isinstance(axis_names, str) else list(axis_names)
+    names = ((axis_names,) if isinstance(axis_names, str)
+             else tuple(axis_names))
     value = jnp.asarray(local.value)
-    freq_idx = local.freq_idx.astype(jnp.int32)
-    lag_idx = local.lag_idx.astype(jnp.int32)
-    for name in names:
-        value = jax.lax.all_gather(value, name, tiled=True)
-        freq_idx = jax.lax.all_gather(freq_idx, name, tiled=True)
-        lag_idx = jax.lax.all_gather(lag_idx, name, tiled=True)
-    return merge_peaks(CafPeak(value, freq_idx, lag_idx), num_peaks,
+    # TWO collectives total, independent of axis count: the value
+    # vector gathers over the full axis product in one op, and the two
+    # int fields ride a single gather as a packed (2, P) block.  (The
+    # original per-axis x per-field fold issued 3 x len(names) gathers
+    # — at ms-scale per-call transport latency, the collective term of
+    # a 2-axis mesh step was 6x one gather's latency for 24 B of
+    # payload; measured in docs/scaling_pinned.json config5_dt rows.)
+    value = jax.lax.all_gather(value, names, tiled=True)
+    idx = jnp.stack([local.freq_idx.astype(jnp.int32),
+                     local.lag_idx.astype(jnp.int32)])
+    idx = jax.lax.all_gather(idx, names, axis=1, tiled=True)
+    return merge_peaks(CafPeak(value, idx[0], idx[1]), num_peaks,
                        exclude_freq, exclude_lag)
 
 
@@ -85,20 +91,24 @@ def global_peaks_batched(local: CafPeak, axis_names: _AxisNames,
     vmapped deterministic merge runs per batch element.  Same
     replicated-by-construction semantics as :func:`global_peaks`.
     """
-    names = [axis_names] if isinstance(axis_names, str) else list(axis_names)
+    names = ((axis_names,) if isinstance(axis_names, str)
+             else tuple(axis_names))
     value = jnp.asarray(local.value)
-    freq_idx = local.freq_idx.astype(jnp.int32)
-    lag_idx = local.lag_idx.astype(jnp.int32)
+    idx = jnp.stack([local.freq_idx.astype(jnp.int32),
+                     local.lag_idx.astype(jnp.int32)])   # (2, ..., C)
 
-    def fold(x, name):
-        g = jax.lax.all_gather(x, name)          # (n, ..., C)
-        g = jnp.moveaxis(g, 0, -2)               # (..., n, C)
+    def fold(x):
+        """Gather over the FULL axis product in one collective and fold
+        the gathered axis into the trailing candidate axis."""
+        g = jax.lax.all_gather(x, names)         # (n_total, ..., C)
+        g = jnp.moveaxis(g, 0, -2)               # (..., n_total, C)
         return g.reshape(*g.shape[:-2], g.shape[-2] * g.shape[-1])
 
-    for name in names:
-        value = fold(value, name)
-        freq_idx = fold(freq_idx, name)
-        lag_idx = fold(lag_idx, name)
+    # Two collectives total (value + packed int pair) — see
+    # :func:`global_peaks` for the latency accounting.
+    value = fold(value)
+    idx = fold(idx)
+    freq_idx, lag_idx = idx[0], idx[1]
 
     def merge_one(v, f, lg):
         return merge_peaks(CafPeak(v, f, lg), num_peaks, exclude_freq,
