@@ -833,6 +833,17 @@ def estimate_hbm_per_chip(num_pairs: int, num_bins: int, needle_len: int,
     where M = xcor_length(N) and chunk ~= (total_lags + N)/time.  Used
     to check a config fits before launching (BASELINE config 5:
     256 pairs x 4096 bins x 262144 lags).
+
+    Validated against the chip (round 4, ``docs/hbm_validate.py`` →
+    ``docs/hbm_validate.json``): the model is a safe UPPER BOUND.
+    XLA's buffer assignment for the compiled engine matches the input
+    terms exactly (haystack + needles = ``argument_size`` within 1%)
+    but assigns 1.2–1.4 MB of temp regardless of shape — it fuses the
+    shifted-spectra bank into the block scan instead of materializing
+    the full (B, K, M) array — so measured/model was 0.13–0.52 over a
+    16x shape sweep.  Conservative is the correct direction for a
+    fits-per-chip gate; treat ``total_gb`` as "guaranteed to fit if
+    this fits", not as a prediction of live bytes.
     """
     from caf_cookoff_tpu.config import xcor_length
 
