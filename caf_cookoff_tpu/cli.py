@@ -149,6 +149,36 @@ def _parse_min_snr(value):
             f"value, got {value!r}")
 
 
+def _print_lattice(rows, num_peaks: int, min_snr, min_snr_arg,
+                   refine_fn=None) -> None:
+    """Shared multi-peak listing of ``run`` and ``stream``: the
+    "Detections: N of M" line (when a threshold is active), per-peak
+    rows with below-threshold / no-further-peaks tags, and an optional
+    refine suffix per finite row.
+
+    ``rows`` is ``[(freq_hz, lag, value, snr_db), ...]`` (value −inf
+    for empty/masked slots); ``refine_fn(freq_hz, lag) -> (f, t)``
+    appends the sub-bin estimate when given.
+    """
+    if min_snr is not None:
+        n_det = sum(1 for r in rows if np.isfinite(r[2]))
+        print(f"Detections: {n_det} of {num_peaks} lattice "
+              f"slots pass the SNR threshold "
+              f"(--min-snr-db {min_snr_arg})")
+    for i, (f_hz, lag_i, val, snr_db) in enumerate(rows):
+        if not np.isfinite(val):
+            tag = ("below detection threshold" if np.isfinite(snr_db)
+                   else "no further distinct peaks")
+            print(f"peak {i + 1}: ({tag})")
+            continue
+        line = (f"peak {i + 1}: {f_hz:+9.3f} Hz "
+                f"@ lag {lag_i:>6d}  ({val:.5g}, {snr_db:.1f} dB)")
+        if refine_fn is not None:
+            f_ref, t_ref = refine_fn(f_hz, lag_i)
+            line += f"  refined {f_ref:+9.4f} Hz @ {t_ref:.4f}"
+        print(line)
+
+
 def _split_fft_tier(backend: str) -> str:
     """Map an engine-level backend name (pallas*, stein*) to a valid
     split-FFT tier for the overlap-save streaming path, which composes
@@ -425,30 +455,17 @@ def cmd_run(args) -> int:
                      _signed(int(pks.lag_idx[i])) + lag_origin,
                      float(vals[i]), float(snr[i]))
                     for i in range(args.num_peaks)]
+        refine_fn = None
         if args.refine:
             from caf_cookoff_tpu.ops.refine import refine_peak
-        n_det = sum(1 for r in rows if np.isfinite(r[2]))
-        if min_snr is not None:
-            print(f"Detections: {n_det} of {args.num_peaks} lattice "
-                  f"slots pass the SNR threshold "
-                  f"(--min-snr-db {args.min_snr_db})")
-        for i, (f_hz, lag_i, val, snr_db) in enumerate(rows):
-            if not np.isfinite(val):
-                tag = ("below detection threshold"
-                       if np.isfinite(snr_db)
-                       else "no further distinct peaks")
-                print(f"peak {i + 1}: ({tag})")
-                continue
-            line = (f"peak {i + 1}: {f_hz:+9.3f} Hz "
-                    f"@ lag {lag_i:>6d}  ({val:.5g}, {snr_db:.1f} dB)")
-            if args.refine:
-                # One cached executable serves every peak (same shapes).
-                f_ref, t_ref, _ = refine_peak(
-                    needle, haystack_full, f_hz, lag_i, fs,
-                    coarse_step_hz=args.freq_step,
-                    backend=_split_fft_tier(backend))
-                line += f"  refined {f_ref:+9.4f} Hz @ {t_ref:.4f}"
-            print(line)
+
+            # One cached executable serves every peak (same shapes).
+            refine_fn = lambda f_hz, lag_i: refine_peak(
+                needle, haystack_full, f_hz, lag_i, fs,
+                coarse_step_hz=args.freq_step,
+                backend=_split_fft_tier(backend))[:2]
+        _print_lattice(rows, args.num_peaks, min_snr, args.min_snr_db,
+                       refine_fn)
     if args.dump_surface:
         if args.dump_surface.endswith(".npy"):
             save_npy(args.dump_surface, surface)
@@ -550,30 +567,18 @@ def cmd_stream(args) -> int:
     if args.num_peaks > 1:
         min_snr = _parse_min_snr(args.min_snr_db)
         fr, lg, vv, snr = engine.peaks(min_snr_db=min_snr, with_snr=True)
-        if min_snr is not None:
-            n_det = int(np.sum(np.isfinite(vv)))
-            print(f"Detections: {n_det} of {args.num_peaks} lattice "
-                  f"slots pass the SNR threshold "
-                  f"(--min-snr-db {args.min_snr_db})")
-        for i in range(args.num_peaks):
-            if not np.isfinite(float(vv[i])):
-                tag = ("below detection threshold"
-                       if np.isfinite(float(snr[i]))
-                       else "no further distinct peaks")
-                print(f"peak {i + 1}: ({tag})")
-                continue
-            line = (f"peak {i + 1}: {float(fr[i]):+9.3f} Hz "
-                    f"@ lag {int(lg[i]):>6d}  ({float(vv[i]):.5g}, "
-                    f"{float(snr[i]):.1f} dB)")
-            if args.refine and not args.follow:
-                from caf_cookoff_tpu.ops.refine import refine_peak
+        rows = [(float(fr[i]), int(lg[i]), float(vv[i]), float(snr[i]))
+                for i in range(args.num_peaks)]
+        refine_fn = None
+        if args.refine and not args.follow:
+            from caf_cookoff_tpu.ops.refine import refine_peak
 
-                f_ref, t_ref, _ = refine_peak(
-                    needle, capture, float(fr[i]), int(lg[i]), args.fs,
-                    coarse_step_hz=args.freq_step,
-                    backend=_split_fft_tier(backend))
-                line += f"  refined {f_ref:+9.4f} Hz @ {t_ref:.4f}"
-            print(line)
+            refine_fn = lambda f_hz, lag_i: refine_peak(
+                needle, capture, f_hz, lag_i, args.fs,
+                coarse_step_hz=args.freq_step,
+                backend=_split_fft_tier(backend))[:2]
+        _print_lattice(rows, args.num_peaks, min_snr, args.min_snr_db,
+                       refine_fn)
     print(f"[{engine.samples_seen} samples ({rate_ms:.0f} ms of capture) "
           f"in {elapsed:.2f} s, chunk={args.chunk}, {backend}]")
     return 0

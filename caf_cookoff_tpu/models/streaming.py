@@ -37,6 +37,15 @@ from caf_cookoff_tpu.ops.peak import (
     resolve_exclusions,
 )
 
+# Guard samples on EACH side of a carried re-score window: the stein
+# stream slices the window so the winning lag sits ~_RESCORE_GUARD
+# samples in, and sizes the carry to needle_pad + _RESCORE_PAD — the
+# step jits, the carry buffers, and the re-score lag bound
+# (max_lag = needle_pad + _RESCORE_PAD - needle_len) must all agree on
+# this number, so it lives here and nowhere else.
+_RESCORE_GUARD = 64
+_RESCORE_PAD = 2 * _RESCORE_GUARD
+
 
 @functools.partial(
     jax.jit,
@@ -137,11 +146,12 @@ def _stein_stream_step_jit(ws1, ws2, lmat, tail_re, tail_im, ch_re,
     window = (jnp.concatenate([tail_re, ch_re]),
               jnp.concatenate([tail_im, ch_im]))
     win_len = halo + chunk_len
-    # The carried slice is guard-extended (64 samples each side): the
-    # winning lag sits ~64 samples into the carry, so every needle
-    # sample correlates against real data in best()'s exact re-score
-    # (a needle_pad-sized carry would zero-truncate the last products).
-    carry = needle_pad + 128
+    # The carried slice is guard-extended (_RESCORE_GUARD samples each
+    # side): the winning lag sits ~_RESCORE_GUARD samples in, so every
+    # needle sample correlates against real data in best()'s exact
+    # re-score (a needle_pad-sized carry would zero-truncate the last
+    # products).
+    carry = needle_pad + _RESCORE_PAD
     ext_len = max(win_len, carry)
     span = fused_span(num_blocks, group, chunk_len)
     need = span + SUPER - 1
@@ -168,7 +178,7 @@ def _stein_stream_step_jit(ws1, ws2, lmat, tail_re, tail_im, ch_re,
     )
     # Window slice around the winning lag for the exact final re-score.
     wpad = tuple(jnp.pad(p, (0, ext_len - win_len)) for p in window)
-    ws = jnp.clip(tau_loc - 64, 0, ext_len - carry)
+    ws = jnp.clip(tau_loc - _RESCORE_GUARD, 0, ext_len - carry)
     cand = tuple(jax.lax.dynamic_slice(p, (ws,), (carry,))
                  for p in wpad)
     new_bw = tuple(jnp.where(take, c, b) for c, b in zip(cand,
@@ -199,8 +209,10 @@ def _stein_stream_lattice_step_jit(ws1, ws2, lmat, tail_re, tail_im,
     ``>=exclude_lag``-separated lag candidates per doppler bin per
     chunk window, so two emitters sharing a doppler bin at distinct
     lags BOTH reach the lattice (previously only the bin's single max
-    did); three or more same-bin emitters in ONE window still need the
-    XLA streaming lattice.
+    did).  Exact when the same-bin pair is more than ``2*exclude_lag``
+    apart (see ``fused_stein_rank``'s guarantee); a pair inside
+    (cell, 2*cell] of each other, or three-plus same-bin emitters in
+    ONE window, still needs the XLA streaming lattice.
     """
     from caf_cookoff_tpu.ops.pallas_stein import SUPER, fused_span, \
         fused_stein_rank
@@ -209,7 +221,7 @@ def _stein_stream_lattice_step_jit(ws1, ws2, lmat, tail_re, tail_im,
     window = (jnp.concatenate([tail_re, ch_re]),
               jnp.concatenate([tail_im, ch_im]))
     win_len = halo + chunk_len
-    carry = needle_pad + 128
+    carry = needle_pad + _RESCORE_PAD
     ext_len = max(win_len, carry)
     span = fused_span(num_blocks, group, chunk_len)
     need = span + SUPER - 1
@@ -236,7 +248,7 @@ def _stein_stream_lattice_step_jit(ws1, ws2, lmat, tail_re, tail_im,
     wpad = jnp.stack([jnp.pad(p, (0, ext_len - win_len))
                       for p in window])                     # (2, ext)
     tau_loc = chunk_lat.lag_idx - base_lag
-    starts_loc = jnp.clip(tau_loc - 64, 0, ext_len - carry)
+    starts_loc = jnp.clip(tau_loc - _RESCORE_GUARD, 0, ext_len - carry)
 
     def slice_one(ws):
         return jax.lax.dynamic_slice(wpad, (0, ws), (2, carry))
@@ -260,30 +272,40 @@ def _stein_stream_lattice_step_jit(ws1, ws2, lmat, tail_re, tail_im,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("xl", "max_lag", "backend"))
-def _stein_lattice_rescore_jit(n_re, n_im, bws, freqs, sample_rate, xl,
-                               max_lag, backend):
+    jax.jit, static_argnames=("xl", "max_lag", "win", "backend"))
+def _stein_lattice_rescore_jit(n_re, n_im, bws, offs, freqs, sample_rate,
+                               xl, max_lag, win, backend):
     """Exact filterbank re-score of each carried window: (P,) fields.
 
-    The argmax is CONSTRAINED to window lags ``[0, max_lag]`` — the
-    full-overlap neighborhood the window was carried for (the candidate
-    sits ~64 samples in; ``max_lag = carry - needle_len``).  An
-    unconstrained argmax over the window's circular xcor can land on a
-    partial/wrapped alignment against ANOTHER emitter's content leaking
-    into the slice, reporting a huge value at a meaningless absolute
-    lag that the post-re-score NMS cannot dedup.
+    The argmax is DOUBLY constrained:
+
+    * to window lags ``[0, max_lag]`` — the full-overlap neighborhood
+      (``max_lag = carry - needle_len``); an unconstrained argmax over
+      the window's circular xcor can land on a partial/wrapped
+      alignment against ANOTHER emitter's content leaking into the
+      slice, at a meaningless absolute lag the post-re-score NMS
+      cannot dedup;
+    * to ``|lag - offs[i]|`` within ``win`` (one exclusion cell) of
+      entry ``i``'s OWN carried candidate — a nearby same-bin stronger
+      emitter inside the slice would otherwise win the argmax and
+      collapse this entry onto it (the NMS then dedups them into ONE
+      peak, silently dropping a real emitter closer than the carry
+      length).  One cell of slack covers any flat-top ranking
+      ambiguity in the kernel's coarse argmax; anything farther is by
+      definition a different detection.
     """
     from caf_cookoff_tpu.models.filterbank import _surface_rows_split
     from caf_cookoff_tpu.ops.peak import find_peak_2d
 
-    def one(bw):
+    def one(bw, off):
         rows = _surface_rows_split((n_re, n_im), (bw[0], bw[1]), freqs,
                                    sample_rate, xl, backend)
         mag2 = splitfft.mag2(rows)
         cols = jax.lax.broadcasted_iota(jnp.int32, mag2.shape, 1)
-        return find_peak_2d(jnp.where(cols <= max_lag, mag2, -jnp.inf))
+        keep = (cols <= max_lag) & (jnp.abs(cols - off) <= win)
+        return find_peak_2d(jnp.where(keep, mag2, -jnp.inf))
 
-    return jax.vmap(one)(bws)
+    return jax.vmap(one)(bws, offs)
 
 
 class StreamingCAF:
@@ -309,9 +331,6 @@ class StreamingCAF:
         backend = backend or default_backend()
         self._stein = backend.startswith("stein")
         self._num_peaks = int(num_peaks)
-        if self._num_peaks > 1:
-            self._exclude = resolve_exclusions(
-                needle, freqs_hz, sample_rate, exclude_freq, exclude_lag)
         if backend.startswith(("stein", "pallas")):
             # Engine-level names: the streaming transforms themselves
             # run on a split-FFT tier; 'stein*' flips the fused mode.
@@ -322,6 +341,12 @@ class StreamingCAF:
         self.needle_len = int(n_re.shape[-1])
         self.sample_rate = float(sample_rate)
         self._freqs = as_grid(freqs_hz, dtype=n_re.dtype)
+        # Resolved even at num_peaks=1 (AFTER input validation — an
+        # empty needle must raise "empty signal", not divide by zero):
+        # the stein best() re-score constrains its argmax to one lag
+        # cell around the carried candidate.
+        self._exclude = resolve_exclusions(
+            needle, self._freqs, sample_rate, exclude_freq, exclude_lag)
         m = xcor_length(self.needle_len)
         rdt = n_re.dtype
         if self._stein:
@@ -352,12 +377,12 @@ class StreamingCAF:
             self._interpret = jax.default_backend() == "cpu"
             if self._num_peaks > 1:
                 p = self._num_peaks
-                self._bws = jnp.zeros((p, 2, self._needle_pad + 128),
+                self._bws = jnp.zeros((p, 2, self._needle_pad + _RESCORE_PAD),
                                       rdt)
                 self._bw_starts = jnp.zeros(p, jnp.int32)
             else:
-                self._bw = (jnp.zeros(self._needle_pad + 128, rdt),
-                            jnp.zeros(self._needle_pad + 128, rdt))
+                self._bw = (jnp.zeros(self._needle_pad + _RESCORE_PAD, rdt),
+                            jnp.zeros(self._needle_pad + _RESCORE_PAD, rdt))
                 self._bw_start = jnp.asarray(0, jnp.int32)
         else:
             sc = jax.jit(
@@ -536,11 +561,14 @@ class StreamingCAF:
         if not self._stein or not np.isfinite(float(self._best.value)):
             return (float(self._freqs[int(self._best.freq_idx)]),
                     int(self._best.lag_idx), float(self._best.value))
+        off = (jnp.reshape(self._best.lag_idx, (1,))
+               - jnp.reshape(self._bw_start, (1,))).astype(jnp.int32)
         pk = _stein_lattice_rescore_jit(
             self._n_planes[0], self._n_planes[1],
-            jnp.stack(self._bw)[None], jnp.asarray(self._freqs),
+            jnp.stack(self._bw)[None], off, jnp.asarray(self._freqs),
             self.sample_rate, xcor_length(self._needle_pad),
-            self._needle_pad + 128 - self.needle_len, self.backend)
+            self._needle_pad + _RESCORE_PAD - self.needle_len,
+            self._exclude[1], self.backend)
         return (float(self._freqs[int(pk.freq_idx[0])]),
                 int(self._bw_start) + int(pk.lag_idx[0]),
                 float(pk.value[0]))
@@ -586,11 +614,14 @@ class StreamingCAF:
             return _finish(np.asarray(self._freqs)[freq_idx],
                            np.asarray(self._best.lag_idx),
                            np.asarray(self._best.value))
+        offs = (jnp.asarray(self._best.lag_idx)
+                - jnp.asarray(self._bw_starts)).astype(jnp.int32)
         pk = _stein_lattice_rescore_jit(
-            self._n_planes[0], self._n_planes[1], self._bws,
+            self._n_planes[0], self._n_planes[1], self._bws, offs,
             jnp.asarray(self._freqs), self.sample_rate,
             xcor_length(self._needle_pad),
-            self._needle_pad + 128 - self.needle_len, self.backend)
+            self._needle_pad + _RESCORE_PAD - self.needle_len,
+            self._exclude[1], self.backend)
         coarse_ok = np.isfinite(np.asarray(self._best.value))
         vals = np.where(coarse_ok, np.asarray(pk.value), -np.inf)
         bins = np.asarray(pk.freq_idx)

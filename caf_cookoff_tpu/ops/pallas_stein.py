@@ -334,9 +334,20 @@ def fused_stein_rank(ws1, ws2, lmat, h_ext, num_blocks: int, sup: int,
     vals2, idxs2)``, where slot 2 carries the strongest lag at least
     ``sep`` samples from slot 1's (value ``-1.0`` when no second
     candidate exists) — the same-doppler-bin multi-emitter mode the
-    streaming lattice uses.  Exact for two emitters anywhere in the
-    window with ``|lag1 - lag2| > sep``; a third same-bin emitter needs
-    the XLA lattice path.
+    streaming lattice uses.
+
+    Guarantee: EXACT for two emitters anywhere in the window with
+    ``|lag1 - lag2| > 2 * sep``.  Proof sketch: the global max p1
+    always survives (every tile's top enters the merge).  The true
+    second p2 is its own tile's top unless that tile's top m is a
+    stronger candidate — m > p2 at >= sep from p1 would contradict p2
+    being the best valid second, so m must be p1's mainlobe skirt
+    within ``sep`` of p1; p2 masked by m then implies
+    ``|p2 - p1| <= |p2 - m| + |m - p1| <= 2 * sep``.  Pairs separated
+    by (sep, 2*sep] — under one exclusion cell of guard — can
+    therefore lose the weaker to a tile-boundary skirt; that regime
+    (and a third same-bin emitter in one window) needs the XLA
+    streaming lattice path.
     """
     k, b2 = ws1.shape
     p_eff = max(h_ext.shape[0] * share_h, lmat.shape[0] * windows)

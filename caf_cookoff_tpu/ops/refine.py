@@ -318,7 +318,8 @@ def _refine_rate_jit(n_re, n_im, w_re, w_im, f0, r0, coarse_step,
 
 
 def _polish_freq_rate_f64(n_c, g_c, sample_rate, f_start, r_hat,
-                          f_span, r_span, points=_POINTS, iters=6):
+                          f_span, r_span, points=_POINTS, iters=6,
+                          r_bounds=None):
     """Host f64 joint (f, r) zoom — the precision stage past the
     on-device f32 score floor.
 
@@ -330,6 +331,11 @@ def _polish_freq_rate_f64(n_c, g_c, sample_rate, f_start, r_hat,
     -extracted window (33^2 x n complex MACs per iter, microseconds on
     host) land ~1e-3 Hz/s.  ``f_start`` is window-START frequency;
     returns the same convention.
+
+    ``r_bounds`` (lo, hi) caps every rate candidate: the re-bracketing
+    span must not let the polish walk outside the caller's documented
+    ``rate0 ± max_rate`` bracket (on a weak emitter the f64 argmax can
+    otherwise settle several Hz/s past a sub-Hz/s bracket).
     """
     n = n_c.shape[-1]
     t = np.arange(n, dtype=np.float64) / float(sample_rate)
@@ -343,6 +349,8 @@ def _polish_freq_rate_f64(n_c, g_c, sample_rate, f_start, r_hat,
     for _ in range(iters):
         f_grid = f_c + offs * f_span
         r_grid = r_c + offs * r_span
+        if r_bounds is not None:
+            r_grid = np.clip(r_grid, r_bounds[0], r_bounds[1])
         zr = z[:, None] * np.exp(-1j * np.pi * r_grid[None, :] * t2[:, None])
         e = np.exp(-2j * np.pi * f_grid[:, None] * t_c[None, :])
         scores = np.abs(e @ zr) ** 2                   # (pf, pr)
@@ -350,7 +358,7 @@ def _polish_freq_rate_f64(n_c, g_c, sample_rate, f_start, r_hat,
         f_c = float(f_grid[fi])
         r_c = float(r_grid[ri])
         f_span = 2.0 * (f_grid[1] - f_grid[0])
-        r_span = 2.0 * (r_grid[1] - r_grid[0])
+        r_span = 2.0 * max(r_grid[1] - r_grid[0], 1e-12)
     return f_c - r_c * half_t, r_c
 
 
@@ -407,10 +415,17 @@ def refine_peak_rate(needle, haystack, freq_hz: float, lag: int,
     n_c = np.asarray(n_re, np.float64) + 1j * np.asarray(n_im, np.float64)
     g_c = (np.asarray(w_re[GUARD:GUARD + n], np.float64)
            + 1j * np.asarray(w_im[GUARD:GUARD + n], np.float64))
+    # The 4 Hz/s floor exists to out-bracket the device zoom's ~2 Hz/s
+    # f32 saturation, but the CANDIDATES stay clipped to the caller's
+    # rate0 ± max_rate bracket — a sub-Hz/s bracket must not come back
+    # with a rate several Hz/s outside it.
+    r_lo = float(rate0_hz_per_s) - float(max_rate_hz_per_s)
+    r_hi = float(rate0_hz_per_s) + float(max_rate_hz_per_s)
     f_pol, r_pol = _polish_freq_rate_f64(
         n_c, g_c, sample_rate, float(f_hat), float(r_hat),
         f_span=max(step / 8.0, 0.05),
-        r_span=max(float(max_rate_hz_per_s) / 16.0, 4.0))
+        r_span=max(float(max_rate_hz_per_s) / 16.0, 4.0),
+        r_bounds=(r_lo, r_hi))
     return (f_pol, r_pol, start + float(tau_hat), float(value))
 
 
