@@ -72,6 +72,56 @@ LONG_CASES = [
 ]
 
 
+MULTI_CASES = [
+    # (seed, n, total, chunk, [(f_idx, lag, amp)]) — emitters at
+    # distinct doppler bins and well-separated lags; the stein and XLA
+    # streaming lattices must produce the SAME detections.
+    (20, 1024, 32768, 8192, [(3, 9000, 1.0), (11, 22000, 0.7)]),
+    (21, 512, 16384, 2048, [(2, 500, 1.0), (9, 9100, 0.8),
+                            (14, 15000, 0.6)]),
+    (22, 1024, 24576, 4096, [(5, 4090, 1.0), (12, 4300, 0.75)]),
+    (23, 2048, 65536, 8192, [(1, 63400, 1.0), (8, 31000, 0.65)]),
+]
+
+
+@pytest.mark.parametrize("seed,n,total,chunk,emitters", MULTI_CASES)
+def test_streaming_lattices_agree_fuzz(seed, n, total, chunk, emitters):
+    """Multi-emitter streaming consistency: the fused stein stream's
+    lattice (want_top2 per-bin candidates + constrained exact
+    re-score) and the XLA stream's lattice recover the SAME emitter
+    set from randomized captures — including a pair separated by only
+    ~210 lags inside one chunk window (case 22) and a boundary-area
+    emitter at the capture tail (case 23)."""
+    rng = np.random.default_rng(seed)
+    freqs = np.arange(-100, 100, 12.5, dtype=np.float32)
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = (1e-4 * (rng.standard_normal(total)
+                   + 1j * rng.standard_normal(total))
+           ).astype(np.complex64)
+    t = np.arange(n)
+    truths = []
+    for f_idx, lag, amp in emitters:
+        f = float(freqs[f_idx])
+        span = min(n, total - lag)
+        hay[lag:lag + span] += (amp * needle * np.exp(
+            2j * np.pi * f * t / FS)).astype(np.complex64)[:span]
+        truths.append((f, lag))
+    p = len(emitters) + 1          # one spare slot (stays -inf/noise)
+    results = {}
+    for backend in ("xla", "stein"):
+        s = StreamingCAF(needle, freqs, FS, chunk_len=chunk,
+                         num_peaks=p, backend=backend)
+        for i in range(0, total, chunk):
+            s.process(hay[i:i + chunk])
+        fr, lg, vv = s.peaks()
+        results[backend] = [(float(f), int(l))
+                            for f, l, v in zip(fr, lg, vv)
+                            if np.isfinite(float(v))][:len(emitters)]
+    assert results["xla"][:len(truths)] == truths, results
+    assert results["stein"][:len(truths)] == truths, results
+
+
 @pytest.mark.parametrize("seed,n,total,lag,f_idx,g0,gs,gk,chunk",
                          LONG_CASES)
 def test_long_capture_engines_agree(seed, n, total, lag, f_idx, g0, gs,
