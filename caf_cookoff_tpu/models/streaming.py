@@ -341,12 +341,23 @@ class StreamingCAF:
         self.needle_len = int(n_re.shape[-1])
         self.sample_rate = float(sample_rate)
         self._freqs = as_grid(freqs_hz, dtype=n_re.dtype)
-        # Resolved even at num_peaks=1 (AFTER input validation — an
-        # empty needle must raise "empty signal", not divide by zero):
-        # the stein best() re-score constrains its argmax to one lag
-        # cell around the carried candidate.
-        self._exclude = resolve_exclusions(
-            needle, self._freqs, sample_rate, exclude_freq, exclude_lag)
+        # Both resolutions run AFTER input validation (an empty needle
+        # must raise "empty signal", not divide by zero) and only where
+        # consumed — the common single-peak XLA stream pays no needle
+        # PSD scan at construction.
+        if self._num_peaks > 1:
+            self._exclude = resolve_exclusions(
+                needle, self._freqs, sample_rate, exclude_freq,
+                exclude_lag)
+        if self._stein:
+            # The exact re-score's argmax slack around each carried
+            # coarse candidate is RESOLUTION-derived (floored at 4
+            # samples for bf16 flat-top tie ambiguity), independent of
+            # any user NMS override — exclude_lag is a dedup policy
+            # knob, not a statement of how far the bf16 coarse argmax
+            # may sit from the true peak.
+            self._rescore_win = max(resolve_exclusions(
+                needle, self._freqs, sample_rate, None, None)[1], 4)
         m = xcor_length(self.needle_len)
         rdt = n_re.dtype
         if self._stein:
@@ -568,7 +579,7 @@ class StreamingCAF:
             jnp.stack(self._bw)[None], off, jnp.asarray(self._freqs),
             self.sample_rate, xcor_length(self._needle_pad),
             self._needle_pad + _RESCORE_PAD - self.needle_len,
-            self._exclude[1], self.backend)
+            self._rescore_win, self.backend)
         return (float(self._freqs[int(pk.freq_idx[0])]),
                 int(self._bw_start) + int(pk.lag_idx[0]),
                 float(pk.value[0]))
@@ -621,7 +632,7 @@ class StreamingCAF:
             jnp.asarray(self._freqs), self.sample_rate,
             xcor_length(self._needle_pad),
             self._needle_pad + _RESCORE_PAD - self.needle_len,
-            self._exclude[1], self.backend)
+            self._rescore_win, self.backend)
         coarse_ok = np.isfinite(np.asarray(self._best.value))
         vals = np.where(coarse_ok, np.asarray(pk.value), -np.inf)
         bins = np.asarray(pk.freq_idx)

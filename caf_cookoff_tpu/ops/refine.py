@@ -350,6 +350,12 @@ def _polish_freq_rate_f64(n_c, g_c, sample_rate, f_start, r_hat,
         f_grid = f_c + offs * f_span
         r_grid = r_c + offs * r_span
         if r_bounds is not None:
+            # Clip only the SCORED candidates; the next span derives
+            # from the unclipped spacing below — re-bracketing from a
+            # clipped grid would collapse the span to ~0 in one
+            # iteration whenever the bracket is narrower than the
+            # initial span floor, freezing the zoom at coarse
+            # resolution.
             r_grid = np.clip(r_grid, r_bounds[0], r_bounds[1])
         zr = z[:, None] * np.exp(-1j * np.pi * r_grid[None, :] * t2[:, None])
         e = np.exp(-2j * np.pi * f_grid[:, None] * t_c[None, :])
@@ -358,7 +364,7 @@ def _polish_freq_rate_f64(n_c, g_c, sample_rate, f_start, r_hat,
         f_c = float(f_grid[fi])
         r_c = float(r_grid[ri])
         f_span = 2.0 * (f_grid[1] - f_grid[0])
-        r_span = 2.0 * max(r_grid[1] - r_grid[0], 1e-12)
+        r_span = 2.0 * r_span * (offs[1] - offs[0])    # unclipped step
     return f_c - r_c * half_t, r_c
 
 

@@ -169,3 +169,29 @@ def test_rate_overlap_save_zero_rate_matches_first_order():
         backend="xla")
     assert r_c == 0.0
     assert (f_c, lag_c) == want[:2]
+
+
+def test_refine_rate_narrow_bracket_converges_and_respects_bounds():
+    """A sub-Hz/s bracket (narrower than the f64 polish's 4 Hz/s
+    re-bracketing floor) must still converge to fine precision AND
+    never return a rate outside rate0 +/- max_rate.  Regression: the
+    polish once derived its next span from the CLIPPED grid, which
+    collapsed to ~0 after one iteration (freezing at coarse
+    resolution, measured 0.087 Hz/s error); and before the clip the
+    candidates could walk several Hz/s outside the bracket."""
+    rng = np.random.default_rng(3)
+    n = 4096
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    t_sec = np.arange(n) / FS
+    rate_true, f0, lag = 0.313, 20.0, 137
+    hay = np.zeros(8192, np.complex64)
+    hay[lag:lag + n] = (needle * np.exp(
+        2j * np.pi * f0 * t_sec
+        + 1j * np.pi * rate_true * t_sec ** 2)).astype(np.complex64)
+    f, r, tau, _ = refine_peak_rate(needle, hay, f0, lag, FS,
+                                    rate0_hz_per_s=0.0,
+                                    max_rate_hz_per_s=0.5)
+    assert -0.5 <= r <= 0.5                      # bracket respected
+    assert abs(r - rate_true) <= 1e-3, r         # fine convergence
+    assert abs(f - f0) <= 0.01 and abs(tau - lag) <= 0.01
