@@ -361,6 +361,7 @@ def cmd_run(args) -> int:
             backend=_split_fft_tier(backend))
         print(f"Refined estimate: {f_ref:+.4f} Hz, {t_ref:.4f} "
               f"samples ({t_ref / fs * 1e3:.6f} ms)")
+    rate_lattice_done = False
     if args.rate_grid:
         # Hard sweeps (first-order surface smeared): coarse dechirp
         # bank, then the joint refine bracketed at the bank's answer.
@@ -374,7 +375,50 @@ def cmd_run(args) -> int:
             print(f"error: --rate-grid wants START:STOP:STEP, got "
                   f"{args.rate_grid!r}", file=sys.stderr)
             return 2
-        if full:
+        if full and args.num_peaks > 1:
+            # Multi-emitter through the joint (rate, doppler, lag)
+            # search: per-rate lattice scans cross-rate-merged in
+            # window-center frequency space (a strong emitter's
+            # residual-chirp ridge cannot displace a weaker real one),
+            # with the same detection threshold the first-order lattice
+            # paths apply.  This REPLACES the first-order lattice below
+            # — a swept emitter is smeared there but coherent here.
+            from caf_cookoff_tpu.models.rate import (
+                rate_overlap_save_peaks,
+            )
+
+            min_snr = _parse_min_snr(args.min_snr_db)
+            rr, fr, lg, vv, snr = rate_overlap_save_peaks(
+                needle, haystack, freqs, rates, fs, args.num_peaks,
+                backend=_split_fft_tier(backend), min_snr_db=min_snr,
+                with_snr=True)
+            if min_snr is not None:
+                n_det = int(np.sum(np.isfinite(vv)))
+                print(f"Detections: {n_det} of {args.num_peaks} "
+                      f"rate-lattice slots pass the SNR threshold "
+                      f"(--min-snr-db {args.min_snr_db})")
+            for i in range(args.num_peaks):
+                if not np.isfinite(vv[i]):
+                    tag = ("below detection threshold"
+                           if np.isfinite(snr[i])
+                           else "no further distinct peaks")
+                    print(f"peak {i + 1}: ({tag})")
+                    continue
+                line = (f"peak {i + 1}: {fr[i]:+9.3f} Hz "
+                        f"{rr[i]:+8.1f} Hz/s @ lag {int(lg[i]):>6d}  "
+                        f"({vv[i]:.5g}, {snr[i]:.1f} dB)")
+                if args.refine:
+                    f2, r2, t2, _ = refine_peak_rate(
+                        needle, haystack_full, float(fr[i]),
+                        int(lg[i]), fs, rate0_hz_per_s=float(rr[i]),
+                        max_rate_hz_per_s=float(rss),
+                        coarse_step_hz=args.freq_step,
+                        backend=_split_fft_tier(backend))
+                    line += (f"  refined {f2:+9.4f} Hz "
+                             f"{r2:+8.3f} Hz/s @ {t2:.4f}")
+                print(line)
+            rate_lattice_done = True
+        elif full:
             # Joint (rate, doppler, lag) search over the WHOLE capture:
             # the dechirp bank rides the overlap-save block scan, so an
             # accelerating emitter at ANY lag is found (the bank on a
@@ -396,16 +440,17 @@ def cmd_run(args) -> int:
             # truncated window — a wrap-region (negative) lag must not
             # reach the refiner as a huge positive capture offset.
             lag_signed = unwrap_lag(lag_c, xcor_length(n), n)
-        print(f"Rate-bank peak: {f_c:+.3f} Hz {r_c:+.1f} Hz/s "
-              f"@ lag {lag_signed} ({v_c:.5g})")
-        f2, r2, t2, _ = refine_peak_rate(
-            needle, haystack_full, f_c, lag_signed, fs,
-            rate0_hz_per_s=r_c,
-            max_rate_hz_per_s=float(rss),
-            coarse_step_hz=args.freq_step,
-            backend=_split_fft_tier(backend))
-        print(f"Second-order estimate: {f2:+.4f} Hz "
-              f"{r2:+.3f} Hz/s @ {t2:.4f} samples")
+        if not rate_lattice_done:
+            print(f"Rate-bank peak: {f_c:+.3f} Hz {r_c:+.1f} Hz/s "
+                  f"@ lag {lag_signed} ({v_c:.5g})")
+            f2, r2, t2, _ = refine_peak_rate(
+                needle, haystack_full, f_c, lag_signed, fs,
+                rate0_hz_per_s=r_c,
+                max_rate_hz_per_s=float(rss),
+                coarse_step_hz=args.freq_step,
+                backend=_split_fft_tier(backend))
+            print(f"Second-order estimate: {f2:+.4f} Hz "
+                  f"{r2:+.3f} Hz/s @ {t2:.4f} samples")
     elif args.rate:
         from caf_cookoff_tpu.ops.refine import refine_peak_rate
 
@@ -415,7 +460,7 @@ def cmd_run(args) -> int:
             backend=_split_fft_tier(backend))
         print(f"Second-order estimate: {f2:+.4f} Hz "
               f"{r2:+.3f} Hz/s @ {t2:.4f} samples")
-    if args.num_peaks > 1:
+    if args.num_peaks > 1 and not rate_lattice_done:
         from caf_cookoff_tpu.ops.peak import (
             apply_detection_threshold,
             find_peaks,
@@ -967,7 +1012,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="hard sweeps: coarse dechirp-bank search over "
                    "this rate grid (Hz/s) first, then the joint refine "
                    "(use when the sweep smears the first-order "
-                   "surface; steps <= 1/T^2)")
+                   "surface; steps <= 1/T^2); with --full-haystack and "
+                   "--num-peaks N lists the N strongest ACCELERATING "
+                   "emitters (per-rate lattices cross-rate-merged, "
+                   "detection-thresholded)")
     r.add_argument("--num-peaks", type=int, default=1,
                    help="list the N strongest peaks (multi-emitter, "
                    "non-max suppressed)")

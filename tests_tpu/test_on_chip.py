@@ -412,6 +412,38 @@ def test_rate_overlap_save_on_chip():
     assert abs(f2 - f_ws) <= 0.05
 
 
+def test_rate_lattice_on_chip():
+    """Round-4+: multi-emitter through the joint (rate, doppler, lag)
+    search compiled on the chip — two accelerating emitters at distinct
+    (rate, lag) both reach the lattice, with per-slot SNR."""
+    from caf_cookoff_tpu.models.rate import rate_overlap_save_peaks
+
+    rng = np.random.default_rng(7)
+    n, total = 2048, 16384
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = (0.01 * (rng.standard_normal(total)
+                   + 1j * rng.standard_normal(total))
+           ).astype(np.complex64)
+    t_sec = np.arange(n) / FS
+    emitters = [(20.0, 400.0, 4500, 1.0), (-31.0, -200.0, 900, 0.8)]
+    for f0, rate, lag, amp in emitters:
+        cp = amp * needle * np.exp(2j * np.pi * f0 * t_sec
+                                   + 1j * np.pi * rate * t_sec ** 2)
+        hay[lag:lag + n] += cp.astype(np.complex64)
+    freqs = np.arange(-60.0, 60.0, 0.5, dtype=np.float32)
+    rates = np.arange(-600.0, 601.0, 200.0)
+    rr, ff, ll, vv, snr = rate_overlap_save_peaks(
+        needle, hay, freqs, rates, FS, num_peaks=2, backend="matmul",
+        with_snr=True)
+    got = sorted(zip(ll.tolist(), rr.tolist(), ff.tolist()))
+    want = sorted((lag, r, f0) for f0, r, lag, _ in emitters)
+    for (lg_g, r_g, f_g), (lg_w, r_w, f_w) in zip(got, want):
+        assert lg_g == lg_w and r_g == r_w
+        assert abs(f_g - f_w) <= 1.0
+    assert np.all(snr > 10.0)
+
+
 def test_detection_threshold_on_chip():
     """Round-4 detection decisions compiled on the chip: noise-only
     capture -> zero detections; two emitters in eight slots -> two."""
