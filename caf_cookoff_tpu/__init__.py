@@ -38,14 +38,24 @@ from caf_cookoff_tpu.models.filterbank import (
     find_peak,
 )
 from caf_cookoff_tpu.models.overlap_save import (
+    batched_overlap_save_peaks_local,
     overlap_save_peak,
     overlap_save_peaks,
+    overlap_save_surface,
 )
 from caf_cookoff_tpu.models.rate import (
     rate_caf_peak,
     rate_overlap_save_peak,
+    rate_overlap_save_peaks,
 )
-from caf_cookoff_tpu.ops.peak import find_peaks, merge_peaks, resolution_cell
+from caf_cookoff_tpu.models.streaming import StreamingCAF
+from caf_cookoff_tpu.ops.peak import (
+    apply_detection_threshold,
+    detection_threshold_db,
+    find_peaks,
+    merge_peaks,
+    resolution_cell,
+)
 from caf_cookoff_tpu.ops.refine import (
     refine_peak,
     refine_peak_rate,
@@ -63,22 +73,28 @@ __all__ = [
     "FreqGrid",
     "FilterbankCAF",
     "SpanError",
+    "StreamingCAF",
     "VmemBudgetError",
     "amb_surf",
+    "apply_detection_threshold",
     "apply_fdoa",
+    "batched_overlap_save_peaks_local",
     "batched_stein_os_peak",
     "batched_stein_peak",
     "caf_peak",
     "caf_surface",
+    "detection_threshold_db",
     "find_peak",
     "find_peaks",
     "freq_shift",
     "merge_peaks",
     "overlap_save_peak",
     "overlap_save_peaks",
+    "overlap_save_surface",
     "phasor_bank",
     "rate_caf_peak",
     "rate_overlap_save_peak",
+    "rate_overlap_save_peaks",
     "refine_peak",
     "refine_peak_rate",
     "refine_peaks",

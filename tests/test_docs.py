@@ -1,0 +1,40 @@
+"""MIGRATION.md is a contract: every `caf_cookoff_tpu.X` symbol and
+every `module.function` path it names must exist, so the migration map
+cannot rot as the API evolves."""
+
+import re
+from pathlib import Path
+
+import caf_cookoff_tpu
+
+REPO = Path(__file__).resolve().parent.parent
+DOC = (REPO / "MIGRATION.md").read_text()
+
+
+def test_migration_doc_top_level_symbols_exist():
+    names = set(re.findall(r"`caf_cookoff_tpu\.(\w+)", DOC))
+    assert names, "no symbols found — parsing broke?"
+    missing = sorted(n for n in names if not hasattr(caf_cookoff_tpu, n))
+    assert not missing, f"MIGRATION.md names absent symbols: {missing}"
+
+
+def test_migration_doc_module_paths_exist():
+    import importlib
+
+    # `utils.io.load_c64`-style dotted paths (module under the package).
+    for mod_path, attr in set(re.findall(
+            r"`((?:utils|ops|parallel|models)\.\w+)\.(\w+)`", DOC)):
+        mod = importlib.import_module(f"caf_cookoff_tpu.{mod_path}")
+        assert hasattr(mod, attr), f"{mod_path}.{attr} in MIGRATION.md " \
+            f"does not exist"
+
+
+def test_migration_doc_file_references_exist():
+    # Our-side file references like (`models/filterbank.py`) must exist.
+    for ref in set(re.findall(r"`((?:caf_cookoff_tpu/|models/|ops/|utils/"
+                              r"|parallel/|native/)[\w/]+\.(?:py|cpp|h|md))`",
+                              DOC)):
+        p = REPO / ("caf_cookoff_tpu/" + ref
+                    if not ref.startswith(("caf_cookoff_tpu/", "native/"))
+                    else ref)
+        assert p.exists(), f"MIGRATION.md references missing file {ref}"
