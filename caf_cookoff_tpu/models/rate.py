@@ -231,14 +231,30 @@ def _merge_rate_lattice(v, key, lag, ridx, fws, rvals, num_peaks,
             jnp.where(filled, rvals[sel], 0.0))
 
 
+def _rate_grid_half_t_bins(freqs_np, needle_len: int,
+                           sample_rate) -> float:
+    """Host-side center-key factor ``T / (2*df)`` (grid bins per unit
+    rate): ``key = f_ws_bin + round(r * half_t_bins)``.  Host-derived
+    and STATIC so the single-chip and mesh engines (where shards may
+    own pad-duplicated grid rows with a degenerate local step) agree
+    bit-for-bit on every key and ridge window."""
+    freqs_np = np.asarray(freqs_np, np.float64).reshape(-1)
+    t_win = needle_len / float(sample_rate)
+    if freqs_np.shape[0] > 1:
+        df = float(np.min(np.abs(np.diff(freqs_np))))
+    else:
+        df = float(sample_rate) / needle_len
+    return t_win / (2.0 * max(df, 1e-30))
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_lags", "needle_len", "backend",
                               "num_peaks", "exclude_freq", "exclude_lag",
-                              "with_floor"))
+                              "half_t_bins", "with_floor"))
 def _rate_os_peaks_jit(n_re, n_im, h_re, h_im, freqs_hz, rates,
                        sample_rate, num_lags, needle_len, backend,
                        num_peaks, exclude_freq, exclude_lag,
-                       with_floor=False):
+                       half_t_bins, with_floor=False):
     """Dechirp bank x overlap-save LATTICE: scan over rates, each rate
     carrying a top-``num_peaks`` NMS lattice through the block scan,
     cross-rate-merged in center-frequency space (memory stays O(K*M) +
@@ -253,14 +269,7 @@ def _rate_os_peaks_jit(n_re, n_im, h_re, h_im, freqs_hz, rates,
     m, _, _ = plan_blocks(needle_len, num_lags)
     fs = jnp.asarray(sample_rate, dtype)
     t = jnp.arange(needle_len, dtype=dtype) / fs
-    t_win = jnp.asarray(needle_len, dtype) / fs
-    k = freqs_hz.shape[0]
-    if k > 1:
-        df = jnp.abs(freqs_hz[1] - freqs_hz[0])
-    else:
-        df = fs / needle_len
-    # Center-key offset factor: key = f_ws_bin + round(r * T / (2*df)).
-    half_t_bins = t_win / (2.0 * jnp.maximum(df, 1e-30))
+    half_t_bins = jnp.asarray(half_t_bins, dtype)
     p = num_peaks
 
     def step(carry, xr):
@@ -362,7 +371,9 @@ def rate_overlap_save_peaks(needle, haystack, freqs_hz, rates_hz_per_s,
         jnp.asarray(n_re), jnp.asarray(n_im), jnp.asarray(h_re),
         jnp.asarray(h_im), jnp.asarray(freqs), jnp.asarray(rates),
         float(sample_rate), lags, n, backend, int(num_peaks),
-        exclude_freq, exclude_lag, with_floor=want_floor)
+        exclude_freq, exclude_lag,
+        _rate_grid_half_t_bins(freqs, n, sample_rate),
+        with_floor=want_floor)
     vals, _keys, lag_idx, ridx, fws, _rv = (np.asarray(x) for x in lat)
     out_rates = rates.astype(np.float64)[ridx]
     out_freqs = np.asarray(freqs, np.float64)[fws]

@@ -30,6 +30,8 @@ from caf_cookoff_tpu.parallel.sharded import (
     sharded_caf_surface,
     sharded_overlap_save_peak,
     sharded_overlap_save_peaks,
+    sharded_rate_overlap_save_peak,
+    sharded_rate_overlap_save_peaks,
     sharded_stein_peak,
 )
 
@@ -52,5 +54,7 @@ __all__ = [
     "sharded_caf_surface",
     "sharded_overlap_save_peak",
     "sharded_overlap_save_peaks",
+    "sharded_rate_overlap_save_peak",
+    "sharded_rate_overlap_save_peaks",
     "sharded_stein_peak",
 ]

@@ -79,6 +79,58 @@ def global_peaks(local: CafPeak, axis_names: _AxisNames, num_peaks: int,
                        exclude_freq, exclude_lag)
 
 
+def global_rate_peak(value, rate_idx, freq_idx, lag_idx,
+                     axis_names: _AxisNames):
+    """Reduce per-shard (value, rate_idx, freq_idx, lag_idx) quads to
+    the replicated global second-order peak.
+
+    The rate-axis extension of :func:`global_peak`: ``pmax`` on the
+    value, then the hierarchical ``pmin`` tie-break walks
+    (rate, freq, lag) — deterministic "earliest rate, then row-major"
+    order matching the single-chip rate scan's strict-> carry.  Must be
+    called inside ``shard_map`` with *global* indices.
+    """
+    value = jnp.asarray(value)
+    r = rate_idx.astype(jnp.int32)
+    f = freq_idx.astype(jnp.int32)
+    lg = lag_idx.astype(jnp.int32)
+    m = jax.lax.pmax(value, axis_names)
+    is_max = value >= m
+    r_min = jax.lax.pmin(jnp.where(is_max, r, _INT_MAX), axis_names)
+    on_r = is_max & (r == r_min)
+    f_min = jax.lax.pmin(jnp.where(on_r, f, _INT_MAX), axis_names)
+    l_min = jax.lax.pmin(
+        jnp.where(on_r & (f == f_min), lg, _INT_MAX), axis_names)
+    return m, r_min, f_min, l_min
+
+
+def global_rate_peaks(value, key, lag, rate_idx, fws, rates,
+                      axis_names: _AxisNames, num_peaks: int,
+                      exclude_freq: int, exclude_lag: int, half_t_bins):
+    """Reduce per-shard RATE lattices to the replicated global lattice.
+
+    Same two-collective shape as :func:`global_peaks` (value vector +
+    one packed int block), but the int block carries FOUR fields
+    (center-freq key, lag, rate_idx, window-start freq bin) and the
+    merge is the rate-aware NMS
+    (:func:`caf_cookoff_tpu.models.rate._merge_rate_lattice`) in
+    window-center frequency space — physical rates rehydrate from the
+    replicated ``rates`` grid, so they never ride the wire.
+    """
+    from caf_cookoff_tpu.models.rate import _merge_rate_lattice
+
+    names = ((axis_names,) if isinstance(axis_names, str)
+             else tuple(axis_names))
+    value = jax.lax.all_gather(jnp.asarray(value), names, tiled=True)
+    idx = jnp.stack([key.astype(jnp.int32), lag.astype(jnp.int32),
+                     rate_idx.astype(jnp.int32), fws.astype(jnp.int32)])
+    idx = jax.lax.all_gather(idx, names, axis=1, tiled=True)
+    rvals = jnp.take(rates, idx[2], axis=0)
+    return _merge_rate_lattice(value, idx[0], idx[1], idx[2], idx[3],
+                               rvals, num_peaks, exclude_freq,
+                               exclude_lag, half_t_bins)
+
+
 def global_peaks_batched(local: CafPeak, axis_names: _AxisNames,
                          num_peaks: int, exclude_freq: int,
                          exclude_lag: int) -> CafPeak:

@@ -967,3 +967,305 @@ def sharded_overlap_save_peaks(needle, haystack, freqs_hz, sample_rate,
     return detection_rows(freqs_p, pk, mean_floor(fsum, fcnt),
                           total_lags * len(freqs_np), min_snr_db,
                           with_snr)
+
+
+# ---------------------------------------------------------------------------
+# Time/doppler-sharded RATE engine (second-order search over the mesh)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "needle_len", "chunk", "total_lags",
+                     "backend"))
+def _rate_os_sharded_peak_jit(n_re, n_im, h_re, h_im, freqs_padded, rates,
+                              sample_rate, mesh, needle_len, chunk,
+                              total_lags, backend):
+    """Dechirp bank x time/doppler-sharded overlap-save argmax.
+
+    Per shard: ``lax.scan`` over trial rates, each pre-chirping the
+    (replicated) needle, building the local doppler shard's spectra
+    bank, and running the deferred-halo block scan; the per-shard
+    (rate, value, freq, lag) best reduces over ``(doppler, time)`` via
+    :func:`caf_cookoff_tpu.parallel.collectives.global_rate_peak`.
+    One halo ``ppermute`` serves ALL trial rates (the haystack does not
+    depend on the rate), so the collective cost matches the first-order
+    engine's.
+    """
+    from caf_cookoff_tpu.parallel.collectives import global_rate_peak
+
+    k_loc = freqs_padded.shape[0] // mesh.shape[AXIS_DOPPLER]
+    m, _, _ = plan_blocks(needle_len, chunk)
+    halo = needle_len - 1
+    dtype = n_re.dtype
+
+    def body(n_re, n_im, h_re, h_im, freqs_loc):
+        h_halo = tuple(_right_halo(p, halo, AXIS_TIME)
+                       for p in (h_re, h_im))
+        offset = jax.lax.axis_index(AXIS_TIME) * chunk
+        fs = jnp.asarray(sample_rate, dtype)
+        t = jnp.arange(needle_len, dtype=dtype) / fs
+
+        def step(best, xr):
+            r_idx, r = xr
+            ph = jnp.pi * r * (t * t)
+            c, s = jnp.cos(ph), jnp.sin(ph)
+            nb = (n_re * c - n_im * s, n_re * s + n_im * c)
+            s_conj = needle_spectra_conj(nb, freqs_loc, sample_rate, m,
+                                         backend)
+            pk = streaming_peak_deferred_halo(
+                s_conj, (h_re, h_im), h_halo, needle_len, chunk, offset,
+                total_lags, backend)
+            b_ridx, b_val, b_f, b_lag = best
+            take = pk.value > b_val   # strict: earlier rate wins ties
+            return ((jnp.where(take, r_idx, b_ridx),
+                     jnp.where(take, pk.value, b_val),
+                     jnp.where(take, pk.freq_idx, b_f),
+                     jnp.where(take, pk.lag_idx, b_lag)), None)
+
+        # Init derived from the traced operands so the scan carry
+        # inherits their varying-manual-axes under shard_map.
+        zero = (jnp.sum(n_re[..., :1]) * 0 + jnp.sum(h_re[..., :1]) * 0
+                + jnp.sum(freqs_loc[..., :1]) * 0)
+        init = (zero.astype(jnp.int32), zero - jnp.inf,
+                zero.astype(jnp.int32), zero.astype(jnp.int32))
+        (r_b, v_b, f_b, l_b), _ = jax.lax.scan(
+            step, init,
+            (jnp.arange(rates.shape[0], dtype=jnp.int32), rates))
+        f_g = f_b + jax.lax.axis_index(AXIS_DOPPLER) * k_loc
+        return global_rate_peak(v_b, r_b, f_g, l_b,
+                                (AXIS_DOPPLER, AXIS_TIME))
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(AXIS_TIME), P(AXIS_TIME), P(AXIS_DOPPLER)),
+        out_specs=(P(), P(), P(), P()),
+    )(n_re, n_im, h_re, h_im, freqs_padded)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "needle_len", "chunk", "total_lags",
+                     "backend", "num_peaks", "exclude_freq", "exclude_lag",
+                     "num_bins", "half_t_bins", "with_floor"))
+def _rate_os_sharded_peaks_jit(n_re, n_im, h_re, h_im, freqs_padded,
+                               rates, sample_rate, mesh, needle_len,
+                               chunk, total_lags, backend, num_peaks,
+                               exclude_freq, exclude_lag, num_bins,
+                               half_t_bins, with_floor=False):
+    """Sharded multi-emitter RATE lattice (top-``num_peaks``).
+
+    Each shard's rate scan carries the cross-rate-merged lattice of
+    :func:`caf_cookoff_tpu.models.rate._rate_os_peaks_jit` (candidates
+    keyed by window-CENTER frequency, rate-aware NMS window) over its
+    (doppler shard x lag chunk); shard lattices meet in
+    :func:`caf_cookoff_tpu.parallel.collectives.global_rate_peaks`
+    (value gather + one packed 4-field int block + the same
+    deterministic merge, replicated by construction).  ``half_t_bins``
+    is the host-derived center-key factor ``T / (2*df)`` — static so
+    every shard agrees on it regardless of which grid rows (including
+    pad duplicates) it owns.  Grid-padded doppler rows mask before the
+    local NMS exactly like the first-order lattice bodies.
+    """
+    from caf_cookoff_tpu.models.rate import _merge_rate_lattice
+    from caf_cookoff_tpu.parallel.collectives import global_rate_peaks
+
+    k_loc = freqs_padded.shape[0] // mesh.shape[AXIS_DOPPLER]
+    m, _, _ = plan_blocks(needle_len, chunk)
+    halo = needle_len - 1
+    dtype = n_re.dtype
+    p = num_peaks
+    htb = jnp.asarray(half_t_bins, dtype)
+
+    def body(n_re, n_im, h_re, h_im, freqs_loc):
+        h_halo = tuple(_right_halo(q, halo, AXIS_TIME)
+                       for q in (h_re, h_im))
+        offset = jax.lax.axis_index(AXIS_TIME) * chunk
+        rows_global = (jax.lax.axis_index(AXIS_DOPPLER) * k_loc
+                       + jnp.arange(k_loc, dtype=jnp.int32))
+        fs = jnp.asarray(sample_rate, dtype)
+        t = jnp.arange(needle_len, dtype=dtype) / fs
+
+        def step(carry, xr):
+            lat, fsum, fcnt = carry
+            vals, keys, lags_c, ridx_c, fws_c, rvl_c = lat
+            r_idx, r = xr
+            ph = jnp.pi * r * (t * t)
+            c, s = jnp.cos(ph), jnp.sin(ph)
+            nb = (n_re * c - n_im * s, n_re * s + n_im * c)
+            s_conj = needle_spectra_conj(nb, freqs_loc, sample_rate, m,
+                                         backend)
+            out = streaming_peak_deferred_halo(
+                s_conj, (h_re, h_im), h_halo, needle_len, chunk, offset,
+                total_lags, backend, num_peaks=p,
+                exclude_freq=exclude_freq, exclude_lag=exclude_lag,
+                valid_rows=rows_global < num_bins,
+                with_floor=with_floor)
+            if with_floor:
+                pk, fsum_b, fcnt_b = out
+                fsum = fsum + fsum_b
+                fcnt = fcnt + fcnt_b
+            else:
+                pk = out
+            f_g = (pk.freq_idx
+                   + jax.lax.axis_index(AXIS_DOPPLER) * k_loc)
+            off = jnp.round(r * htb).astype(jnp.int32)
+            merged = _merge_rate_lattice(
+                jnp.concatenate([vals, pk.value]),
+                jnp.concatenate([keys, f_g + off]),
+                jnp.concatenate([lags_c, pk.lag_idx]),
+                jnp.concatenate([ridx_c,
+                                 jnp.full((p,), r_idx, jnp.int32)]),
+                jnp.concatenate([fws_c, f_g]),
+                jnp.concatenate([rvl_c, jnp.full((p,), r, dtype)]),
+                p, exclude_freq, exclude_lag, htb)
+            return (merged, fsum, fcnt), None
+
+        zero = (jnp.sum(n_re[..., :1]) * 0 + jnp.sum(h_re[..., :1]) * 0
+                + jnp.sum(freqs_loc[..., :1]) * 0)
+        zeros_p = jnp.zeros((p,), dtype) + zero
+        init_lat = (zeros_p - jnp.inf, zeros_p.astype(jnp.int32),
+                    zeros_p.astype(jnp.int32), zeros_p.astype(jnp.int32),
+                    zeros_p.astype(jnp.int32), zeros_p)
+        (lat, fsum, fcnt), _ = jax.lax.scan(
+            step, (init_lat, zero, zero),
+            (jnp.arange(rates.shape[0], dtype=jnp.int32), rates))
+        vals, keys, lags_c, ridx_c, fws_c, _ = lat
+        out = global_rate_peaks(vals, keys, lags_c, ridx_c, fws_c, rates,
+                                (AXIS_DOPPLER, AXIS_TIME), p,
+                                exclude_freq, exclude_lag, htb)
+        g_vals, g_keys, g_lags, g_ridx, g_fws, _ = out
+        if with_floor:
+            fsum = jax.lax.psum(fsum, (AXIS_DOPPLER, AXIS_TIME))
+            fcnt = jax.lax.psum(fcnt, (AXIS_DOPPLER, AXIS_TIME))
+            return (g_vals, g_lags, g_ridx, g_fws), fsum, fcnt
+        return (g_vals, g_lags, g_ridx, g_fws)
+
+    # check_vma=False: all_gather + identical deterministic merges =
+    # replicated by construction (see _os_sharded_peaks_jit).
+    lat_spec = (P(), P(), P(), P())
+    out_specs = (lat_spec, P(), P()) if with_floor else lat_spec
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(AXIS_TIME), P(AXIS_TIME), P(AXIS_DOPPLER)),
+        out_specs=out_specs,
+        check_vma=False,
+    )(n_re, n_im, h_re, h_im, freqs_padded)
+
+
+def sharded_rate_overlap_save_peak(needle, haystack, freqs_hz,
+                                   rates_hz_per_s, sample_rate,
+                                   mesh: Mesh,
+                                   num_lags: Optional[int] = None, *,
+                                   backend: str = "matmul"
+                                   ) -> Tuple[float, float, int, float]:
+    """(rate_hz_per_s, freq_hz, lag, value): the joint (rate, doppler,
+    lag) search of :func:`caf_cookoff_tpu.models.rate.
+    rate_overlap_save_peak` sharded over ``(doppler, time)``.
+
+    Doppler bins shard like the first-order engine; every trial rate
+    reuses the one halo exchange.  The reference has no rate model, no
+    long-capture search, and no multi-chip execution at all — this is
+    all three composed.
+    """
+    backend = backend or default_backend()
+    needle = np.asarray(needle)
+    haystack = np.asarray(haystack)
+    n = needle.shape[-1]
+    if haystack.shape[-1] < n:
+        raise ValueError("haystack shorter than needle")
+    total_lags = num_lags or haystack.shape[-1] - n + 1
+    t_shards = mesh.shape[AXIS_TIME]
+    needed = min(haystack.shape[-1], total_lags + n - 1)
+    chunk = max(-(-needed // t_shards), n - 1)
+    hay_p = np.pad(haystack, (0, t_shards * chunk - haystack.shape[-1])) \
+        if t_shards * chunk > haystack.shape[-1] \
+        else haystack[: t_shards * chunk]
+    n_re, n_im = _split_host(needle)
+    h_re, h_im = _split_host(hay_p)
+    freqs_p = pad_axis_to(as_grid(freqs_hz, dtype=n_re.dtype),
+                          mesh.shape[AXIS_DOPPLER])
+    rates = np.asarray(rates_hz_per_s, dtype=n_re.dtype).reshape(-1)
+    val, r_idx, f_idx, lag = _rate_os_sharded_peak_jit(
+        n_re, n_im, h_re, h_im, freqs_p, jnp.asarray(rates),
+        float(sample_rate), mesh, n, chunk, total_lags, backend)
+    return (float(rates[int(r_idx)]), float(freqs_p[int(f_idx)]),
+            int(lag), float(val))
+
+
+def sharded_rate_overlap_save_peaks(needle, haystack, freqs_hz,
+                                    rates_hz_per_s, sample_rate,
+                                    mesh: Mesh, num_peaks: int,
+                                    num_lags: Optional[int] = None, *,
+                                    exclude_freq: Optional[int] = None,
+                                    exclude_lag: Optional[int] = None,
+                                    backend: str = "matmul",
+                                    min_snr_db=None,
+                                    with_snr: bool = False):
+    """Top-``num_peaks`` accelerating emitters of a time/doppler-sharded
+    long capture — the mesh variant of :func:`caf_cookoff_tpu.models.
+    rate.rate_overlap_save_peaks` with the same semantics (window-
+    center-keyed cross-rate merge, rate-aware NMS window, detection
+    threshold over ``R*K*num_lags`` cells against the ``psum``-reduced
+    global floor).  Returns ``(rates (P,), freqs (P,), lags (P,),
+    values (P,)[, snr_db (P,)])``.
+
+    Exactness contract: the argmax and emitters at DISTINCT lags match
+    the single-chip engine bit-for-bit across mesh shapes (pinned in
+    ``tests/test_parallel.py``).  Slots below that can differ from the
+    single-chip lattice at same-lag sidelobe level: hierarchical NMS
+    lets a shard-local candidate (e.g. a strong emitter's rate ghost
+    whose center key falls in a different doppler shard than the
+    emitter) suppress a same-lag neighbor before the global merge kills
+    the ghost itself.  Ghosts share their parent's lag, so only
+    candidates at the strong emitter's OWN lag cell — its sidelobes,
+    or a weaker emitter overlapping it in both lag and center
+    frequency — are exposed; emitters separated in lag by more than
+    ``exclude_lag`` are never affected.
+    """
+    from caf_cookoff_tpu.models.overlap_save import mean_floor
+    from caf_cookoff_tpu.models.rate import _rate_grid_half_t_bins
+    from caf_cookoff_tpu.ops.peak import (
+        apply_detection_threshold,
+        resolve_exclusions,
+    )
+
+    backend = backend or default_backend()
+    needle = np.asarray(needle)
+    haystack = np.asarray(haystack)
+    n = needle.shape[-1]
+    if haystack.shape[-1] < n:
+        raise ValueError("haystack shorter than needle")
+    total_lags = num_lags or haystack.shape[-1] - n + 1
+    t_shards = mesh.shape[AXIS_TIME]
+    needed = min(haystack.shape[-1], total_lags + n - 1)
+    chunk = max(-(-needed // t_shards), n - 1)
+    hay_p = np.pad(haystack, (0, t_shards * chunk - haystack.shape[-1])) \
+        if t_shards * chunk > haystack.shape[-1] \
+        else haystack[: t_shards * chunk]
+    n_re, n_im = _split_host(needle)
+    h_re, h_im = _split_host(hay_p)
+    freqs_np = as_grid(freqs_hz, dtype=n_re.dtype)
+    exclude_freq, exclude_lag = resolve_exclusions(
+        needle, freqs_np, sample_rate, exclude_freq, exclude_lag)
+    freqs_p = pad_axis_to(freqs_np, mesh.shape[AXIS_DOPPLER])
+    rates = np.asarray(rates_hz_per_s, dtype=n_re.dtype).reshape(-1)
+    htb = _rate_grid_half_t_bins(freqs_np, n, sample_rate)
+    want_floor = with_snr or min_snr_db is not None
+    out = _rate_os_sharded_peaks_jit(
+        n_re, n_im, h_re, h_im, freqs_p, jnp.asarray(rates),
+        float(sample_rate), mesh, n, chunk, total_lags, backend,
+        int(num_peaks), exclude_freq, exclude_lag, len(freqs_np), htb,
+        with_floor=want_floor)
+    lat = out[0] if want_floor else out
+    vals, lags, ridx, fws = (np.asarray(x) for x in lat)
+    out_rates = rates.astype(np.float64)[ridx]
+    out_freqs = np.asarray(freqs_p, np.float64)[fws]
+    if not want_floor:
+        return out_rates, out_freqs, lags, vals
+    floor = mean_floor(out[1], out[2])
+    num_cells = rates.shape[0] * len(freqs_np) * total_lags
+    vals, snr, _ = apply_detection_threshold(vals, floor, num_cells,
+                                             min_snr_db)
+    res = (out_rates, out_freqs, lags, vals)
+    return res + ((snr,) if want_floor and with_snr else ())

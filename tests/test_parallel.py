@@ -377,3 +377,89 @@ def test_sharded_fuzz_matches_single(seed, n, total, lag, f_idx, g0, gs,
         got = sharded_overlap_save_peak(needle, hay, freqs, FS,
                                         _mesh(doppler=doppler, time=time))
         assert got[:2] == single[:2] == want, ("overlap-save", got)
+
+
+# ---- time/doppler-sharded RATE engine (second-order over the mesh) ----
+
+
+def _swept_capture_rate(emitters, n=2048, length=16384, seed=0,
+                        noise=0.01):
+    rng = np.random.default_rng(seed)
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    t_sec = np.arange(n) / FS
+    hay = (noise * (rng.standard_normal(length)
+                    + 1j * rng.standard_normal(length))
+           ).astype(np.complex64)
+    for f0, rate, lag, amp in emitters:
+        cp = amp * needle * np.exp(2j * np.pi * f0 * t_sec
+                                   + 1j * np.pi * rate * t_sec ** 2)
+        hay[lag:lag + n] += cp.astype(np.complex64)
+    return needle, hay
+
+
+RATE_EMITTERS = [(20.0, 400.0, 4500, 1.0), (-31.0, -200.0, 900, 0.8)]
+RATE_FREQS = np.arange(-60, 60, 0.5, dtype=np.float32)
+RATE_GRID_R = np.arange(-600.0, 601.0, 200.0)
+
+
+@pytest.mark.parametrize("doppler,time", [(2, 1), (1, 4), (2, 4)])
+def test_sharded_rate_peak_matches_single(doppler, time):
+    """The joint (rate, doppler, lag) argmax is identical to the
+    single-chip engine on every mesh factorization — one halo exchange
+    serves all trial rates."""
+    from caf_cookoff_tpu.models.rate import rate_overlap_save_peak
+    from caf_cookoff_tpu.parallel import sharded_rate_overlap_save_peak
+
+    needle, hay = _swept_capture_rate(RATE_EMITTERS)
+    want = rate_overlap_save_peak(needle, hay, RATE_FREQS, RATE_GRID_R,
+                                  FS, backend="xla")
+    got = sharded_rate_overlap_save_peak(
+        needle, hay, RATE_FREQS, RATE_GRID_R, FS,
+        _mesh(doppler=doppler, time=time), backend="xla")
+    assert got[:3] == want[:3]
+    assert np.isclose(got[3], want[3], rtol=1e-6)
+
+
+@pytest.mark.parametrize("doppler,time", [(2, 1), (1, 4), (2, 4)])
+def test_sharded_rate_lattice_emitters_exact(doppler, time):
+    """Both accelerating emitters (distinct lags) occupy the same
+    lattice slots with identical (rate, freq, lag, value) as the
+    single-chip engine; SNRs agree to float tolerance.  (Tail slots
+    below the weakest emitter may differ at same-lag sidelobe level —
+    the documented hierarchical-NMS contract.)"""
+    from caf_cookoff_tpu.models.rate import rate_overlap_save_peaks
+    from caf_cookoff_tpu.parallel import sharded_rate_overlap_save_peaks
+
+    needle, hay = _swept_capture_rate(RATE_EMITTERS)
+    want = rate_overlap_save_peaks(
+        needle, hay, RATE_FREQS, RATE_GRID_R, FS, num_peaks=3,
+        backend="xla", with_snr=True)
+    got = sharded_rate_overlap_save_peaks(
+        needle, hay, RATE_FREQS, RATE_GRID_R, FS,
+        _mesh(doppler=doppler, time=time), num_peaks=3, backend="xla",
+        with_snr=True)
+    n_emit = len(RATE_EMITTERS)
+    for w, g in zip(want[:4], got[:4]):   # rates, freqs, lags, values
+        np.testing.assert_allclose(np.asarray(g)[:n_emit],
+                                   np.asarray(w)[:n_emit], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got[4])[:n_emit],
+                               np.asarray(want[4])[:n_emit], atol=1e-3)
+    # The recovered slots are the injected emitters, grid-exact.
+    got_rows = sorted(zip(np.asarray(got[2])[:n_emit].tolist(),
+                          np.asarray(got[0])[:n_emit].tolist()))
+    want_rows = sorted((lag, r) for _, r, lag, _ in RATE_EMITTERS)
+    assert got_rows == want_rows
+
+
+def test_sharded_rate_lattice_noise_only_zero_detections():
+    """Mesh detection decision: a noise-only capture reports zero
+    detections at the auto threshold (global psum floor)."""
+    from caf_cookoff_tpu.parallel import sharded_rate_overlap_save_peaks
+
+    needle, hay = _swept_capture_rate([], noise=1.0)
+    rr, ff, ll, vv = sharded_rate_overlap_save_peaks(
+        needle, hay, RATE_FREQS, RATE_GRID_R, FS, _mesh(doppler=2,
+                                                        time=2),
+        num_peaks=3, backend="xla", min_snr_db="auto")
+    assert np.all(np.isneginf(vv))
