@@ -39,6 +39,7 @@ from caf_cookoff_tpu.ops import splitfft
 from caf_cookoff_tpu.ops.peak import (
     CafPeak,
     apply_detection_threshold,
+    as_lattice,
     concat_peaks,
     find_peak_2d,
     find_peaks,
@@ -256,10 +257,18 @@ def _os_peaks_jit(n_re, n_im, h_re, h_im, freqs_hz, sample_rate, num_lags,
     m, _, _ = plan_blocks(needle_len, num_lags)
     s_conj = needle_spectra_conj((n_re, n_im), freqs_hz, sample_rate, m,
                                  backend)
-    return streaming_peak(s_conj, (h_re, h_im), needle_len, num_lags,
-                          backend=backend, num_peaks=num_peaks,
-                          exclude_freq=exclude_freq,
-                          exclude_lag=exclude_lag, with_floor=with_floor)
+    out = streaming_peak(s_conj, (h_re, h_im), needle_len, num_lags,
+                         backend=backend, num_peaks=num_peaks,
+                         exclude_freq=exclude_freq,
+                         exclude_lag=exclude_lag, with_floor=with_floor)
+    if num_peaks > 1:
+        return out
+    # num_peaks=1 rides the scalar fast path (no NMS carry); lattice
+    # callers are promised (num_peaks,)-shaped fields.
+    if with_floor:
+        pk, fsum, fcnt = out
+        return as_lattice(pk), fsum, fcnt
+    return as_lattice(out)
 
 
 def _prep(needle, haystack, freqs_hz):

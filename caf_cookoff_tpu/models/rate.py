@@ -37,7 +37,7 @@ import numpy as np
 from caf_cookoff_tpu.config import as_grid, default_backend, xcor_length
 from caf_cookoff_tpu.models.filterbank import _peak_split_jit
 from caf_cookoff_tpu.ops import splitfft
-from caf_cookoff_tpu.ops.peak import resolve_exclusions
+from caf_cookoff_tpu.ops.peak import as_lattice, resolve_exclusions
 
 
 @functools.partial(
@@ -293,11 +293,7 @@ def _rate_os_peaks_jit(n_re, n_im, h_re, h_im, freqs_hz, rates,
         else:
             pk = out
         if p == 1:
-            # streaming_peak's num_peaks=1 fast path returns scalar
-            # fields (no NMS carry) — lift to (1,) for the merge.
-            pk = type(pk)(jnp.atleast_1d(pk.value),
-                          jnp.atleast_1d(pk.freq_idx),
-                          jnp.atleast_1d(pk.lag_idx))
+            pk = as_lattice(pk)
         off = jnp.round(r * half_t_bins).astype(jnp.int32)
         merged = _merge_rate_lattice(
             jnp.concatenate([vals, pk.value]),

@@ -341,14 +341,18 @@ class StreamingCAF:
         self.needle_len = int(n_re.shape[-1])
         self.sample_rate = float(sample_rate)
         self._freqs = as_grid(freqs_hz, dtype=n_re.dtype)
-        # Both resolutions run AFTER input validation (an empty needle
-        # must raise "empty signal", not divide by zero) and only where
-        # consumed — the common single-peak XLA stream pays no needle
-        # PSD scan at construction.
+        # Resolution runs AFTER input validation (an empty needle must
+        # raise "empty signal", not divide by zero), ONCE, and only
+        # where consumed — the common single-peak XLA stream pays no
+        # needle PSD scan at construction.
+        if self._stein or (self._num_peaks > 1 and
+                           (exclude_freq is None or exclude_lag is None)):
+            auto = resolve_exclusions(needle, self._freqs, sample_rate,
+                                      None, None)
         if self._num_peaks > 1:
-            self._exclude = resolve_exclusions(
-                needle, self._freqs, sample_rate, exclude_freq,
-                exclude_lag)
+            self._exclude = (
+                auto[0] if exclude_freq is None else int(exclude_freq),
+                auto[1] if exclude_lag is None else int(exclude_lag))
         if self._stein:
             # The exact re-score's argmax slack around each carried
             # coarse candidate is RESOLUTION-derived (floored at 4
@@ -356,8 +360,7 @@ class StreamingCAF:
             # any user NMS override — exclude_lag is a dedup policy
             # knob, not a statement of how far the bf16 coarse argmax
             # may sit from the true peak.
-            self._rescore_win = max(resolve_exclusions(
-                needle, self._freqs, sample_rate, None, None)[1], 4)
+            self._rescore_win = max(auto[1], 4)
         m = xcor_length(self.needle_len)
         rdt = n_re.dtype
         if self._stein:

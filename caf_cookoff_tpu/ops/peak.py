@@ -251,6 +251,20 @@ def concat_peaks(a: CafPeak, b: CafPeak) -> CafPeak:
                    jnp.concatenate([a.lag_idx, b.lag_idx]))
 
 
+def as_lattice(pk: CafPeak) -> CafPeak:
+    """Lift a scalar-field single-peak result to a (1,)-slot lattice.
+
+    The ``num_peaks == 1`` fast path of the streaming scans returns
+    scalar fields (no NMS carry); lattice consumers (concat + merge,
+    collective gathers) need a trailing candidate axis — every lattice
+    engine routes its P == 1 case through this so ``num_peaks=1`` is a
+    valid degenerate lattice instead of a trace-time shape error.
+    """
+    return CafPeak(jnp.atleast_1d(pk.value),
+                   jnp.atleast_1d(pk.freq_idx),
+                   jnp.atleast_1d(pk.lag_idx))
+
+
 def merge_peaks(candidates: CafPeak, num_peaks: int, exclude_freq: int,
                 exclude_lag: int, return_indices: bool = False):
     """Greedy NMS merge of ``C`` candidate triples → top-``num_peaks``.

@@ -39,7 +39,7 @@ from caf_cookoff_tpu.models.overlap_save import (
     streaming_peak,
 )
 from caf_cookoff_tpu.ops import splitfft
-from caf_cookoff_tpu.ops.peak import CafPeak, find_peak_2d
+from caf_cookoff_tpu.ops.peak import CafPeak, as_lattice, find_peak_2d
 from caf_cookoff_tpu.parallel.collectives import (
     global_peak,
     global_peaks,
@@ -554,6 +554,8 @@ def _os_sharded_peaks_jit(n_re, n_im, h_re, h_im, freqs_padded, sample_rate,
             exclude_freq=exclude_freq, exclude_lag=exclude_lag,
             valid_rows=rows_global < num_bins, with_floor=with_floor)
         local = out[0] if with_floor else out
+        if num_peaks == 1:
+            local = as_lattice(local)
         local = CafPeak(
             local.value,
             local.freq_idx + jax.lax.axis_index(AXIS_DOPPLER) * k_loc,
@@ -669,6 +671,8 @@ def _batched_os_peaks_jit(ns_re, ns_im, hs_re, hs_im, freqs_padded,
                 exclude_freq=exclude_freq, exclude_lag=exclude_lag,
                 valid_rows=rows_global < num_bins, with_floor=with_floor)
             local = out[0] if with_floor else out
+            if num_peaks == 1:
+                local = as_lattice(local)
             local = CafPeak(
                 local.value,
                 local.freq_idx + jax.lax.axis_index(AXIS_DOPPLER) * k_loc,
@@ -1107,6 +1111,8 @@ def _rate_os_sharded_peaks_jit(n_re, n_im, h_re, h_im, freqs_padded,
                 fcnt = fcnt + fcnt_b
             else:
                 pk = out
+            if p == 1:
+                pk = as_lattice(pk)
             f_g = (pk.freq_idx
                    + jax.lax.axis_index(AXIS_DOPPLER) * k_loc)
             off = jnp.round(r * htb).astype(jnp.int32)
@@ -1268,4 +1274,4 @@ def sharded_rate_overlap_save_peaks(needle, haystack, freqs_hz,
     vals, snr, _ = apply_detection_threshold(vals, floor, num_cells,
                                              min_snr_db)
     res = (out_rates, out_freqs, lags, vals)
-    return res + ((snr,) if want_floor and with_snr else ())
+    return res + ((snr,) if with_snr else ())

@@ -103,3 +103,35 @@ def test_golden_full_haystack(fixture_pairs, idx, grid, want_freq, want_lag):
     freq, lag, _ = overlap_save_peak(needle, haystack, freqs, FS)
     assert freq == pytest.approx(want_freq, abs=1e-4)
     assert lag == want_lag
+
+
+def test_overlap_save_peaks_num_peaks_one_shapes():
+    """num_peaks=1 returns (1,)-shaped lattice rows (the documented
+    contract), matching overlap_save_peak's triple."""
+    import numpy as np
+
+    from caf_cookoff_tpu.models.overlap_save import (
+        batched_overlap_save_peaks_local,
+        overlap_save_peak,
+        overlap_save_peaks,
+    )
+
+    rng = np.random.default_rng(1)
+    n = 1024
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = np.zeros(4096, np.complex64)
+    hay[700:700 + n] = needle * np.exp(
+        2j * np.pi * 40.0 * np.arange(n) / 48e3).astype(np.complex64)
+    freqs = np.arange(-100, 100, 1.0, dtype=np.float32)
+    f1, l1, v1 = overlap_save_peak(needle, hay, freqs, 48e3,
+                                   backend="xla")
+    fr, lg, vv, snr = overlap_save_peaks(needle, hay, freqs, 48e3, 1,
+                                         backend="xla", with_snr=True)
+    assert fr.shape == lg.shape == vv.shape == snr.shape == (1,)
+    assert (float(fr[0]), int(lg[0]), float(vv[0])) == (f1, l1, v1)
+    frb, lgb, vvb = batched_overlap_save_peaks_local(
+        np.stack([needle]), np.stack([hay]), freqs, 48e3, 1,
+        backend="xla")
+    assert frb.shape == (1, 1)
+    assert (float(frb[0, 0]), int(lgb[0, 0])) == (f1, l1)

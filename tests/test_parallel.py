@@ -463,3 +463,46 @@ def test_sharded_rate_lattice_noise_only_zero_detections():
                                                         time=2),
         num_peaks=3, backend="xla", min_snr_db="auto")
     assert np.all(np.isneginf(vv))
+
+
+def test_sharded_lattices_num_peaks_one():
+    """num_peaks=1 is a valid degenerate lattice on every mesh engine
+    (regression: the scalar fast path of the streaming scan used to
+    reach the lattice concat/gather and die with a trace-time shape
+    error), and matches the argmax engines."""
+    from caf_cookoff_tpu.parallel import (
+        batched_overlap_save_peak,
+        batched_overlap_save_peaks,
+        sharded_overlap_save_peak,
+        sharded_overlap_save_peaks,
+        sharded_rate_overlap_save_peak,
+        sharded_rate_overlap_save_peaks,
+    )
+
+    needle, hay = _swept_capture_rate(RATE_EMITTERS)
+    mesh = _mesh(doppler=2, time=2)
+    # First-order time/doppler-sharded.
+    f1, l1, v1 = sharded_overlap_save_peak(needle, hay, RATE_FREQS, FS,
+                                           mesh, backend="xla")
+    fr, lg, vv = sharded_overlap_save_peaks(needle, hay, RATE_FREQS, FS,
+                                            mesh, 1, backend="xla")
+    assert fr.shape == (1,)
+    assert (float(fr[0]), int(lg[0]), float(vv[0])) == (f1, l1, v1)
+    # Rate-sharded.
+    want = sharded_rate_overlap_save_peak(
+        needle, hay, RATE_FREQS, RATE_GRID_R, FS, mesh, backend="xla")
+    rr, ff, ll, vv = sharded_rate_overlap_save_peaks(
+        needle, hay, RATE_FREQS, RATE_GRID_R, FS, mesh, num_peaks=1,
+        backend="xla")
+    assert (float(rr[0]), float(ff[0]), int(ll[0])) == want[:3]
+    # Batched three-axis.
+    mesh3 = _mesh(pair=2, doppler=2, time=2)
+    needles = np.stack([needle, needle])
+    hays = np.stack([hay, hay])
+    fb, lb, vb = batched_overlap_save_peak(needles, hays, RATE_FREQS,
+                                           FS, mesh3, backend="xla")
+    frb, lgb, vvb = batched_overlap_save_peaks(
+        needles, hays, RATE_FREQS, FS, mesh3, 1, backend="xla")
+    assert frb.shape == (2, 1)
+    np.testing.assert_array_equal(frb[:, 0], fb)
+    np.testing.assert_array_equal(lgb[:, 0], lb)
