@@ -55,6 +55,18 @@ TIME_GATE_SEED = 3
 CONFIG5_SHAPE = dict(n=1024, total_lags=32_768, num_bins=64, pairs=4,
                      num_peaks=2)
 CONFIG5_GATE_SEED = 11
+# Second-order engine: the dechirp bank multiplies per-shard compute
+# by num_rates while the ONE halo ppermute is shared by every trial
+# rate — scaling should meet or beat the first-order time engine.
+# Lag count sized so the rate-bank synthesis (R x K x M spectra +
+# pre-chirp phasors — replicated per shard, chunk-INDEPENDENT) stays a
+# small fraction of a shard's block scan: at 32k lags that fixed term
+# alone capped measured strong efficiency at ~0.72 on 4 pinned cores
+# (compute twin 0.67 — not a collective effect); at 128k lags it
+# amortizes the way production capture lengths (256k+, BASELINE
+# config 3) do.
+RATE_SHAPE = dict(n=1024, total_lags=131_072, num_bins=64, num_rates=5)
+RATE_GATE_SEED = 17
 
 
 def _free_port() -> int:
@@ -140,6 +152,9 @@ def _worker(args) -> None:
         result = _worker_config5(jax, jnp, np, P, make_mesh, put, nprocs,
                                  chain_stats, args.iters, args.reps,
                                  args.engine[-2:])
+    elif args.engine == "rate":
+        result = _worker_rate(jax, jnp, np, P, make_mesh, put, AXIS_TIME,
+                              nprocs, chain_stats, args.iters, args.reps)
     else:
         raise SystemExit(f"unknown engine {args.engine}")
     if pid == 0:
@@ -462,6 +477,195 @@ def _time_local(jax, jnp, n_re, n_im, h_re, h_im, freqs, m, n, chunk,
         s_conj, (h_re, h_im), h_halo, n, chunk, offset, total_lags, "xla")
 
 
+def _worker_rate(jax, jnp, np, P, make_mesh, put, AXIS_TIME, nprocs,
+                 chain_stats, iters, reps):
+    """Second-order (dechirp bank x time-sharded) scaling point.
+
+    Same layout as ``_worker_time`` but the per-shard scan runs
+    ``num_rates`` pre-chirped passes over its lag chunk — the ONE halo
+    ppermute (issued before the rate scan, consumed by every rate's
+    boundary blocks) amortizes over R x the compute, so the collective
+    share of a step is ~1/R of the first-order engine's.
+    """
+    import functools
+
+    from caf_cookoff_tpu.models.overlap_save import (
+        needle_spectra_conj,
+        plan_blocks,
+        streaming_peak,
+    )
+    from caf_cookoff_tpu.ops import splitfft
+    from caf_cookoff_tpu.parallel.collectives import global_rate_peak
+    from caf_cookoff_tpu.parallel.sharded import (
+        _right_halo,
+        streaming_peak_deferred_halo,
+    )
+
+    n, total_lags, k, nrates = (RATE_SHAPE["n"], RATE_SHAPE["total_lags"],
+                                RATE_SHAPE["num_bins"],
+                                RATE_SHAPE["num_rates"])
+    rng = np.random.default_rng(RATE_GATE_SEED)
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = (1e-4 * (rng.standard_normal(total_lags + n - 1) + 1j
+                   * rng.standard_normal(total_lags + n - 1))
+           ).astype(np.complex64)
+    freqs_np = np.linspace(-100, 100, k, endpoint=False).astype(np.float32)
+    # Rate grid sized to the window's resolution cell 1/T^2 ~ 2.2 kHz/s.
+    rates_np = np.arange(-4000.0, 4001.0, 2000.0).astype(np.float32)
+    assert len(rates_np) == nrates
+    true_r = float(rates_np[3])                      # +2000 Hz/s
+    true_f, true_lag = float(freqs_np[k // 3]), total_lags - 1
+    t_sec = np.arange(n) / FS
+    sw = (needle * np.exp(2j * np.pi * true_f * t_sec
+                          + 1j * np.pi * true_r * t_sec ** 2)
+          ).astype(np.complex64)
+    hay[true_lag:true_lag + n] += sw[: len(hay) - true_lag]
+    mesh = make_mesh(time=nprocs)
+    needed = total_lags + n - 1
+    chunk = max(-(-needed // nprocs), n - 1)
+    hay_p = np.pad(hay, (0, nprocs * chunk - len(hay))) \
+        if nprocs * chunk > len(hay) else hay[: nprocs * chunk]
+    n_sp = splitfft.split_array(needle)
+    h_sp = splitfft.split_array(hay_p)
+    m, _, _ = plan_blocks(n, chunk)
+    halo = n - 1
+    g_nre, g_nim = (put(p, mesh, P()) for p in n_sp)
+    g_hre, g_him = (put(p, mesh, P(AXIS_TIME)) for p in h_sp)
+    g_freqs = put(freqs_np, mesh, P())
+    g_rates = put(rates_np, mesh, P())
+
+    def rate_scan(n_re, n_im, h_re, h_im, freqs, rates, peak_fn):
+        """(r_idx, value, freq, lag) best over the rate bank;
+        ``peak_fn(s_conj)`` runs the per-rate block scan."""
+        t = jnp.arange(n, dtype=n_re.dtype) / FS
+
+        def rstep(best, xr):
+            r_idx, r = xr
+            ph = jnp.pi * r * (t * t)
+            c, s = jnp.cos(ph), jnp.sin(ph)
+            nb = (n_re * c - n_im * s, n_re * s + n_im * c)
+            s_conj = needle_spectra_conj(nb, freqs, FS, m, "xla")
+            pk = peak_fn(s_conj)
+            b_r, b_v, b_f, b_l = best
+            take = pk.value > b_v
+            return ((jnp.where(take, r_idx, b_r),
+                     jnp.where(take, pk.value, b_v),
+                     jnp.where(take, pk.freq_idx, b_f),
+                     jnp.where(take, pk.lag_idx, b_l)), None)
+
+        zero = (jnp.sum(n_re[..., :1]) * 0 + jnp.sum(h_re[..., :1]) * 0
+                + jnp.sum(freqs[..., :1]) * 0)
+        init = (zero.astype(jnp.int32), zero - jnp.inf,
+                zero.astype(jnp.int32), zero.astype(jnp.int32))
+        best, _ = jax.lax.scan(
+            rstep, init,
+            (jnp.arange(rates.shape[0], dtype=jnp.int32), rates))
+        return best
+
+    def body_full(n_re, n_im, h_re, h_im, freqs, rates, carry):
+        # ONE halo exchange serves every trial rate.
+        h_halo = tuple(_right_halo(p, halo, AXIS_TIME)
+                       for p in (h_re, h_im))
+        offset = jax.lax.axis_index(AXIS_TIME) * chunk
+        best = rate_scan(
+            n_re + carry[0], n_im, h_re, h_im, freqs, rates,
+            lambda s_conj: streaming_peak_deferred_halo(
+                s_conj, (h_re, h_im), h_halo, n, chunk, offset,
+                total_lags, "xla"))
+        g = global_rate_peak(best[1], best[0], best[2], best[3],
+                             AXIS_TIME)
+        return jnp.reshape(g[0], (1,)) * 1e-30
+
+    def body_compute(n_re, n_im, h_re, h_im, freqs, rates, carry):
+        hay_ext = tuple(jnp.pad(p, ((0, halo),)) for p in (h_re, h_im))
+        best = rate_scan(
+            n_re + carry[0], n_im, h_re, h_im, freqs, rates,
+            lambda s_conj: streaming_peak(s_conj, hay_ext, n, chunk,
+                                          backend="xla"))
+        return jnp.reshape(best[1], (1,)) * 1e-30
+
+    def make_chain(body, carry_spec):
+        sm = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(), P(AXIS_TIME), P(AXIS_TIME), P(), P(),
+                      carry_spec),
+            out_specs=carry_spec)
+
+        @functools.partial(jax.jit, static_argnames=("kk",))
+        def chain(nr, ni, hr, hi, fr, rt, kk):
+            init = jnp.zeros(
+                (1 if carry_spec == P() else nprocs,), nr.dtype)
+
+            def step(c, _):
+                return sm(nr, ni, hr, hi, fr, rt, c), None
+
+            out, _ = jax.lax.scan(step, init, None, length=kk)
+            return out
+
+        return chain
+
+    # Gate: the swept tail-lag emitter (lag in the last chunk, sweep
+    # spanning ~2 rate cells) must come back grid-exact in
+    # (rate, freq, lag) through THIS mesh.
+    sm_quad = jax.shard_map(
+        lambda nr, ni, hr, hi, fr, rt: global_rate_peak(
+            *_rate_best_reorder(rate_scan(
+                nr, ni, hr, hi, fr, rt,
+                lambda s_conj: _rate_halo_peak(
+                    jax, jnp, s_conj, hr, hi, n, chunk, total_lags,
+                    halo, AXIS_TIME))), AXIS_TIME),
+        mesh=mesh,
+        in_specs=(P(), P(), P(AXIS_TIME), P(AXIS_TIME), P(), P()),
+        out_specs=(P(), P(), P(), P()))
+    val, r_i, f_i, l_i = jax.jit(sm_quad)(g_nre, g_nim, g_hre, g_him,
+                                          g_freqs, g_rates)
+    got = (float(rates_np[int(r_i)]), float(freqs_np[int(f_i)]),
+           int(l_i))
+    assert got == (true_r, true_f, true_lag), (nprocs, got)
+
+    chain_full = make_chain(body_full, P())
+    chain_comp = make_chain(body_compute, P(AXIS_TIME))
+    fetch_full = lambda out: float(out[0])
+    fetch_comp = lambda out: np.asarray(out.addressable_shards[0].data)
+    full = chain_stats(lambda kk: chain_full(
+        g_nre, g_nim, g_hre, g_him, g_freqs, g_rates, kk), fetch_full,
+        iters, reps)
+    comp = chain_stats(lambda kk: chain_comp(
+        g_nre, g_nim, g_hre, g_him, g_freqs, g_rates, kk), fetch_comp,
+        iters, reps)
+    return {
+        "engine": f"rate_strong_{nrates}x{k}x{total_lags}", "n": nprocs,
+        "mode": "strong",
+        "full": full, "compute": comp,
+        "collective_ms": round(full["value"] - comp["value"], 3),
+        # One halo ppermute for ALL rates + the 4-scalar quad reduce.
+        "wire_bytes_per_step": (2 * 4 * (n - 1) * max(nprocs - 1, 0)
+                                + 4 * 4 * nprocs),
+    }
+
+
+def _rate_best_reorder(best):
+    """rate_scan's (r_idx, value, f, lag) -> global_rate_peak's
+    (value, rate_idx, freq_idx, lag_idx) argument order."""
+    r_idx, value, f_idx, l_idx = best
+    return value, r_idx, f_idx, l_idx
+
+
+def _rate_halo_peak(jax, jnp, s_conj, h_re, h_im, n, chunk, total_lags,
+                    halo, axis):
+    from caf_cookoff_tpu.parallel.sharded import (
+        _right_halo,
+        streaming_peak_deferred_halo,
+    )
+
+    h_halo = tuple(_right_halo(p, halo, axis) for p in (h_re, h_im))
+    offset = jax.lax.axis_index(axis) * chunk
+    return streaming_peak_deferred_halo(
+        s_conj, (h_re, h_im), h_halo, n, chunk, offset, total_lags,
+        "xla")
+
+
 def _worker_config5(jax, jnp, np, P, make_mesh, put, nprocs, chain_stats,
                     iters, reps, axes):
     """Combined-axes STRONG scaling (BASELINE config 5's composition):
@@ -715,7 +919,8 @@ def main() -> None:
                     help="comma list of process counts (disjoint "
                     "one-core pins; max = core count)")
     ap.add_argument("--engines",
-                    default="doppler,time,pair,config5_dt,config5_pt")
+                    default="doppler,time,pair,config5_dt,config5_pt,"
+                            "rate")
     ap.add_argument("--iters", type=int, default=2,
                     help="chain length per measurement")
     ap.add_argument("--reps", type=int, default=3)
