@@ -52,7 +52,10 @@ def _add_grid_args(p: argparse.ArgumentParser) -> None:
                             "pallas-bf16", "stein", "stein-raw"),
                    default="auto", help="FFT backend (auto: xla on CPU, "
                    "matmul on TPU; stein = segmented fast path + exact "
-                   "refinement, fastest golden-exact)")
+                   "refinement, fastest golden-exact; stein* streaming "
+                   "with --num-peaks>1 resolves same-bin emitter pairs "
+                   "only when separated by >2 exclusion cells — use the "
+                   "default backend for denser same-bin scenes)")
 
 
 def _resolve_backend(name: str) -> str:
@@ -270,7 +273,7 @@ def cmd_run(args) -> int:
     # Multi-peak on a long capture runs the lattice scan (below), not a
     # materialized surface — it must see the WHOLE capture, not a
     # window around the strongest peak.
-    want_artifacts = bool(args.dump_surface or args.plot or args.interp
+    want_artifacts = bool(args.dump_surface or args.plot
                           or (args.num_peaks > 1 and not full))
     lag_origin = 0
     surface = None
@@ -329,19 +332,6 @@ def cmd_run(args) -> int:
               + (f" (segment {args.segment})"
                  if args.segment is not None else ""))
 
-    if args.interp:
-        import warnings
-
-        from caf_cookoff_tpu.ops.peak import interpolate_peak
-
-        print("note: --interp is deprecated; --refine is ~100x more "
-              "accurate", file=sys.stderr)
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore", DeprecationWarning)
-            f_frac, t_frac = interpolate_peak(surface, freqs)
-        t_abs = t_frac + lag_origin
-        print(f"Sub-bin estimate: {f_frac:+.4f} Hz, {t_abs:.3f} "
-              f"samples ({t_abs / fs * 1e3:.5f} ms)")
     # Refinement takes SIGNED absolute capture offsets.  Full-haystack
     # lags already are; the truncated path reports the reference's raw
     # circular xcor index (wrap region = negative lags), which must be
@@ -996,10 +986,6 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--annotate", action="store_true",
                    help="write the detection back to the haystack's "
                    ".sigmf-meta as a caf: annotation")
-    r.add_argument("--interp", action="store_true",
-                   help="DEPRECATED: sub-bin parabolic (freq, lag) "
-                   "estimate; prefer --refine (~100x more accurate "
-                   "zoom re-score)")
     r.add_argument("--refine", action="store_true",
                    help="zoom re-score the peak to continuous "
                    "(freq, lag): ~1e-3 Hz / 1e-3 sample on the golden "
@@ -1023,8 +1009,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="detection threshold over the measured noise "
                    "floor for --num-peaks listings: 'auto' (derived "
                    "from the searched cell count at 1e-3 false-alarm), "
-                   "'none', or a dB value; slots below it report as "
-                   "non-detections instead of emitters (default: auto)")
+                   "'none' (list all slots, pre-round-4 behavior), or "
+                   "a dB value; slots below it report as non-detections "
+                   "instead of emitters (default: auto).  The floor is "
+                   "the mean over ALL cells incl. emitter energy, so a "
+                   "strong emitter's sidelobes beyond the exclusion "
+                   "cell can still pass — raise the threshold or "
+                   "tighten --num-peaks for dense scenes")
     r.add_argument("--segment", type=int, default=None,
                    help="capture segment index for multi-capture SigMF "
                    "recordings (lags count from the segment start; "

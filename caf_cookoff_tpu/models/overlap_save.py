@@ -164,7 +164,12 @@ def streaming_peak(s_conj: SplitComplex, haystack: SplitComplex,
             # (sum, count) over every VALID cell, fused into the block's
             # one pass over VMEM.  f32 count: only ever a mean's
             # denominator, so the >16.7M rounding (~1e-7 relative) is
-            # irrelevant against dB-scale thresholds.
+            # irrelevant against dB-scale thresholds.  f32 sum: one
+            # rounding per block against the growing partial sum —
+            # relative error O(num_blocks * eps) ~ 1e-4 even at a
+            # million blocks, i.e. ~0.0004 dB on the floor, far under
+            # any detection margin (f64 accumulation is unavailable
+            # on-device with x64 disabled and not worth a host pass).
             keep_b = jnp.broadcast_to(keep, mag2.shape)
             fsum = fsum + jnp.sum(jnp.where(keep_b, mag2, 0.0))
             fcnt = fcnt + jnp.sum(keep_b.astype(real_dtype))

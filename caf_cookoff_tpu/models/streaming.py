@@ -320,6 +320,16 @@ class StreamingCAF:
     Pallas program per chunk instead of K inverse FFTs); per-chunk
     local peaks report the coarse (bin-ranked) frequency, and
     :meth:`best` re-scores the carried best window exactly.
+
+    Multi-emitter caveat (``backend='stein*'`` with ``num_peaks > 1``):
+    the fused kernel carries TWO separated lag candidates per doppler
+    bin per chunk, exact for same-bin emitter pairs more than
+    ``2*exclude_lag`` apart — a same-bin pair within
+    ``(exclude_lag, 2*exclude_lag]`` can silently lose the weaker
+    emitter to a tile-boundary skirt, and three-plus same-bin emitters
+    in ONE chunk window exceed the two slots.  For those regimes use
+    the default XLA backend, whose streaming lattice is exact (see
+    :func:`caf_cookoff_tpu.ops.pallas_stein.fused_stein_rank`).
     """
 
     def __init__(self, needle, freqs_hz, sample_rate, *,

@@ -323,55 +323,6 @@ def merge_peaks(candidates: CafPeak, num_peaks: int, exclude_freq: int,
     return out
 
 
-def _parabolic_offset(y_m1, y_0, y_p1):
-    """Vertex offset in [-0.5, 0.5] of the parabola through 3 samples."""
-    denom = y_m1 - 2.0 * y_0 + y_p1
-    offset = jnp.where(jnp.abs(denom) > 0.0,
-                       0.5 * (y_m1 - y_p1) / denom, 0.0)
-    return jnp.clip(offset, -0.5, 0.5)
-
-
-def interpolate_peak(surface, freqs_hz, sample_rate=None):
-    """DEPRECATED sub-bin peak estimate via parabolic interpolation.
-
-    .. deprecated:: round 4
-        Use :func:`caf_cookoff_tpu.ops.refine.refine_peak` — the
-        jit/vmap-safe zoom re-score, ~100x more accurate on the golden
-        fixtures.  This function is host-only (calls ``float()`` on
-        traced values, so it cannot batch) and fits the weakest sub-bin
-        model; it survives one deprecation cycle for scripts that
-        parsed its output and will then be removed.
-
-    Fits a parabola through the peak and its two axis neighbors in each
-    dimension of the (K, M) surface.  Returns ``(freq_hz, lag_samples)``
-    as floats; edge peaks clamp to the grid.  ``sample_rate`` is
-    accepted for symmetry but unused.
-    """
-    import warnings
-
-    warnings.warn(
-        "interpolate_peak is deprecated: use ops.refine.refine_peak "
-        "(jit/vmap-safe, ~100x more accurate)", DeprecationWarning,
-        stacklevel=2)
-    del sample_rate
-    surface = jnp.asarray(surface)
-    freqs_hz = jnp.asarray(freqs_hz, dtype=jnp.float64
-                           if surface.dtype == jnp.float64 else jnp.float32)
-    k, m = surface.shape
-    peak = find_peak_2d(surface)
-    ki = peak.freq_idx
-    ti = peak.lag_idx
-
-    def axis_offset(idx, size, take):
-        at_edge = (idx <= 0) | (idx >= size - 1)
-        lo = jnp.clip(idx - 1, 0, size - 1)
-        hi = jnp.clip(idx + 1, 0, size - 1)
-        off = _parabolic_offset(take(lo), take(idx), take(hi))
-        return jnp.where(at_edge, 0.0, off)
-
-    dk = axis_offset(ki, k, lambda i: surface[i, ti])
-    dt = axis_offset(ti, m, lambda i: surface[ki, i])
-    step = jnp.where(k > 1, freqs_hz[jnp.minimum(1, k - 1)] - freqs_hz[0],
-                     0.0)
-    freq = freqs_hz[ki] + dk * step
-    return float(freq), float(ti + dt)
+# interpolate_peak (parabolic sub-bin estimate) was deprecated in round 4
+# and removed in round 5 as promised: use ops.refine.refine_peak — the
+# jit/vmap-safe zoom re-score, ~100x more accurate on the golden fixtures.

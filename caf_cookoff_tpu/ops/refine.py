@@ -22,10 +22,11 @@ construction.  This module refines a coarse engine peak to
   indices ``k~``.  The same shrink-and-re-center zoom runs over ``tau``.
 
 Both stages are closed-form matmuls on static shapes — jit-compatible,
-vmap-batchable (``refine_peaks``), and shard_map-safe — replacing the
-host-only parabolic :func:`caf_cookoff_tpu.ops.peak.interpolate_peak`
-(which calls ``float()`` on traced values and fits the weakest model
-through 3 samples of a mainlobe this module re-scores exactly).
+vmap-batchable (``refine_peaks``), and shard_map-safe.  (They replaced
+the host-only parabolic ``interpolate_peak``, removed in round 5 after
+its deprecation cycle: it called ``float()`` on traced values and fit
+the weakest model through 3 samples of a mainlobe this module re-scores
+exactly.)
 """
 
 from __future__ import annotations

@@ -104,12 +104,19 @@ def streaming_peak_deferred_halo(s_conj, h_local, h_halo, needle_len: int,
     compute (latency hiding — the round-3 time-axis pinned efficiency
     was collective-latency-bound at N=4).
 
-    Semantics are identical to :func:`streaming_peak` over
-    ``concat([local, halo])``: same lag/row/validity masks, same
-    earliest-lag tie-break (the interior scan owns the earlier lags and
-    the boundary result only wins on a STRICT greater; the lattice path
-    reuses the same ``merge_peaks`` the chunked stream already chains),
-    and the floor accumulators sum over the two disjoint lag ranges.
+    Semantics vs :func:`streaming_peak` over ``concat([local, halo])``:
+    same lag/row/validity masks, same earliest-lag tie-break (the
+    interior scan owns the earlier lags and the boundary result only
+    wins on a STRICT greater), and the floor accumulators sum over the
+    two disjoint lag ranges.  The single-peak argmax is bit-identical.
+    For ``num_peaks > 1`` the top peaks at distinct lags match, but
+    sidelobe-level slots may differ from the sequential fold: the
+    boundary blocks fold into their own lattice before merging with the
+    interior survivors, so a boundary candidate suppressed by a
+    neighbor that a stronger interior peak would itself have suppressed
+    can be lost — the same 'exact at distinct lags, sidelobe-level
+    slots may differ' contract as the cross-shard hierarchical merge
+    (:func:`caf_cookoff_tpu.parallel.collectives.global_peaks`).
     """
     from caf_cookoff_tpu.ops.peak import concat_peaks, merge_peaks
 

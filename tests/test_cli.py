@@ -52,17 +52,17 @@ def test_run_full_haystack_artifacts_consistent(fixture_pairs, capsys,
     weak #1: they used the truncated prefix, a different lag axis)."""
     needle, haystack = fixture_pairs[0]
     rc = main(["run", str(needle), str(haystack), "--full-haystack",
-               "--freq-step", "0.25", "--interp", "--num-peaks", "2",
+               "--freq-step", "0.25", "--refine", "--num-peaks", "2",
                "--plot", str(tmp_path / "caf.png")])
     assert rc == 0
     out = capsys.readouterr().out
     assert "Time offset: 202 samples" in out
     # strongest listed peak = the reported peak, in absolute lags
     assert "peak 1:   +69.250 Hz @ lag    202" in out
-    # sub-bin estimate lands within a sample/bin of the reported peak
+    # refined estimate lands within a sample/bin of the reported peak
     import re
 
-    m = re.search(r"Sub-bin estimate: ([+-][\d.]+) Hz, ([\d.]+) samples",
+    m = re.search(r"Refined estimate: ([+-][\d.]+) Hz, ([\d.]+) samples",
                   out)
     assert m, out
     assert abs(float(m.group(1)) - 69.25) < 0.25

@@ -172,60 +172,12 @@ class TestConfig:
         assert xcor_length(4100) == 16384
 
 
-class TestInterpolatePeak:
-    """Sub-bin parabolic refinement (a capability past the reference)."""
+def test_interpolate_peak_removed():
+    """interpolate_peak completed its deprecation cycle (round 4 warn,
+    round 5 removal); ops.refine.refine_peak is the supported path."""
+    from caf_cookoff_tpu.ops import peak
 
-    def test_recovers_offgrid_frequency(self):
-        """Injected off-grid doppler: interpolation lands much closer to
-        truth than the grid step."""
-        from caf_cookoff_tpu.models.filterbank import caf_surface
-        from caf_cookoff_tpu.ops.peak import interpolate_peak
-
-        rng = np.random.default_rng(3)
-        n, fs = 2048, 48e3
-        f_true = 41.37  # between 0.5 Hz bins
-        needle = (rng.standard_normal(n)
-                  + 1j * rng.standard_normal(n)).astype(np.complex64)
-        hay = needle * np.exp(
-            2j * np.pi * f_true * np.arange(n) / fs).astype(np.complex64)
-        freqs = np.arange(-100.0, 100.0, 0.5, dtype=np.float32)
-        surf = caf_surface(needle, hay, freqs, fs)
-        freq, lag = interpolate_peak(surf, freqs)
-        assert abs(freq - f_true) < 0.1   # well under the 0.5 Hz step
-        assert abs(lag - 0.0) < 0.5
-
-    def test_on_grid_peak_unchanged(self):
-        import jax.numpy as jnp
-
-        from caf_cookoff_tpu.ops.peak import interpolate_peak
-
-        surf = np.full((5, 16), 1.0, dtype=np.float32)
-        surf[2, 7] = 10.0
-        freqs = np.arange(5, dtype=np.float32)
-        freq, lag = interpolate_peak(jnp.asarray(surf), freqs)
-        assert freq == pytest.approx(2.0, abs=0.01)
-        assert lag == pytest.approx(7.0, abs=0.01)
-
-    def test_edge_peak_clamps(self):
-        from caf_cookoff_tpu.ops.peak import interpolate_peak
-
-        surf = np.ones((4, 8), dtype=np.float32)
-        surf[0, 0] = 5.0
-        freqs = np.arange(4, dtype=np.float32)
-        freq, lag = interpolate_peak(surf, freqs)
-        assert (freq, lag) == (0.0, 0.0)
-
-
-def test_interpolate_peak_is_deprecated():
-    """interpolate_peak warns; refine_peak is the supported path."""
-    import warnings
-
-    from caf_cookoff_tpu.ops.peak import interpolate_peak
-
-    surf = np.full((5, 16), 1.0, dtype=np.float32)
-    surf[2, 7] = 10.0
-    with pytest.warns(DeprecationWarning, match="refine_peak"):
-        interpolate_peak(surf, np.arange(5, dtype=np.float32))
+    assert not hasattr(peak, "interpolate_peak")
 
 
 def test_doppler_cell_bins_single_frequency_grid():
