@@ -28,7 +28,9 @@ from caf_cookoff_tpu.errors import (
 )
 from caf_cookoff_tpu.models.batched_stein import (
     batched_stein_os_peak,
+    batched_stein_os_peaks,
     batched_stein_peak,
+    batched_stein_peaks,
 )
 from caf_cookoff_tpu.models.filterbank import (
     FilterbankCAF,
@@ -80,7 +82,9 @@ __all__ = [
     "apply_fdoa",
     "batched_overlap_save_peaks_local",
     "batched_stein_os_peak",
+    "batched_stein_os_peaks",
     "batched_stein_peak",
+    "batched_stein_peaks",
     "caf_peak",
     "caf_surface",
     "detection_threshold_db",

@@ -51,7 +51,11 @@ from caf_cookoff_tpu.errors import EligibilityError, SpanError
 from caf_cookoff_tpu.models.filterbank import _surface_rows_split
 from caf_cookoff_tpu.models.stein import _auto_block_len
 from caf_cookoff_tpu.ops import splitfft
-from caf_cookoff_tpu.ops.peak import CafPeak
+from caf_cookoff_tpu.ops.peak import (
+    CafPeak,
+    find_peak_2d,
+    merge_peaks,
+)
 # The super-block width is the kernel's layout contract — one source.
 from caf_cookoff_tpu.ops.pallas_stein import SUPER
 
@@ -114,13 +118,21 @@ def _haystack_extension(hs_re, hs_im, m: int, span: int):
     return jnp.stack([circ(hs_re), circ(hs_im)], axis=1)
 
 
+_BIG_IDX = np.int32(2 ** 30)
+
+
 def _coarse_rank_xla(ws1, ws2, lmat, h_ext, b: int, sup: int,
-                     num_lags: int, num_valid=None):
+                     num_lags: int, num_valid=None, want_top2: bool = False,
+                     sep: int = 0):
     """Pure-XLA twin of ops/pallas_stein.fused_stein_rank — the CPU
     (and numerical-reference) path: same math, same per-block staircase
     layout, materialized in HBM instead of VMEM.  ``num_valid`` is the
     kernel's per-program lag bound ((P,) int32 — see the shadowing
-    note there)."""
+    note there).  ``want_top2`` mirrors the kernel's top-2-separated
+    epilogue ((vals, idxs, vals2, idxs2), slot-2 sentinel ``-1.0``);
+    computed globally here (no tile merge), so this twin is exact for
+    same-bin pairs ``> sep`` apart where the kernel guarantees
+    ``> 2*sep`` — a strict superset of the kernel's contract."""
     from caf_cookoff_tpu.ops.pallas_stein import FUSED_TILE
 
     span = h_ext.shape[-1] - (SUPER - 1)
@@ -144,6 +156,19 @@ def _coarse_rank_xla(ws1, ws2, lmat, h_ext, b: int, sup: int,
              else jnp.asarray(num_valid, jnp.int32)[:, None, None])
     mag2 = jnp.where(jnp.arange(m_pad)[None, None, :] < bound,
                      mag2, -1.0)
+    if want_top2:
+        lag = jnp.arange(m_pad, dtype=jnp.int32)
+        m1 = jnp.max(mag2, axis=-1, keepdims=True)
+        a1 = jnp.min(jnp.where(mag2 >= m1, lag, _BIG_IDX), axis=-1,
+                     keepdims=True)
+        masked = jnp.where(jnp.abs(lag - a1) <= sep, -1.0, mag2)
+        m2 = jnp.max(masked, axis=-1, keepdims=True)
+        a2 = jnp.min(jnp.where(masked >= m2, lag, _BIG_IDX), axis=-1,
+                     keepdims=True)
+        a1 = jnp.where(a1 == _BIG_IDX, 0, a1)
+        a2 = jnp.where(a2 == _BIG_IDX, 0, a2)
+        return (m1[..., 0].T, a1[..., 0].T.astype(jnp.int32),
+                m2[..., 0].T, a2[..., 0].T.astype(jnp.int32))
     vals = jnp.max(mag2, axis=-1)                     # (P, K)
     idxs = jnp.argmax(mag2, axis=-1).astype(jnp.int32)
     return vals.T, idxs.T
@@ -632,3 +657,614 @@ def batched_stein_peak(needles, haystacks, freqs_hz, sample_rate, *,
         backend, refine, interpret)
     return (freqs[np.asarray(peak.freq_idx)], np.asarray(peak.lag_idx),
             np.asarray(peak.value))
+
+
+# ---------------------------------------------------------------------------
+# Multi-emitter lattices through the fused kernel (round 5)
+# ---------------------------------------------------------------------------
+#
+# The kernel's top-2-separated epilogue (``want_top2`` — two
+# ``>= exclude_lag``-separated lag candidates per doppler bin per
+# program) feeds an NMS lattice, so BASELINE config 4/5's
+# "streaming multi-emitter" workload runs at fused-kernel speed instead
+# of falling back to the XLA lattice scan (``parallel/sharded.
+# _batched_os_peaks_jit``).  Coarse lattice entries are then re-scored
+# EXACTLY on a guard-extended capture window around each entry's lag
+# (per-entry rank-then-score — the same contract as the stein stream's
+# carried windows, ``models/streaming.py``), and the lattice re-sorts
+# and re-dedups on the exact values.
+#
+# Exactness contract (same as the stein stream): exact for emitters in
+# distinct doppler bins, and for same-bin pairs separated by more than
+# ``2*exclude_lag`` samples (the kernel's tile-merge guarantee; the CPU
+# twin is exact past ``exclude_lag``).  A same-bin pair within
+# (cell, 2*cell], or 3+ same-bin emitters in one window, needs the XLA
+# lattice engines.  The reference has only a global argmax
+# (``caf_rust/src/caf/mod.rs:31-42``).
+
+
+def _lattice_from_bin_candidates(vals_j, lags_j, num_peaks: int,
+                                 exclude_freq: int, exclude_lag: int,
+                                 bin_offset=0,
+                                 num_bins: Optional[int] = None):
+    """NMS lattice from per-bin candidate slots.
+
+    ``vals_j``/``lags_j``: (K, J) per-bin candidates (J slots per bin —
+    the kernel's top-2, possibly stacked over windows).  Negative
+    values are kernel sentinels (no separated second / fully-masked
+    program) and become ``-inf`` so they can neither win nor suppress.
+    ``bin_offset``/``num_bins``: banded grids report GLOBAL bins
+    ``offset + row`` on the ascending ``freqs_pad`` lattice, with pad
+    rows past ``num_bins`` masked out.
+    """
+    k, j = vals_j.shape
+    rows = bin_offset + jnp.arange(k, dtype=jnp.int32)
+    bins = jnp.broadcast_to(rows[:, None], (k, j))
+    v = jnp.where(vals_j < 0, -jnp.inf, vals_j)
+    if num_bins is not None:
+        v = jnp.where(bins < num_bins, v, -jnp.inf)
+    cands = CafPeak(v.reshape(-1), bins.reshape(-1),
+                    lags_j.reshape(-1).astype(jnp.int32))
+    return merge_peaks(cands, num_peaks, exclude_freq, exclude_lag)
+
+
+def _entry_candidate_bins(vals_flat, lags_flat, lag_e, bin_e,
+                          exclude_lag: int, exclude_freq: int,
+                          num_bins: int):
+    """Exact-re-score candidate bins for ONE lattice entry.
+
+    ``vals_flat``/``lags_flat``: (K, J) coarse per-bin candidates with
+    lags in the entry's lag coordinates.  The ranking is DOUBLY
+    restricted — to candidates within one lag exclusion cell of the
+    entry's lag AND to bins within one freq exclusion cell of the
+    entry's OWN coarse bin: the coarse bin sits on this emitter's
+    mainlobe (bf16/block-phase perturbation moves it at most within the
+    cell), and without the freq restriction a same-lag STRONGER emitter
+    farther away in frequency would capture the re-score argmax and
+    collapse this entry onto it (the post-re-score NMS then dedups
+    them, silently dropping a real emitter).  Anything outside the cell
+    is by definition a different detection.  Top-``_REFINE_BINS`` of
+    the masked ranking.
+    """
+    from caf_cookoff_tpu.models.stein import _REFINE_BINS
+
+    ok = (jnp.abs(lags_flat - lag_e) <= exclude_lag) & (vals_flat >= 0)
+    rank = jnp.max(jnp.where(ok, vals_flat, -jnp.inf), axis=-1)  # (K,)
+    bins_all = jnp.arange(num_bins, dtype=jnp.int32)
+    rank = jnp.where(jnp.abs(bins_all - bin_e) <= exclude_freq, rank,
+                     -jnp.inf)
+    r = min(_REFINE_BINS, num_bins)
+    sel_rank, bins = jax.lax.top_k(rank, r)
+    # (bins, valid): a cell narrower than the refine width leaves -inf
+    # slots whose bins are arbitrary — their exact rows must be masked,
+    # not scored (they could lie outside the entry's freq cell).
+    return bins, jnp.isfinite(sel_rank)
+
+
+def _rescore_guards(needle_len: int, auto_lag_cell: int,
+                    hay_len: int) -> Tuple[int, int]:
+    """(guard, rescore_win) for the per-entry exact re-score windows.
+
+    The window must hold the whole needle plus ``guard`` samples each
+    side; the argmax slack around the coarse candidate is
+    resolution-derived (floored at 4 samples for bf16 flat-top tie
+    ambiguity) and clamped to the guard so the constrained argmax stays
+    inside the window.
+    """
+    win = max(int(auto_lag_cell), 4)
+    guard = min(max(64, win), max(needle_len // 4, 1),
+                max((hay_len - needle_len) // 2, 1))
+    return guard, min(win, guard)
+
+
+def _rescore_entries_circular(ns, circ, freqs, vals_j, lags_j, lat,
+                              sample_rate, xcor_len: int, guard: int,
+                              rescore_win: int, exclude_lag: int,
+                              exclude_freq: int, backend: str):
+    """Exact re-score of one pair's coarse lattice — CIRCULAR lags.
+
+    ``circ``: (2, M + wlen) circularly-extended haystack planes (the
+    zero-padded M-period tiled past the wrap), so a window starting at
+    ``(lag - guard) mod M`` reads the exact samples circular lag
+    ``lag`` correlates against; local lag ``d`` of the window equals
+    circular lag ``(start + d) mod M`` for ``d <= 2*guard`` (every
+    needle sample hits in-window data).  The argmax is constrained to
+    ``|d - guard| <= rescore_win`` — one resolution cell of slack
+    around the entry's OWN coarse lag, so a nearby stronger emitter
+    cannot capture the argmax and collapse two entries (see
+    ``models/streaming._stein_lattice_rescore_jit``).
+    """
+    from caf_cookoff_tpu.models.filterbank import _surface_rows_split
+
+    m = xcor_len
+    n = ns[0].shape[-1]
+    wlen = n + 2 * guard
+    k = freqs.shape[0]
+
+    def one(lag_e, bin_e, coarse_ok):
+        bins, bok = _entry_candidate_bins(vals_j, lags_j, lag_e, bin_e,
+                                          exclude_lag, exclude_freq, k)
+        start = jnp.mod(lag_e - guard, m)
+        wr = jax.lax.dynamic_slice(circ[0], (start,), (wlen,))
+        wi = jax.lax.dynamic_slice(circ[1], (start,), (wlen,))
+        exact = splitfft.mag2(_surface_rows_split(
+            ns, (wr, wi), freqs[bins], sample_rate, m, backend))
+        d = jax.lax.broadcasted_iota(jnp.int32, exact.shape, 1)
+        keep = (bok[:, None] & (d <= 2 * guard)
+                & (jnp.abs(d - guard) <= rescore_win))
+        pk = find_peak_2d(jnp.where(keep, exact, -jnp.inf))
+        return (jnp.where(coarse_ok, pk.value, -jnp.inf),
+                bins[pk.freq_idx].astype(jnp.int32),
+                jnp.mod(lag_e + pk.lag_idx - guard, m).astype(jnp.int32))
+
+    vals_e, bins_e, lags_e = jax.vmap(one)(
+        lat.lag_idx, lat.freq_idx, jnp.isfinite(lat.value))
+    return vals_e, bins_e, lags_e
+
+
+def _rescore_entries_windowed(ns, hs, freqs, vals_j, lags_j, lat,
+                              sample_rate, xcor_len: int,
+                              needle_len: int, total_lags: int,
+                              guard: int, rescore_win: int,
+                              exclude_lag: int, exclude_freq: int,
+                              backend: str):
+    """Exact re-score of one pair's coarse lattice — LINEAR capture lags
+    (the overlap-save path): a guard-extended slice of the raw capture
+    around each entry's lag, local lags constrained to full-overlap
+    range, the requested lag bound, and one resolution cell around the
+    entry's own coarse lag (see :func:`_rescore_entries_circular`)."""
+    from caf_cookoff_tpu.models.filterbank import _surface_rows_split
+
+    n = needle_len
+    wlen = n + 2 * guard
+    hay_len = hs[0].shape[-1]
+    k = freqs.shape[0]
+
+    def one(lag_e, bin_e, coarse_ok):
+        bins, bok = _entry_candidate_bins(vals_j, lags_j, lag_e, bin_e,
+                                          exclude_lag, exclude_freq, k)
+        start = jnp.clip(lag_e - guard, 0, max(hay_len - wlen, 0))
+        wr = jax.lax.dynamic_slice(hs[0], (start,), (wlen,))
+        wi = jax.lax.dynamic_slice(hs[1], (start,), (wlen,))
+        exact = splitfft.mag2(_surface_rows_split(
+            ns, (wr, wi), freqs[bins], sample_rate, xcor_len, backend))
+        d = jax.lax.broadcasted_iota(jnp.int32, exact.shape, 1)
+        keep = (bok[:, None] & (d <= 2 * guard) & (start + d < total_lags)
+                & (jnp.abs(start + d - lag_e) <= rescore_win))
+        pk = find_peak_2d(jnp.where(keep, exact, -jnp.inf))
+        return (jnp.where(coarse_ok, pk.value, -jnp.inf),
+                bins[pk.freq_idx].astype(jnp.int32),
+                (start + pk.lag_idx).astype(jnp.int32))
+
+    vals_e, bins_e, lags_e = jax.vmap(one)(
+        lat.lag_idx, lat.freq_idx, jnp.isfinite(lat.value))
+    return vals_e, bins_e, lags_e
+
+
+def _batched_stein_peaks_core(ns_re, ns_im, hs_re, hs_im, freqs,
+                              sample_rate, xcor_len: int, block_len: int,
+                              backend: str, num_peaks: int,
+                              exclude_freq: int, exclude_lag: int,
+                              guard: int, rescore_win: int,
+                              interpret: bool) -> CafPeak:
+    """Traceable equal-length multi-emitter batch pipeline (also the
+    ``shard_map`` body of ``parallel.sharded.
+    sharded_batched_stein_peaks``).  Fields (P_pairs, num_peaks)."""
+    from caf_cookoff_tpu.ops.pallas_stein import (
+        fused_span,
+        fused_stein_rank,
+        stein_synthesis_weights,
+    )
+
+    pad = (-ns_re.shape[-1]) % SUPER
+    np_re = jnp.pad(ns_re, ((0, 0), (0, pad)))
+    np_im = jnp.pad(ns_im, ((0, 0), (0, pad)))
+    b = np_re.shape[-1] // block_len
+    lmat, group = _needle_operator(np_re, np_im, block_len)
+    span = fused_span(b, group, xcor_len)
+    h_ext = _haystack_extension(hs_re, hs_im, xcor_len, span)
+    ws1, ws2 = stein_synthesis_weights(freqs, sample_rate, b, block_len)
+    if interpret:
+        v1, i1, v2, i2 = _coarse_rank_xla(
+            ws1, ws2, lmat, h_ext, b, group, xcor_len,
+            want_top2=True, sep=exclude_lag)
+    else:
+        v1, i1, v2, i2 = fused_stein_rank(
+            ws1, ws2, lmat, h_ext, b, group, xcor_len,
+            want_top2=True, sep=exclude_lag)
+    # (K, P) x4 -> per-pair (K, 2) candidate slots.
+    vals_j = jnp.stack([v1, v2], axis=-1).transpose(1, 0, 2)
+    lags_j = jnp.stack([i1, i2], axis=-1).transpose(1, 0, 2)
+    lat = jax.vmap(lambda vj, lj: _lattice_from_bin_candidates(
+        vj, lj, num_peaks, exclude_freq, exclude_lag))(vals_j, lags_j)
+    # Circular haystack extension for the re-score windows: period M
+    # (the haystack zero-padded to the FFT length) tiled past the wrap.
+    m = xcor_len
+    base_re = jnp.pad(hs_re, ((0, 0), (0, m - hs_re.shape[-1])))
+    base_im = jnp.pad(hs_im, ((0, 0), (0, m - hs_im.shape[-1])))
+    n = ns_re.shape[-1]
+    wlen = n + 2 * guard
+    circ = jnp.stack(
+        [jnp.concatenate([base_re, base_re[:, :wlen]], axis=-1),
+         jnp.concatenate([base_im, base_im[:, :wlen]], axis=-1)], axis=1)
+
+    def close(nr, ni, cp, vj, lj, lat_p):
+        vals_e, bins_e, lags_e = _rescore_entries_circular(
+            (nr, ni), cp, freqs, vj, lj, lat_p, sample_rate, m, guard,
+            rescore_win, exclude_lag, exclude_freq, backend)
+        # Two coarse cells can re-score onto the same exact peak (e.g.
+        # a doppler sidelobe beyond the bin exclusion) — re-dedup and
+        # re-sort on the exact values.
+        return merge_peaks(CafPeak(vals_e, bins_e, lags_e), num_peaks,
+                           exclude_freq, exclude_lag)
+
+    return jax.vmap(close)(ns_re, ns_im, circ, vals_j, lags_j, lat)
+
+
+_batched_stein_peaks_jit = functools.partial(
+    jax.jit,
+    static_argnames=("xcor_len", "block_len", "backend", "num_peaks",
+                     "exclude_freq", "exclude_lag", "guard",
+                     "rescore_win", "interpret"))(_batched_stein_peaks_core)
+
+
+def _stein_model_floor(needles: np.ndarray, haystacks: np.ndarray,
+                       valid_len: Optional[int] = None) -> np.ndarray:
+    """(P,) per-pair model noise floor: ``sum|n|^2 * mean|h|^2``.
+
+    A noise-only xcor cell is a complex-Gaussian sum with that second
+    moment (the same exponential-cell model as
+    :meth:`caf_cookoff_tpu.models.streaming.StreamingCAF.noise_floor`)
+    — the fused kernel reduces bins to (max, argmax), so there are no
+    cells to measure.  ``valid_len`` restricts the haystack mean to the
+    real capture samples (exclude any mesh padding).
+    """
+    needles = np.asarray(needles)
+    haystacks = np.asarray(haystacks)
+    if valid_len is not None:
+        haystacks = haystacks[..., :valid_len]
+    n_energy = np.sum(np.abs(needles) ** 2, axis=-1, dtype=np.float64)
+    h_mean = np.mean(np.abs(haystacks) ** 2, axis=-1, dtype=np.float64)
+    return n_energy * h_mean
+
+
+def batched_stein_peaks(needles, haystacks, freqs_hz, sample_rate,
+                        num_peaks: int, *, block_len: int = 64,
+                        exclude_freq: Optional[int] = None,
+                        exclude_lag: Optional[int] = None,
+                        backend: Optional[str] = None,
+                        min_snr_db=None, with_snr: bool = False):
+    """Top-``num_peaks`` emitters PER PAIR through the fused batch
+    engine: ``(freqs (P, k), lags (P, k), values (P, k)[, snr_db])``,
+    strongest first, empty slots ``-inf``.
+
+    The multi-emitter sibling of :func:`batched_stein_peak` — config
+    2's batch shape with config 4's lattice semantics, at fused-kernel
+    speed (the kernel's ``want_top2`` epilogue carries two separated
+    same-bin candidates per bin; see the module-level exactness
+    contract).  Lags are CIRCULAR xcor indices like
+    :func:`batched_stein_peak` (unwrap with :func:`caf_cookoff_tpu.
+    ops.peak.unwrap_lag`).  ``min_snr_db`` / ``with_snr`` apply the
+    detection threshold against the per-pair model floor
+    (:func:`_stein_model_floor`).  Wide-span grids that need banding
+    are not supported here — use :func:`caf_cookoff_tpu.models.
+    filterbank.caf_surface` + :func:`caf_cookoff_tpu.ops.peak.
+    find_peaks`, or the overlap-save lattice engines.
+    """
+    from caf_cookoff_tpu.models.overlap_save import detection_rows
+    from caf_cookoff_tpu.ops.peak import resolve_exclusions
+
+    backend = backend or default_backend()
+    needles = np.asarray(needles)
+    haystacks = np.asarray(haystacks)
+    if needles.ndim != 2 or haystacks.shape != needles.shape:
+        raise ValueError(
+            f"need matching (P, N) batches, got {needles.shape} vs "
+            f"{haystacks.shape}")
+    ns_re, ns_im = splitfft.split_array(needles)
+    hs_re, hs_im = splitfft.split_array(haystacks)
+    freqs = as_grid(freqs_hz, dtype=ns_re.dtype)
+    n = ns_re.shape[-1]
+    m = xcor_length(n)
+    try:
+        d = _pow2_block_len(sample_rate, freqs, block_len)
+    except SpanError as e:
+        raise EligibilityError(
+            f"{e} — the multi-emitter fused engine does not band wide "
+            "spans; use find_peaks on caf_surface or the overlap-save "
+            "lattice engines for this grid") from e
+    auto = resolve_exclusions(needles[0], freqs, sample_rate, None, None)
+    exclude_freq = auto[0] if exclude_freq is None else int(exclude_freq)
+    exclude_lag = auto[1] if exclude_lag is None else int(exclude_lag)
+    guard, rescore_win = _rescore_guards(n, auto[1], n)
+    interpret = jax.default_backend() == "cpu"
+    pk = _batched_stein_peaks_jit(
+        jnp.asarray(ns_re), jnp.asarray(ns_im), jnp.asarray(hs_re),
+        jnp.asarray(hs_im), jnp.asarray(freqs), float(sample_rate), m, d,
+        backend, int(num_peaks), exclude_freq, exclude_lag, guard,
+        rescore_win, interpret)
+    if min_snr_db is None and not with_snr:
+        return (freqs[np.asarray(pk.freq_idx)], np.asarray(pk.lag_idx),
+                np.asarray(pk.value))
+    return detection_rows(freqs, pk, _stein_model_floor(needles, haystacks),
+                          len(freqs) * m, min_snr_db, with_snr)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("xcor_len", "block_len", "backend", "windows",
+                     "total_lags", "needle_len", "num_peaks",
+                     "exclude_freq", "exclude_lag", "guard",
+                     "rescore_win", "interpret"))
+def _batched_stein_os_peaks_jit(ns_re, ns_im, hs_re, hs_im, freqs,
+                                sample_rate, xcor_len, block_len, backend,
+                                windows: int, total_lags: int,
+                                needle_len: int, num_peaks: int,
+                                exclude_freq: int, exclude_lag: int,
+                                guard: int, rescore_win: int,
+                                interpret: bool) -> CafPeak:
+    """Windowed multi-emitter coarse scan + per-entry exact re-score.
+
+    One fused-kernel program per (pair, window) with the top-2 per-bin
+    epilogue; per-window NMS lattices fold across windows (hierarchical
+    — same 'sidelobe-level slots may differ from a flat fold' caveat as
+    every hierarchical lattice merge in the framework), then each
+    surviving entry re-scores exactly on a guard-extended capture
+    slice.  Fields (P_pairs, num_peaks); lags are absolute capture
+    offsets.
+    """
+    from caf_cookoff_tpu.ops.pallas_stein import (
+        fused_span,
+        fused_stein_rank,
+        stein_synthesis_weights,
+    )
+
+    p = ns_re.shape[0]
+    n = needle_len
+    pad = (-ns_re.shape[-1]) % SUPER
+    np_re = jnp.pad(ns_re, ((0, 0), (0, pad)))
+    np_im = jnp.pad(ns_im, ((0, 0), (0, pad)))
+    b = np_re.shape[-1] // block_len
+    v = xcor_len
+    lmat, group = _needle_operator(np_re, np_im, block_len)
+    span = fused_span(b, group, v)
+    h_ext = _os_window_extensions(hs_re, hs_im, v, windows, span)
+    ws1, ws2 = stein_synthesis_weights(freqs, sample_rate, b, block_len)
+    per_w = np.clip(total_lags - np.arange(windows) * v, 0, v)
+    num_valid = jnp.asarray(np.tile(per_w, p), jnp.int32)
+    if interpret:
+        lmat_rep = jnp.repeat(lmat, windows, axis=0)
+        v1, i1, v2, i2 = _coarse_rank_xla(
+            ws1, ws2, lmat_rep, h_ext, b, group, v, num_valid=num_valid,
+            want_top2=True, sep=exclude_lag)
+    else:
+        v1, i1, v2, i2 = fused_stein_rank(
+            ws1, ws2, lmat, h_ext, b, group, v, windows=windows,
+            num_valid=num_valid, want_top2=True, sep=exclude_lag)
+    k = freqs.shape[0]
+    # (K, P*W) x4 -> (P, W, K, 2) candidates with GLOBAL lags.
+    woff = jnp.arange(windows, dtype=jnp.int32) * v
+    vals_j = jnp.stack([v1, v2], axis=-1).reshape(k, p, windows, 2)
+    lags_j = (jnp.stack([i1, i2], axis=-1).reshape(k, p, windows, 2)
+              + woff[None, None, :, None])
+    vals_j = jnp.where(lags_j < total_lags, vals_j, -1.0)
+    vals_j = vals_j.transpose(1, 2, 0, 3)            # (P, W, K, 2)
+    lags_j = lags_j.transpose(1, 2, 0, 3)
+
+    def window_lattices(vw, lw):                     # (W, K, 2) each
+        return jax.vmap(lambda vj, lj: _lattice_from_bin_candidates(
+            vj, lj, num_peaks, exclude_freq, exclude_lag))(vw, lw)
+
+    wlat = jax.vmap(window_lattices)(vals_j, lags_j)  # (P, W, k) fields
+    flat = CafPeak(*(f.reshape(p, -1) for f in wlat))
+    lat = jax.vmap(lambda c: merge_peaks(c, num_peaks, exclude_freq,
+                                         exclude_lag))(flat)
+
+    # Per-pair candidate slots as (K, W*2) for the re-score's
+    # lag-restricted bin ranking.
+    vflat = vals_j.transpose(0, 2, 1, 3).reshape(p, k, -1)
+    lflat = lags_j.transpose(0, 2, 1, 3).reshape(p, k, -1)
+
+    def close(nr, ni, hr, hi, vj, lj, lat_p):
+        vals_e, bins_e, lags_e = _rescore_entries_windowed(
+            (nr, ni), (hr, hi), freqs, vj, lj, lat_p, sample_rate,
+            xcor_len, n, total_lags, guard, rescore_win, exclude_lag,
+            exclude_freq, backend)
+        # Re-dedup + re-sort on the exact values (two coarse cells can
+        # re-score onto one exact peak).
+        return merge_peaks(CafPeak(vals_e, bins_e, lags_e), num_peaks,
+                           exclude_freq, exclude_lag)
+
+    return jax.vmap(close)(ns_re, ns_im, hs_re, hs_im, vflat, lflat, lat)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("xcor_len", "block_len", "backend", "windows",
+                     "total_lags", "needle_len", "num_bins", "num_peaks",
+                     "exclude_freq", "exclude_lag", "guard",
+                     "rescore_win", "interpret"))
+def _banded_stein_os_peaks_jit(ns_re, ns_im, hs_re, hs_im, freqs_pad,
+                               centers, rel, sample_rate, xcor_len,
+                               block_len, backend, windows: int,
+                               total_lags: int, needle_len: int,
+                               num_bins: int, num_peaks: int,
+                               exclude_freq: int, exclude_lag: int,
+                               guard: int, rescore_win: int,
+                               interpret: bool) -> CafPeak:
+    """Banded long-capture multi-emitter scan: (pair, band, window)
+    fused programs with the top-2 per-bin epilogue, lattices on the
+    ascending ``freqs_pad`` global-bin lattice (bin = band*Kb + j; pad
+    rows masked), per-entry exact re-score on ABSOLUTE frequencies with
+    the unshifted needles — the ``windows x share_h`` composition of
+    :func:`_batched_stein_os_peaks_jit` (see its hierarchical-merge
+    caveat) for grids the single-band envelope cannot take."""
+    from caf_cookoff_tpu.ops.pallas_stein import (
+        fused_span,
+        fused_stein_rank,
+        stein_synthesis_weights,
+    )
+
+    p = ns_re.shape[0]
+    s = centers.shape[0]
+    v = xcor_len
+    n = needle_len
+    sr, si = _shift_to_centers(ns_re, ns_im, centers, sample_rate)
+    b = sr.shape[-1] // block_len
+    lmat, sup = _needle_operator(sr, si, block_len)
+    span = fused_span(b, sup, v)
+    h_ext = _os_window_extensions(hs_re, hs_im, v, windows, span)
+    ws1, ws2 = stein_synthesis_weights(rel, sample_rate, b, block_len)
+    per_w = np.clip(total_lags - np.arange(windows) * v, 0, v)
+    num_valid = jnp.asarray(np.tile(per_w, p * s), jnp.int32)
+    if interpret:
+        lmat_rep = jnp.repeat(lmat, windows, axis=0)
+        ln = h_ext.shape[-1]
+        h_rep = jnp.broadcast_to(
+            h_ext.reshape(p, 1, windows, 2, ln),
+            (p, s, windows, 2, ln)).reshape(p * s * windows, 2, ln)
+        v1, i1, v2, i2 = _coarse_rank_xla(
+            ws1, ws2, lmat_rep, h_rep, b, sup, v, num_valid=num_valid,
+            want_top2=True, sep=exclude_lag)
+    else:
+        v1, i1, v2, i2 = fused_stein_rank(
+            ws1, ws2, lmat, h_ext, b, sup, v, windows=windows,
+            share_h=s, num_valid=num_valid, want_top2=True,
+            sep=exclude_lag)
+    kb = rel.shape[0]
+    woff = jnp.arange(windows, dtype=jnp.int32) * v
+    vals_j = jnp.stack([v1, v2], axis=-1).reshape(kb, p, s, windows, 2)
+    lags_j = (jnp.stack([i1, i2], axis=-1).reshape(kb, p, s, windows, 2)
+              + woff[None, None, None, :, None])
+    vals_j = jnp.where(lags_j < total_lags, vals_j, -1.0)
+    vals_j = vals_j.transpose(1, 2, 3, 0, 4)        # (P, S, W, Kb, 2)
+    lags_j = lags_j.transpose(1, 2, 3, 0, 4)
+    offs = jnp.arange(s, dtype=jnp.int32) * kb
+
+    def band_lattices(vb, lb, off):                 # (W, Kb, 2), scalar
+        return jax.vmap(lambda vj, lj: _lattice_from_bin_candidates(
+            vj, lj, num_peaks, exclude_freq, exclude_lag,
+            bin_offset=off, num_bins=num_bins))(vb, lb)
+
+    wlat = jax.vmap(lambda vp, lp: jax.vmap(band_lattices)(
+        vp, lp, offs))(vals_j, lags_j)              # (P, S, W, k) fields
+    flat = CafPeak(*(f.reshape(p, -1) for f in wlat))
+    lat = jax.vmap(lambda c: merge_peaks(c, num_peaks, exclude_freq,
+                                         exclude_lag))(flat)
+    # Candidate slots on the global lattice: (P, S*Kb, W*2); pad rows
+    # go negative so the re-score's bin ranking excludes them.
+    vflat = vals_j.transpose(0, 1, 3, 2, 4).reshape(p, s * kb, -1)
+    lflat = lags_j.transpose(0, 1, 3, 2, 4).reshape(p, s * kb, -1)
+    rows = jnp.arange(s * kb)
+    vflat = jnp.where(rows[None, :, None] < num_bins, vflat, -1.0)
+
+    def close(nr, ni, hr, hi, vj, lj, lat_p):
+        vals_e, bins_e, lags_e = _rescore_entries_windowed(
+            (nr, ni), (hr, hi), freqs_pad, vj, lj, lat_p, sample_rate,
+            xcor_len, n, total_lags, guard, rescore_win, exclude_lag,
+            exclude_freq, backend)
+        return merge_peaks(CafPeak(vals_e, bins_e, lags_e), num_peaks,
+                           exclude_freq, exclude_lag)
+
+    return jax.vmap(close)(ns_re, ns_im, hs_re, hs_im, vflat, lflat, lat)
+
+
+def batched_stein_os_peaks(needles, haystacks, freqs_hz, sample_rate,
+                           num_peaks: int,
+                           num_lags: Optional[int] = None, *,
+                           block_len: int = 64,
+                           exclude_freq: Optional[int] = None,
+                           exclude_lag: Optional[int] = None,
+                           backend: Optional[str] = None,
+                           min_snr_db=None, with_snr: bool = False):
+    """Top-``num_peaks`` emitters PER PAIR of long captures at fused
+    speed — BASELINE config 4's "streaming multi-emitter" workload
+    through :func:`caf_cookoff_tpu.ops.pallas_stein.fused_stein_rank`.
+
+    The multi-emitter sibling of :func:`batched_stein_os_peak`:
+    ``(freqs (P, k), lags (P, k), values (P, k)[, snr_db (P, k)])``,
+    strongest first per pair, lags absolute capture offsets, empty and
+    sub-threshold slots ``-inf``.  Exclusion windows default to the
+    first needle's resolution cell; ``min_snr_db`` / ``with_snr``
+    threshold against the per-pair model floor
+    (:func:`_stein_model_floor` — the fused kernel emits per-bin
+    maxima, not cells, so the floor is modeled, not measured; the XLA
+    twin :func:`caf_cookoff_tpu.parallel.sharded.
+    batched_overlap_save_peaks` measures it).  See the module-level
+    same-bin exactness contract.  Uniform grids route through the
+    BANDED windowed engine whenever the band plan's modeled cost wins
+    (same routing as :func:`batched_stein_os_peak`); non-uniform
+    wide-span grids that cannot band raise and should use the XLA
+    lattice engines.
+    """
+    from caf_cookoff_tpu.models.overlap_save import detection_rows
+    from caf_cookoff_tpu.models.stein import _plan_bands
+    from caf_cookoff_tpu.ops.peak import resolve_exclusions
+
+    backend = backend or default_backend()
+    needles = np.asarray(needles)
+    haystacks = np.asarray(haystacks)
+    if needles.ndim != 2 or haystacks.ndim != 2 \
+            or needles.shape[0] != haystacks.shape[0]:
+        raise ValueError(
+            f"need (P, N) needles and (P, L) haystacks, got "
+            f"{needles.shape} vs {haystacks.shape}")
+    n = needles.shape[-1]
+    if haystacks.shape[-1] <= n:
+        raise ValueError("use batched_stein_peaks for equal-length pairs")
+    ns_re, ns_im = splitfft.split_array(needles)
+    hs_re, hs_im = splitfft.split_array(haystacks)
+    freqs = as_grid(freqs_hz, dtype=ns_re.dtype)
+    try:
+        d = _pow2_block_len(sample_rate, freqs, block_len)
+    except SpanError:
+        d = None
+    plan = _plan_bands(sample_rate, freqs)
+    use_banded = False
+    if plan is not None:
+        if d is None:
+            use_banded = True
+        else:
+            cost_plain = 1.0 + len(freqs) / d
+            cost_band = (plan["bands"]
+                         + plan["bands"] * plan["kb"] / plan["block_len"])
+            use_banded = cost_band < 0.9 * cost_plain
+    if d is None and not use_banded:
+        try:
+            _pow2_block_len(sample_rate, freqs, block_len)   # re-raise
+        except SpanError as e:
+            raise EligibilityError(
+                f"{e} — this grid neither fits the single-band envelope "
+                "nor bands cleanly; use batched_overlap_save_peaks (XLA "
+                "lattice) for it") from e
+    m = xcor_length(n)
+    total_lags = num_lags or haystacks.shape[-1] - n + 1
+    windows = -(-total_lags // m)
+    auto = resolve_exclusions(needles[0], freqs, sample_rate, None, None)
+    exclude_freq = auto[0] if exclude_freq is None else int(exclude_freq)
+    exclude_lag = auto[1] if exclude_lag is None else int(exclude_lag)
+    guard, rescore_win = _rescore_guards(n, auto[1], haystacks.shape[-1])
+    interpret = jax.default_backend() == "cpu"
+    if use_banded:
+        freqs_pad = np.asarray(plan["freqs_pad"])
+        pk = _banded_stein_os_peaks_jit(
+            jnp.asarray(ns_re), jnp.asarray(ns_im), jnp.asarray(hs_re),
+            jnp.asarray(hs_im), jnp.asarray(freqs_pad),
+            jnp.asarray(plan["centers"]), jnp.asarray(plan["rel"]),
+            float(sample_rate), m, plan["block_len"], backend, windows,
+            total_lags, n, len(freqs), int(num_peaks), exclude_freq,
+            exclude_lag, guard, rescore_win, interpret)
+        out_freqs = freqs_pad
+    else:
+        pk = _batched_stein_os_peaks_jit(
+            jnp.asarray(ns_re), jnp.asarray(ns_im), jnp.asarray(hs_re),
+            jnp.asarray(hs_im), jnp.asarray(freqs), float(sample_rate),
+            m, d, backend, windows, total_lags, n, int(num_peaks),
+            exclude_freq, exclude_lag, guard, rescore_win, interpret)
+        out_freqs = freqs
+    if min_snr_db is None and not with_snr:
+        return (out_freqs[np.asarray(pk.freq_idx)],
+                np.asarray(pk.lag_idx), np.asarray(pk.value))
+    return detection_rows(out_freqs, pk,
+                          _stein_model_floor(needles, haystacks),
+                          len(freqs) * total_lags, min_snr_db, with_snr)

@@ -384,3 +384,260 @@ def rate_overlap_save_peaks(needle, haystack, freqs_hz, rates_hz_per_s,
                                              min_snr_db)
     out = (out_rates, out_freqs, lag_idx, vals)
     return out + ((snr,) if with_snr else ())
+
+
+# ---------------------------------------------------------------------------
+# Stein-segmented rate search (round 5): the rate axis as synthesis rows
+# ---------------------------------------------------------------------------
+#
+# The round-4 rate engines scan trial rates SERIALLY, each paying a
+# fresh K-row spectra bank plus a full block scan (R x latency,
+# ``_rate_os_peak_jit`` above).  The segmented formulation removes the
+# R factor from the transform count entirely: the dechirp quadratic
+# phase ``pi*r*(t/fs)^2`` is block-center-constant to the same
+# tolerance as the doppler phase, so every (rate, doppler) pair is ONE
+# synthesis row over the SHARED segment correlations
+# (:func:`caf_cookoff_tpu.ops.pallas_stein.stein_rate_synthesis_weights`)
+# — stage A runs once and the whole (R, K, lag) volume is MXU matmuls.
+# Rows are chunked so the kernel's accumulators stay in VMEM; stage A's
+# recompute per chunk is ~5% of a chunk's synthesis MACs at the
+# headline shapes.  Exactness is rank-then-score: top (rate, bin)
+# candidates re-score with EXACTLY pre-chirped needles on a
+# guard-extended capture slice, so answers match the exact serial
+# engine bit-for-bit on the golden tests.
+
+
+# Row budget per fused-kernel call: (rows, FUSED_TILE) f32+i32
+# accumulators ~ 12 MB at 4096 rows, on top of the staircase scratch.
+_RATE_ROWS_BUDGET = 4096
+
+
+def _rate_block_len(sample_rate, freqs_np, rates_np, needle_len: int,
+                    requested: int) -> int:
+    """Block length under the RATE-AUGMENTED envelope.
+
+    A trial rate ``r`` adds a within-block frequency of ``r * t_b / fs``
+    (up to ``|r|_max * T`` at the last block) on top of the doppler
+    span, plus a quadratic residual ``pi*|r|*(D/fs)^2`` — both must
+    stay inside the block-constant-phase tolerance.
+    """
+    from caf_cookoff_tpu.config import floor_pow2
+    from caf_cookoff_tpu.models.stein import _auto_block_len
+    from caf_cookoff_tpu.ops.pallas_stein import SUPER
+
+    fs = float(sample_rate)
+    t_win = needle_len / fs
+    r_max = float(np.max(np.abs(rates_np))) if len(rates_np) else 0.0
+    f_aug = float(np.max(np.abs(freqs_np))) + r_max * t_win
+    d = _auto_block_len(fs, np.asarray([f_aug]), requested)
+    if r_max > 0:
+        # pi * r * (D/fs)^2 <= pi/2  ->  D <= fs / sqrt(2 r)
+        d = min(d, int(fs / np.sqrt(2.0 * r_max)))
+    d = floor_pow2(min(d, SUPER))
+    if d < 8:
+        from caf_cookoff_tpu.errors import SpanError
+
+        raise SpanError(
+            f"rate-augmented span +-{f_aug:.0f} Hz needs segment length "
+            "< 8 — the segmented rate engine does not pay off; use "
+            "rate_overlap_save_peak (exact serial scan)")
+    return d
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("total_lags", "needle_len", "block_len", "backend",
+                     "windows", "num_bins", "rate_chunk", "guard",
+                     "interpret"))
+def _stein_rate_os_peak_jit(n_re, n_im, h_re, h_im, freqs_pad, centers,
+                            rel, rates, sample_rate, total_lags: int,
+                            needle_len: int, block_len: int, backend,
+                            windows: int, num_bins: int, rate_chunk: int,
+                            guard: int, interpret: bool):
+    """Banded-general segmented rate search (plain grids are the
+    one-band case: ``centers=[0]``, ``rel=freqs``).  Programs run
+    (band, window)-major with ``share_h`` banding; synthesis rows are
+    (rate, relative-bin) pairs, chunked over rates to bound VMEM."""
+    from caf_cookoff_tpu.models.batched_stein import (
+        _coarse_rank_xla,
+        _needle_operator,
+        _os_window_extensions,
+        _shift_to_centers,
+    )
+    from caf_cookoff_tpu.models.filterbank import _surface_rows_split
+    from caf_cookoff_tpu.ops.pallas_stein import (
+        fused_span,
+        fused_stein_rank,
+        stein_rate_synthesis_weights,
+    )
+    from caf_cookoff_tpu.ops.peak import doppler_cell_bins, topk_separated
+
+    n = needle_len
+    dtype = n_re.dtype
+    s = centers.shape[0]
+    sr, si = _shift_to_centers(n_re[None], n_im[None], centers,
+                               sample_rate)          # (S, n_pad)
+    b = sr.shape[-1] // block_len
+    v = xcor_length(n)
+    lmat, group = _needle_operator(sr, si, block_len)
+    span = fused_span(b, group, v)
+    h_ext = _os_window_extensions(h_re[None], h_im[None], v, windows,
+                                  span)
+    per_w = np.clip(total_lags - np.arange(windows) * v, 0, v)
+    num_valid = jnp.asarray(np.tile(per_w, s), jnp.int32)
+    kb = rel.shape[0]
+    k = freqs_pad.shape[0]                           # S * Kb
+    num_rates = rates.shape[0]
+    woff = jnp.arange(windows, dtype=jnp.int32) * v
+    rowmax_parts, rowlag_parts = [], []
+    for c0 in range(0, num_rates, rate_chunk):
+        rc = min(rate_chunk, num_rates - c0)
+        ws1, ws2 = stein_rate_synthesis_weights(
+            rel, rates[c0:c0 + rc], sample_rate, b, block_len)
+        if interpret:
+            lmat_rep = jnp.repeat(lmat, windows, axis=0)
+            h_rep = jnp.tile(h_ext, (s, 1, 1))
+            vals, idxs = _coarse_rank_xla(ws1, ws2, lmat_rep, h_rep, b,
+                                          group, v, num_valid=num_valid)
+        else:
+            vals, idxs = fused_stein_rank(ws1, ws2, lmat, h_ext, b,
+                                          group, v, windows=windows,
+                                          share_h=s,
+                                          num_valid=num_valid)
+        vals = vals.reshape(rc, kb, s, windows)
+        glob = (idxs.reshape(rc, kb, s, windows)
+                + woff[None, None, None, :])
+        vals = jnp.where((glob < total_lags) & (vals >= 0), vals,
+                         -jnp.inf)
+        wbest = jnp.argmax(vals, axis=-1)
+        take_w = lambda a: jnp.take_along_axis(
+            a, wbest[..., None], axis=-1)[..., 0]     # (rc, kb, s)
+        # Global bin = band*Kb + j on the freqs_pad lattice.
+        rowmax_parts.append(
+            take_w(vals).transpose(0, 2, 1).reshape(rc, k))
+        rowlag_parts.append(
+            take_w(glob).transpose(0, 2, 1).reshape(rc, k))
+    rowmax = jnp.concatenate(rowmax_parts)          # (R, K_pad)
+    rowlag = jnp.concatenate(rowlag_parts)
+    rowmax = jnp.where(jnp.arange(k)[None, :] < num_bins, rowmax,
+                       -jnp.inf)                    # pad bins out
+    freqs = freqs_pad
+    # Candidates for the exact re-score: global top-8 over (rate, bin),
+    # mainlobe-separated top-4 within the winning rate's row (distant
+    # near-tie coverage, the stein-engine closer's contract), and every
+    # rate's own best (rate near-tie coverage — R is small).
+    flat = rowmax.reshape(-1)
+    _, cand8 = jax.lax.top_k(flat, min(8, flat.shape[0]))
+    r0 = cand8[0] // k
+    row0 = jnp.take(rowmax, r0, axis=0)
+    sep = doppler_cell_bins(freqs, n, sample_rate)
+    cand_sep = topk_separated(row0, min(4, k), sep) + r0 * k
+    per_rate = (jnp.argmax(rowmax, axis=1).astype(jnp.int32)
+                + jnp.arange(num_rates, dtype=jnp.int32) * k)
+    cand = jnp.concatenate([cand8.astype(jnp.int32),
+                            cand_sep.astype(jnp.int32), per_rate])
+    lag_c = rowlag.reshape(-1)[cand]
+    r_c = cand // k
+    k_c = cand % k
+    fs = jnp.asarray(sample_rate, dtype)
+    t = jnp.arange(n, dtype=dtype) / fs
+    wlen = n + 2 * guard
+    hay_len = h_re.shape[-1]
+    local = jnp.arange(v, dtype=jnp.int32)
+
+    def rescore(ri, ki, lag_e):
+        r = rates[ri]
+        ph = jnp.pi * r * (t * t)
+        c, s = jnp.cos(ph), jnp.sin(ph)
+        nb = (n_re * c - n_im * s, n_re * s + n_im * c)
+        start = jnp.clip(lag_e - guard, 0, max(hay_len - wlen, 0))
+        wr = jax.lax.dynamic_slice(h_re, (start,), (wlen,))
+        wi = jax.lax.dynamic_slice(h_im, (start,), (wlen,))
+        exact = splitfft.mag2(_surface_rows_split(
+            nb, (wr, wi), freqs[jnp.reshape(ki, (1,))], sample_rate, v,
+            backend))[0]
+        ok = (local <= 2 * guard) & (start + local < total_lags)
+        exact = jnp.where(ok, exact, -jnp.inf)
+        return jnp.max(exact), start + jnp.argmax(exact).astype(jnp.int32)
+
+    vals_e, lags_e = jax.vmap(rescore)(r_c, k_c, lag_c)
+    # Exact-value winner; ties break like the serial engine: earlier
+    # rate strictly, then lowest (bin, lag).
+    best = jnp.lexsort((lags_e, k_c, r_c, -vals_e))[0]
+    return (r_c[best], vals_e[best], k_c[best], lags_e[best])
+
+
+def stein_rate_os_peak(needle, haystack, freqs_hz, rates_hz_per_s,
+                       sample_rate, num_lags: Optional[int] = None, *,
+                       block_len: int = 64,
+                       backend: Optional[str] = None
+                       ) -> Tuple[float, float, int, float]:
+    """(rate_hz_per_s, freq_hz, lag_samples, value): the joint
+    (rate, doppler, lag) long-capture search with the rate axis
+    DE-SERIALIZED through the segmented engine.
+
+    Same contract as :func:`rate_overlap_save_peak` (window-start
+    frequency convention, absolute lags, earlier-rate tie-break) at a
+    fraction of the cost: trial rates are synthesis rows over shared
+    segment correlations instead of R full block scans (see the
+    section comment above; measured speedup in
+    ``docs/rate_bench.json``).  Wide uniform grids band exactly like
+    the first-order engines (with the rate drift folded into the band
+    envelope); grids/rates outside every segmented envelope raise
+    ``SpanError`` — fall back to the exact serial engine there.
+    """
+    from caf_cookoff_tpu.errors import SpanError
+    from caf_cookoff_tpu.models.stein import _plan_bands
+
+    backend = backend or default_backend()
+    n_re, n_im = splitfft.split_array(needle)
+    h_re, h_im = splitfft.split_array(haystack)
+    n = n_re.shape[-1]
+    if h_re.shape[-1] < n:
+        raise ValueError(
+            f"haystack ({h_re.shape[-1]}) shorter than needle ({n})")
+    total_lags = num_lags or h_re.shape[-1] - n + 1
+    freqs = as_grid(freqs_hz, dtype=n_re.dtype)
+    rates = np.asarray(rates_hz_per_s, dtype=n_re.dtype).reshape(-1)
+    fs = float(sample_rate)
+    r_max = float(np.max(np.abs(rates))) if len(rates) else 0.0
+    margin = r_max * (n / fs)
+    d_quad = int(fs / np.sqrt(2.0 * r_max)) if r_max > 0 else None
+    try:
+        d = _rate_block_len(sample_rate, freqs, rates, n, block_len)
+    except SpanError:
+        d = None
+    plan = _plan_bands(fs, freqs, margin_hz=margin, d_cap=d_quad)
+    use_banded = False
+    if plan is not None:
+        if d is None:
+            use_banded = True
+        else:
+            cost_plain = 1.0 + len(freqs) / d
+            cost_band = (plan["bands"]
+                         + plan["bands"] * plan["kb"] / plan["block_len"])
+            use_banded = cost_band < 0.9 * cost_plain
+    if d is None and not use_banded:
+        _rate_block_len(sample_rate, freqs, rates, n, block_len)  # raise
+    if use_banded:
+        freqs_pad = np.asarray(plan["freqs_pad"])
+        centers = np.asarray(plan["centers"])
+        rel = np.asarray(plan["rel"])
+        d = plan["block_len"]
+    else:
+        freqs_pad = np.asarray(freqs)
+        centers = np.zeros(1, np.float32)
+        rel = np.asarray(freqs)
+    m = xcor_length(n)
+    windows = -(-total_lags // m)
+    rate_chunk = max(1, _RATE_ROWS_BUDGET // max(len(rel), 1))
+    guard = min(64, n // 4, max((h_re.shape[-1] - n) // 2, 1))
+    interpret = jax.default_backend() == "cpu"
+    r_idx, value, f_idx, lag = _stein_rate_os_peak_jit(
+        jnp.asarray(n_re), jnp.asarray(n_im), jnp.asarray(h_re),
+        jnp.asarray(h_im), jnp.asarray(freqs_pad), jnp.asarray(centers),
+        jnp.asarray(rel), jnp.asarray(rates), float(sample_rate),
+        total_lags, n, d, backend, windows, len(freqs), rate_chunk,
+        guard, interpret)
+    return (float(rates[int(r_idx)]), float(freqs_pad[int(f_idx)]),
+            int(lag), float(value))

@@ -248,13 +248,20 @@ def _refine_topk(needle, haystack, freqs_all, rowmax_coarse, sample_rate,
                    lag_idx=jnp.argmax(exact[best]).astype(jnp.int32))
 
 
-def _plan_bands(sample_rate: float, freqs_hz: np.ndarray):
+def _plan_bands(sample_rate: float, freqs_hz: np.ndarray,
+                margin_hz: float = 0.0, d_cap: Optional[int] = None):
     """Band partition for wide-span grids, or ``None`` if infeasible.
 
     Only uniform grids band cleanly (every band then shares ONE
     relative grid, so the whole sweep is a single batched kernel call
     with the band axis as the pair axis).  Bands are sized so the
     relative |f| stays within the pow2-32-segment envelope.
+
+    ``margin_hz`` shrinks every band by a frequency allowance consumed
+    by something other than the grid — the rate engines pass their
+    ``|r|_max * T`` dechirp drift so (band offset + rate drift) stays
+    inside the block-constant-phase tolerance.  ``d_cap`` excludes
+    block lengths above it (the rate engines' quadratic-residual cap).
     """
     k = len(freqs_hz)
     if k < 2:
@@ -273,13 +280,20 @@ def _plan_bands(sample_rate: float, freqs_hz: np.ndarray):
     # eligible pow2 and take the cheapest.
     best = None
     for cand in (8, 16, 32, 64, 128):
+        if d_cap is not None and cand > d_cap:
+            continue
         # Widest band the phase-error envelope allows at this D:
-        # rel_max <= fs/(4D)  =>  kb <= fs/(2*D*g).
-        kb_c = max(1, int(sample_rate / (2.0 * cand * g)))
+        # rel_max + margin <= fs/(4D)  =>  kb <= 2*(fs/(4D) - margin)/g.
+        width = sample_rate / (4.0 * cand) - float(margin_hz)
+        if width <= 0:
+            continue
+        kb_c = max(1, int(2.0 * width / g))
         s_c = -(-k // kb_c)
         cost = s_c * (1.0 + kb_c / cand)
         if best is None or cost < best[0]:
             best = (cost, cand, kb_c)
+    if best is None:
+        return None
     _, d, kb = best
     s = -(-k // kb)
     f0 = float(freqs_hz[0])

@@ -463,3 +463,33 @@ def stein_synthesis_weights(freqs_hz, sample_rate, num_blocks: int,
     wr, wi = jnp.cos(w), jnp.sin(w)
     return (jnp.concatenate([wr, -wi], axis=1),
             jnp.concatenate([wi, wr], axis=1))
+
+
+def stein_rate_synthesis_weights(freqs_hz, rates_hz_per_s, sample_rate,
+                                 num_blocks: int, block_len: int):
+    """(ws1, ws2) with the RATE axis folded into synthesis rows.
+
+    The dechirp quadratic phase ``pi*r*(t/fs)^2`` is block-center
+    constant to the same tolerance as the doppler phase (its
+    within-block drift is a frequency of ``r * t_b / fs`` Hz — callers
+    must fold ``|r|_max * T`` into the block-length envelope), so a
+    trial rate is just a different phase at each block center:
+
+        w[i*K + k, b] = -(2*pi*f_k*t_b + pi*r_i*t_b^2),  t_b in seconds
+
+    (rate-major rows).  Stage A (the segment correlations) is shared by
+    EVERY (rate, doppler) pair — the rate axis costs synthesis rows,
+    not transforms, which is what de-serializes the round-4 scan
+    (``models/rate._rate_os_peak_jit``: R x full block scans).
+    """
+    tb = jnp.asarray(
+        np.arange(num_blocks) * block_len + (block_len - 1) / 2.0,
+        jnp.float32) / jnp.asarray(sample_rate, jnp.float32)
+    f = jnp.asarray(freqs_hz, jnp.float32)
+    r = jnp.asarray(rates_hz_per_s, jnp.float32)
+    w = -(2.0 * jnp.pi) * (f[None, :, None] * tb[None, None, :]) \
+        - jnp.pi * (r[:, None, None] * (tb * tb)[None, None, :])
+    w = w.reshape(-1, tb.shape[0])              # (R*K, B) rate-major
+    wr, wi = jnp.cos(w), jnp.sin(w)
+    return (jnp.concatenate([wr, -wi], axis=1),
+            jnp.concatenate([wi, wr], axis=1))

@@ -478,6 +478,99 @@ def sharded_batched_stein_peak(needles, haystacks, freqs_hz, sample_rate,
             np.asarray(peak.value))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "xcor_len", "block_len", "backend",
+                     "num_peaks", "exclude_freq", "exclude_lag", "guard",
+                     "rescore_win", "interpret"))
+def _sharded_batched_stein_peaks_jit(ns_re, ns_im, hs_re, hs_im, freqs,
+                                     sample_rate, mesh, xcor_len,
+                                     block_len, backend, num_peaks,
+                                     exclude_freq, exclude_lag, guard,
+                                     rescore_win, interpret):
+    from caf_cookoff_tpu.models.batched_stein import (
+        _batched_stein_peaks_core,
+    )
+
+    def body(ns_re, ns_im, hs_re, hs_im, freqs):
+        return _batched_stein_peaks_core(
+            ns_re, ns_im, hs_re, hs_im, freqs, sample_rate, xcor_len,
+            block_len, backend, num_peaks, exclude_freq, exclude_lag,
+            guard, rescore_win, interpret)
+
+    # check_vma=False for the same reason as _sharded_batched_stein_jit
+    # (pure data parallelism; the pallas_call out_shape carries no vma).
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(AXIS_PAIR), P(AXIS_PAIR), P(AXIS_PAIR), P(AXIS_PAIR),
+                  P()),
+        out_specs=CafPeak(P(AXIS_PAIR), P(AXIS_PAIR), P(AXIS_PAIR)),
+        check_vma=False,
+    )(ns_re, ns_im, hs_re, hs_im, freqs)
+
+
+def sharded_batched_stein_peaks(needles, haystacks, freqs_hz, sample_rate,
+                                mesh: Mesh, num_peaks: int, *,
+                                block_len: int = 64,
+                                exclude_freq: Optional[int] = None,
+                                exclude_lag: Optional[int] = None,
+                                backend: Optional[str] = None,
+                                min_snr_db=None, with_snr: bool = False):
+    """Top-``num_peaks`` emitters PER PAIR with the FUSED batch engine
+    sharded over ``pair`` — the multi-emitter variant of
+    :func:`sharded_batched_stein_peak` (config 4/5's lattice semantics
+    at fused-kernel speed on the mesh).
+
+    Pure data parallelism (each chip runs the fused kernel + per-entry
+    exact re-score on its pair block; zero collectives).  Returns
+    ``(freqs (B, P), lags (B, P), values (B, P)[, snr_db])``, lags
+    CIRCULAR like the single-peak engine.  ``min_snr_db`` thresholds
+    against the per-pair model floor (:func:`caf_cookoff_tpu.models.
+    batched_stein._stein_model_floor`).  See the batched_stein
+    module-level same-bin exactness contract.
+    """
+    from caf_cookoff_tpu.models.batched_stein import (
+        _pow2_block_len,
+        _rescore_guards,
+        _stein_model_floor,
+    )
+    from caf_cookoff_tpu.models.overlap_save import detection_rows
+    from caf_cookoff_tpu.ops.peak import resolve_exclusions
+
+    backend = backend or default_backend()
+    needles = np.asarray(needles)
+    haystacks = np.asarray(haystacks)
+    if needles.ndim != 2 or haystacks.shape != needles.shape:
+        raise ValueError(
+            f"need matching (B, N) batches, got {needles.shape} vs "
+            f"{haystacks.shape}")
+    pair_shards = mesh.shape[AXIS_PAIR]
+    if needles.shape[0] % pair_shards:
+        raise ValueError(
+            f"batch {needles.shape[0]} not divisible by pair axis "
+            f"{pair_shards}")
+    ns_re, ns_im = _split_host(needles)
+    hs_re, hs_im = _split_host(haystacks)
+    freqs = as_grid(freqs_hz, dtype=ns_re.dtype)
+    d = _pow2_block_len(sample_rate, freqs, block_len)
+    n = ns_re.shape[-1]
+    auto = resolve_exclusions(needles[0], freqs, sample_rate, None, None)
+    exclude_freq = auto[0] if exclude_freq is None else int(exclude_freq)
+    exclude_lag = auto[1] if exclude_lag is None else int(exclude_lag)
+    guard, rescore_win = _rescore_guards(n, auto[1], n)
+    interpret = mesh.devices.flat[0].platform == "cpu"
+    pk = _sharded_batched_stein_peaks_jit(
+        ns_re, ns_im, hs_re, hs_im, freqs, float(sample_rate), mesh,
+        xcor_length(n), d, backend, int(num_peaks), exclude_freq,
+        exclude_lag, guard, rescore_win, interpret)
+    if min_snr_db is None and not with_snr:
+        return (freqs[np.asarray(pk.freq_idx)], np.asarray(pk.lag_idx),
+                np.asarray(pk.value))
+    return detection_rows(freqs, pk, _stein_model_floor(needles, haystacks),
+                          len(freqs) * xcor_length(n), min_snr_db,
+                          with_snr)
+
+
 # ---------------------------------------------------------------------------
 # Time-sharded overlap-save engine (long haystacks over the mesh)
 # ---------------------------------------------------------------------------

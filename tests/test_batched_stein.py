@@ -489,3 +489,231 @@ def test_fused_kernel_composed_windows_bands_matches_twin():
                               b, sup, v, num_valid=num_valid)
     np.testing.assert_array_equal(np.asarray(ki), np.asarray(xi))
     np.testing.assert_allclose(np.asarray(kv), np.asarray(xv), rtol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# Multi-emitter lattices through the fused engines (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _emitters_capture(truths, n=1024, total=16384, seed=5):
+    """(needle, haystack) with needle copies at the given
+    (freq_hz, lag, amp) truths plus a -80 dB noise floor."""
+    rng = np.random.default_rng(seed)
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = (1e-4 * (rng.standard_normal(total)
+                   + 1j * rng.standard_normal(total))
+           ).astype(np.complex64)
+    t = np.arange(n)
+    for f, lag, amp in truths:
+        end = min(lag + n, total)
+        shifted = (amp * needle
+                   * np.exp(2j * np.pi * f * t / FS)).astype(np.complex64)
+        hay[lag:end] += shifted[: end - lag]
+    return needle, hay
+
+
+def _rows(fr, lg, vv):
+    return [(float(f), int(l)) for f, l, v in zip(fr, lg, vv)
+            if np.isfinite(float(v))]
+
+
+def test_os_peaks_matches_xla_lattice_engine(grid):
+    """Fused multi-emitter OS engine vs the XLA lattice scan: the
+    emitters (distinct lags, windows>1 path) agree row-for-row."""
+    from caf_cookoff_tpu.models.batched_stein import batched_stein_os_peaks
+    from caf_cookoff_tpu.models.overlap_save import (
+        batched_overlap_save_peaks_local,
+    )
+
+    truths = ((-30.0, 3000, 1.0), (45.0, 9000, 0.8), (10.0, 14000, 0.6))
+    needle, hay = _emitters_capture(truths)
+    fr, lg, vv = batched_stein_os_peaks(needle[None], hay[None], grid,
+                                        FS, 4)
+    fr2, lg2, vv2 = batched_overlap_save_peaks_local(
+        needle[None], hay[None], grid, FS, 4)
+    got = _rows(fr[0], lg[0], vv[0])
+    want = _rows(fr2[0], lg2[0], vv2[0])
+    # The true emitters must agree; sidelobe-level slots past them may
+    # differ (documented lattice contract).
+    assert got[: len(truths)] == want[: len(truths)]
+    assert got[: len(truths)] == [(f, lag) for f, lag, _ in truths]
+    # Values are exact re-scores — match the XLA engine's exact scan.
+    np.testing.assert_allclose(np.asarray(vv[0][: len(truths)]),
+                               np.asarray(vv2[0][: len(truths)]),
+                               rtol=2e-5)
+
+
+def test_os_peaks_same_lag_distinct_freq_pair(grid):
+    """Two emitters at the SAME lag, far apart in frequency: the
+    per-entry re-score's freq-cell restriction keeps both (an
+    unrestricted argmax would collapse the weaker onto the stronger)."""
+    from caf_cookoff_tpu.models.batched_stein import batched_stein_os_peaks
+    from caf_cookoff_tpu.models.overlap_save import (
+        batched_overlap_save_peaks_local,
+    )
+
+    truths = ((-20.0, 5000, 1.0), (70.0, 5000, 0.6))
+    needle, hay = _emitters_capture(truths, seed=7)
+    fr, lg, vv = batched_stein_os_peaks(needle[None], hay[None], grid,
+                                        FS, 3)
+    fr2, lg2, vv2 = batched_overlap_save_peaks_local(
+        needle[None], hay[None], grid, FS, 3)
+    assert _rows(fr[0], lg[0], vv[0])[:2] == _rows(fr2[0], lg2[0],
+                                                   vv2[0])[:2]
+    assert {int(l) for l in lg[0][:2]} == {5000}
+
+
+def test_os_peaks_detection_threshold(grid):
+    """Noise-only capture: every slot masks below the auto threshold;
+    with emitters, their slots pass and carry finite SNR."""
+    from caf_cookoff_tpu.models.batched_stein import batched_stein_os_peaks
+
+    rng = np.random.default_rng(3)
+    needle = (rng.standard_normal(1024)
+              + 1j * rng.standard_normal(1024)).astype(np.complex64)
+    noise = (1e-3 * (rng.standard_normal(16384)
+                     + 1j * rng.standard_normal(16384))
+             ).astype(np.complex64)
+    fr, lg, vv, snr = batched_stein_os_peaks(
+        needle[None], noise[None], grid, FS, 3, min_snr_db="auto",
+        with_snr=True)
+    assert not np.isfinite(vv).any()
+    truths = ((-30.0, 3000, 1.0), (45.0, 9000, 0.5))
+    needle, hay = _emitters_capture(truths)
+    fr, lg, vv, snr = batched_stein_os_peaks(
+        needle[None], hay[None], grid, FS, 3, min_snr_db="auto",
+        with_snr=True)
+    assert _rows(fr[0], lg[0], vv[0])[:2] == [(f, lag)
+                                             for f, lag, _ in truths]
+    assert np.isfinite(snr[0][:2]).all() and (snr[0][:2] > 20).all()
+
+
+def test_equal_length_peaks_vs_surface_oracle(grid):
+    """Equal-length multi-emitter (circular lags): top entries match
+    find_peaks over the exact full surface."""
+    from caf_cookoff_tpu.models.batched_stein import batched_stein_peaks
+    from caf_cookoff_tpu.models.filterbank import caf_surface
+    from caf_cookoff_tpu.ops.peak import find_peaks, resolve_exclusions
+
+    n = 1024
+    rng = np.random.default_rng(7)
+    nd = (rng.standard_normal(n)
+          + 1j * rng.standard_normal(n)).astype(np.complex64)
+    t = np.arange(n)
+    hay = (nd * np.exp(2j * np.pi * -20.0 * t / FS)).astype(np.complex64)
+    hay = hay + 0.7 * np.roll(
+        (nd * np.exp(2j * np.pi * 35.0 * t / FS)).astype(np.complex64),
+        300)
+    hay = (hay + 1e-4 * (rng.standard_normal(n)
+                         + 1j * rng.standard_normal(n))
+           ).astype(np.complex64)
+    fr, lg, vv = batched_stein_peaks(nd[None], hay[None], grid, FS, 2)
+    surf = np.asarray(caf_surface(nd, hay, grid, FS))
+    ef, el = resolve_exclusions(nd, grid, FS, None, None)
+    pk = find_peaks(surf, 2, ef, el)
+    want = [(float(grid[int(f)]), int(l))
+            for f, l in zip(pk.freq_idx, pk.lag_idx)]
+    assert _rows(fr[0], lg[0], vv[0]) == want
+    np.testing.assert_allclose(np.asarray(vv[0]), np.asarray(pk.value),
+                               rtol=2e-5)
+
+
+def test_equal_length_peaks_num_peaks1_matches_argmax(chirp, grid):
+    """Degenerate 1-slot lattice = the single-peak engine's answer."""
+    from caf_cookoff_tpu.models.batched_stein import batched_stein_peaks
+
+    n0, h0, _ = chirp(0)
+    fr1, lg1, _ = batched_stein_peak(n0[None], h0[None], grid, FS)
+    fr, lg, vv = batched_stein_peaks(n0[None], h0[None], grid, FS, 1)
+    assert (float(fr[0][0]), int(lg[0][0])) == (float(fr1[0]),
+                                                int(lg1[0]))
+
+
+def test_peaks_wide_span_raises_eligibility(chirp):
+    """Banding is not supported through the multi-emitter fused engine
+    — a clear EligibilityError, not a wrong answer."""
+    from caf_cookoff_tpu.errors import EligibilityError
+    from caf_cookoff_tpu.models.batched_stein import batched_stein_peaks
+
+    n0, h0, _ = chirp(0)
+    wide = np.arange(-6000.0, 6000.0, 10.0, dtype=np.float32)
+    with pytest.raises(EligibilityError, match="band"):
+        batched_stein_peaks(n0[None], h0[None], wide, FS, 2)
+
+
+def test_sharded_peaks_matches_single_chip(grid):
+    """Mesh lattices = single-chip lattices: (freq, lag) bitwise, values
+    to f32 reassociation tolerance (pure data parallelism)."""
+    import jax
+
+    from caf_cookoff_tpu.models.batched_stein import batched_stein_peaks
+    from caf_cookoff_tpu.parallel import sharded_batched_stein_peaks
+    from caf_cookoff_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(11)
+    n, batch = 1024, 4
+    t = np.arange(n)
+    nds, hays = [], []
+    for p in range(batch):
+        nd = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+        hay = (nd * np.exp(2j * np.pi * (-20.0 - 5 * p) * t / FS)
+               ).astype(np.complex64)
+        hay = hay + 0.6 * np.roll(
+            (nd * np.exp(2j * np.pi * (40.0 + 3 * p) * t / FS)
+             ).astype(np.complex64), 200 + 10 * p)
+        hay = (hay + 1e-4 * (rng.standard_normal(n)
+                             + 1j * rng.standard_normal(n))
+               ).astype(np.complex64)
+        nds.append(nd)
+        hays.append(hay)
+    nds, hays = np.stack(nds), np.stack(hays)
+    single = batched_stein_peaks(nds, hays, grid, FS, 3)
+    mesh = make_mesh(pair=2, devices=jax.devices()[:2])
+    shard = sharded_batched_stein_peaks(nds, hays, grid, FS, mesh, 3)
+    assert np.array_equal(np.asarray(single[0]), np.asarray(shard[0]))
+    assert np.array_equal(np.asarray(single[1]), np.asarray(shard[1]))
+    fin = np.isfinite(np.asarray(single[2]))
+    assert np.array_equal(fin, np.isfinite(np.asarray(shard[2])))
+    np.testing.assert_allclose(np.asarray(single[2])[fin],
+                               np.asarray(shard[2])[fin], rtol=1e-5)
+
+
+def test_os_peaks_banded_grid_matches_xla():
+    """Wide fine uniform grid routes BANDED (bands x windows fused
+    programs); emitters match the XLA lattice engine and the truths."""
+    from caf_cookoff_tpu.models.batched_stein import batched_stein_os_peaks
+    from caf_cookoff_tpu.models.overlap_save import (
+        batched_overlap_save_peaks_local,
+    )
+    from caf_cookoff_tpu.models.stein import _plan_bands
+
+    n, total = 2048, 16384
+    rng = np.random.default_rng(5)
+    nd = (rng.standard_normal(n)
+          + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = (1e-4 * (rng.standard_normal(total)
+                   + 1j * rng.standard_normal(total))
+           ).astype(np.complex64)
+    freqs = np.linspace(-500, 500, 256,
+                        endpoint=False).astype(np.float32)
+    assert _plan_bands(FS, freqs) is not None   # the banded regime
+    t = np.arange(n)
+    truths = []
+    for f_idx, lag, amp in ((30, 3000, 1.0), (181, 9000, 0.7),
+                            (97, 12000, 0.5)):
+        f = float(freqs[f_idx])
+        hay[lag:lag + n] += (amp * nd * np.exp(
+            2j * np.pi * f * t / FS)).astype(np.complex64)
+        truths.append((f, lag))
+    fr, lg, vv = batched_stein_os_peaks(nd[None], hay[None], freqs,
+                                        FS, 4)
+    fr2, lg2, vv2 = batched_overlap_save_peaks_local(
+        nd[None], hay[None], freqs, FS, 4)
+    got = _rows(fr[0], lg[0], vv[0])
+    want = _rows(fr2[0], lg2[0], vv2[0])
+    assert got[:3] == want[:3] == truths
+    np.testing.assert_allclose(np.asarray(vv[0][:3]),
+                               np.asarray(vv2[0][:3]), rtol=2e-5)

@@ -120,6 +120,15 @@ def test_streaming_lattices_agree_fuzz(seed, n, total, chunk, emitters):
                             if np.isfinite(float(v))][:len(emitters)]
     assert results["xla"][:len(truths)] == truths, results
     assert results["stein"][:len(truths)] == truths, results
+    # The fused batched OS lattice engine (round 5) on the same capture
+    # must recover the same emitter set as the streams.
+    from caf_cookoff_tpu.models.batched_stein import batched_stein_os_peaks
+
+    fr, lg, vv = batched_stein_os_peaks(needle[None], hay[None], freqs,
+                                        FS, p)
+    got = [(float(f), int(l)) for f, l, v in zip(fr[0], lg[0], vv[0])
+           if np.isfinite(float(v))][:len(truths)]
+    assert got == truths, ("batched-os", got)
 
 
 @pytest.mark.parametrize("seed,n,total,lag,f_idx,g0,gs,gk,chunk",
