@@ -138,18 +138,51 @@ def main() -> None:
     # so the artifact itself can distinguish tunnel load from a real
     # regression (a loaded run shows a high load_ms chain(1) proxy and
     # a wide spread; a regression shifts the median with both quiet).
-    cycles = 5 if on_tpu else 1
+    #
+    # Load qualification (round 5): the run classifies ITSELF instead
+    # of leaving that to human archaeology across BENCH_rNN artifacts.
+    # A quiet tunnel shows a tight cycle cluster (spread within
+    # QUIET_REL of the median); under load the bench EXTENDS — more
+    # 5-cycle batches, up to MAX_CYCLES — hoping to catch a quiet
+    # window, then tags the artifact "loaded" and reports
+    # ``quiet_est_ms`` (median of the 3 least-contended cycles, the
+    # best available estimate of the uncontended rate) so a
+    # round-over-round delta is machine-classifiable as environment
+    # vs regression.  QUIET_REF_MS is the recorded quiet-tunnel
+    # reference for this workload (round-2 artifact + round-4 quiet
+    # sessions: 0.0225-0.0316 ms).
+    QUIET_REL = 0.10
+    QUIET_REF_MS = 0.0316
+    MAX_CYCLES = 20
+    batch = 5 if on_tpu else 1
     cand_ms, loads = [], []
-    for _ in range(cycles):
-        tb = timed_ms(1)
-        tf = timed_ms(1 + iters)
-        cand_ms.append((tf - tb) / iters)
-        loads.append(tb)
-    order = sorted(range(cycles), key=lambda i: cand_ms[i])
-    ms = cand_ms[order[cycles // 2]]          # median cycle
-    best_ms = cand_ms[order[0]]
-    spread_ms = cand_ms[order[-1]] - best_ms
+
+    def run_batch():
+        for _ in range(batch):
+            tb = timed_ms(1)
+            tf = timed_ms(1 + iters)
+            cand_ms.append((tf - tb) / iters)
+            loads.append(tb)
+
+    def stats():
+        order = sorted(range(len(cand_ms)), key=lambda i: cand_ms[i])
+        med = cand_ms[order[len(cand_ms) // 2]]
+        return med, cand_ms[order[0]], cand_ms[order[-1]] - cand_ms[order[0]]
+
+    run_batch()
+    ms, best_ms, spread_ms = stats()
+    while (on_tpu and spread_ms > QUIET_REL * ms
+           and len(cand_ms) < MAX_CYCLES):
+        print(f"bench: spread {spread_ms:.4f} ms > {QUIET_REL:.0%} of "
+              f"median {ms:.4f} — tunnel looks loaded, extending "
+              f"({len(cand_ms)} cycles so far)", file=sys.stderr)
+        run_batch()
+        ms, best_ms, spread_ms = stats()
+    cycles = len(cand_ms)
     load_ms = min(loads)                      # chain(1) = dispatch floor
+    quiet = (not on_tpu or spread_ms <= QUIET_REL * ms
+             or ms <= QUIET_REF_MS * 1.1)
+    quiet_est_ms = float(np.median(sorted(cand_ms)[:3]))
 
     # Sanity: the golden chirp_0 answer must hold on whatever chip ran.
     freq, lag, _ = caf_peak(needle_np, haystack_np, freqs_np, FS,
@@ -165,13 +198,17 @@ def main() -> None:
                 f"peak" if mfu else "")
     print(f"chain(1) {load_ms:.1f} ms  per-surface median {ms:.4f} ms "
           f"(best {best_ms:.4f}, spread {spread_ms:.4f}, {cycles} cycles "
-          f"x {REPS} reps)  surfaces/s/chip {1e3 / ms:.0f}  "
+          f"x {REPS} reps, {'quiet' if quiet else 'loaded'})  "
+          f"surfaces/s/chip {1e3 / ms:.0f}  "
           f"[stein-refine, golden-exact]{mfu_note}", file=sys.stderr)
 
-    # Self-describing artifact: value is the MEDIAN cycle; best_ms /
-    # spread_ms / load_ms let a reader classify a round-over-round
-    # delta as tunnel load (high load_ms, wide spread, best stable)
-    # vs regression (median shifted with quiet load) without rerunning.
+    # Self-describing, LOAD-QUALIFIED artifact: value is the median
+    # cycle; ``load_class`` is the run's own verdict on its
+    # measurement conditions, ``quiet_est_ms`` the least-contended
+    # estimate and ``quiet_ref_ms`` the recorded quiet baseline — a
+    # round-over-round delta classifies as environment (loaded, quiet
+    # estimate near the reference) vs regression (quiet run, median
+    # shifted) without rerunning or human archaeology.
     print(json.dumps({
         "metric": "caf_surface_peak_400x8192_ms",
         "value": round(ms, 4),
@@ -182,6 +219,9 @@ def main() -> None:
         "load_ms": round(load_ms, 2),
         "cycles": cycles,
         "reps": REPS,
+        "load_class": "quiet" if quiet else "loaded",
+        "quiet_est_ms": round(quiet_est_ms, 4),
+        "quiet_ref_ms": QUIET_REF_MS,
         **({"mfu_pct": mfu["mfu_pct"]} if mfu else {}),
     }))
 

@@ -49,6 +49,7 @@ from caf_cookoff_tpu.models.rate import (
     rate_caf_peak,
     rate_overlap_save_peak,
     rate_overlap_save_peaks,
+    stein_rate_os_peak,
 )
 from caf_cookoff_tpu.models.streaming import StreamingCAF
 from caf_cookoff_tpu.ops.peak import (
@@ -99,6 +100,7 @@ __all__ = [
     "rate_caf_peak",
     "rate_overlap_save_peak",
     "rate_overlap_save_peaks",
+    "stein_rate_os_peak",
     "refine_peak",
     "refine_peak_rate",
     "refine_peaks",

@@ -407,9 +407,12 @@ def rate_overlap_save_peaks(needle, haystack, freqs_hz, rates_hz_per_s,
 # engine bit-for-bit on the golden tests.
 
 
-# Row budget per fused-kernel call: (rows, FUSED_TILE) f32+i32
-# accumulators ~ 12 MB at 4096 rows, on top of the staircase scratch.
-_RATE_ROWS_BUDGET = 4096
+# Row budget per fused-kernel call.  Mosaic's register-spill slots for
+# the stage-B epilogue scale with the row count (~50 KB/row measured on
+# v5e: 2754 rows spilled 142 MB and blew the 128 MB VMEM budget), so
+# chunks stay near 1024 rows; stage A's recompute per chunk is ~20% of
+# a chunk's synthesis MACs at the config-3 shape.
+_RATE_ROWS_BUDGET = 1024
 
 
 def _rate_block_len(sample_rate, freqs_np, rates_np, needle_len: int,

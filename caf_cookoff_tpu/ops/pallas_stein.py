@@ -272,7 +272,16 @@ def _vmem_demand(b2: int, span: int, sup: int, sr: int, m_pad: int,
                   + 4 * 2 * (span + SUPER - 1))     # h_ext (f32)
     acc = kp * FUSED_TILE * (8 if want_idxs else 4)  # max (+tile-id) accums
     outs = kp * p * 8 + acc                          # vals+idxs outputs
-    est = scratch + resident + blocks + outs
+    # Mosaic's register-allocator stack slots for the epilogue scale
+    # with the accumulators, not just hold them: measured on v5e at
+    # kp=928 (53.6 MB total) and kp=2754 (148.3 MB total, rejected by
+    # the chip), the spill slots run ~12x the accumulator footprint —
+    # the per-chunk where(take) triples appear to keep several unrolled
+    # copies live.  Model it so tall-row shapes (the rate engine's
+    # (rate, bin) synthesis rows) raise the budget or fail HERE with an
+    # actionable message instead of the compiler's scoped-OOM.
+    spill = 12 * acc
+    est = scratch + resident + blocks + outs + spill
     # The 48 MB floor predates the (kp, tile) accumulators (every
     # pre-accumulator shape fit under it) — they ride on top of it.
     limit = max(48 * 1024 * 1024 + acc, est + est // 5 + (8 << 20))

@@ -27,6 +27,7 @@ from caf_cookoff_tpu.parallel.sharded import (
     estimate_hbm_per_chip,
     sharded_batched_stein_peak,
     sharded_batched_stein_peaks,
+    sharded_stein_os_peak,
     sharded_caf_peak,
     sharded_caf_surface,
     sharded_overlap_save_peak,
@@ -52,6 +53,7 @@ __all__ = [
     "make_mesh",
     "sharded_batched_stein_peak",
     "sharded_batched_stein_peaks",
+    "sharded_stein_os_peak",
     "sharded_caf_peak",
     "sharded_caf_surface",
     "sharded_overlap_save_peak",

@@ -1073,6 +1073,193 @@ def sharded_overlap_save_peaks(needle, haystack, freqs_hz, sample_rate,
                           with_snr)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "xcor_len", "block_len", "backend",
+                     "windows_local", "total_lags", "needle_len",
+                     "num_bins", "interpret"))
+def _sharded_stein_os_jit(n_re, n_im, h_re, h_im, freqs_pad, centers,
+                          rel, sample_rate, mesh, xcor_len, block_len,
+                          backend, windows_local: int, total_lags: int,
+                          needle_len: int, num_bins: int,
+                          interpret: bool):
+    """Windowed fused OS engine with the WINDOW axis over ``time``.
+
+    Each shard runs its ``windows_local`` consecutive overlap-save
+    windows as fused-kernel programs against the replicated capture
+    (windows are independent given their guard-extended slices, so the
+    only collective is one (T, K) all_gather of per-bin coarse
+    (rowmax, rowlag) — gather order equals global window order, so the
+    per-bin earliest-window tie-break, and with it every answer, is
+    BIT-IDENTICAL to the single-chip engine).  The exact top-k
+    re-score then runs replicated on every shard.  Banded-general:
+    plain grids pass ``centers=[0]``, ``rel=freqs``.
+    """
+    from caf_cookoff_tpu.models.batched_stein import (
+        _coarse_rank_xla,
+        _needle_operator,
+        _os_topk_refine,
+        _shift_to_centers,
+    )
+    from caf_cookoff_tpu.ops.pallas_stein import (
+        SUPER,
+        fused_span,
+        fused_stein_rank,
+        stein_synthesis_weights,
+    )
+
+    n = needle_len
+    v = xcor_len
+    s = centers.shape[0]
+    kb = rel.shape[0]
+    k_pad = freqs_pad.shape[0]
+
+    def body(n_re, n_im, h_re, h_im):
+        t_idx = jax.lax.axis_index(AXIS_TIME)
+        w0 = t_idx * windows_local
+        sr, si = _shift_to_centers(n_re[None], n_im[None], centers,
+                                   sample_rate)
+        b = sr.shape[-1] // block_len
+        lmat, group = _needle_operator(sr, si, block_len)
+        span = fused_span(b, group, v)
+        win_len = span + SUPER - 1
+        need = (windows_local - 1) * v + win_len
+        hp_re = jnp.pad(h_re, (0, max(0, need + v - h_re.shape[-1])))
+        hp_im = jnp.pad(h_im, (0, max(0, need + v - h_im.shape[-1])))
+        slices = [
+            jnp.stack([
+                jax.lax.dynamic_slice(
+                    hp_re, ((w0 + w) * v,), (win_len,)),
+                jax.lax.dynamic_slice(
+                    hp_im, ((w0 + w) * v,), (win_len,))], axis=0)
+            for w in range(windows_local)]
+        h_ext = jnp.stack(slices, axis=0)       # (w_loc, 2, win_len)
+        ws1, ws2 = stein_synthesis_weights(rel, sample_rate, b,
+                                           block_len)
+        per_w = jnp.clip(
+            total_lags - (w0 + jnp.arange(windows_local)) * v, 0, v)
+        num_valid = jnp.tile(per_w, s).astype(jnp.int32)
+        if interpret:
+            lmat_rep = jnp.repeat(lmat, windows_local, axis=0)
+            h_rep = jnp.tile(h_ext, (s, 1, 1))
+            vals, idxs = _coarse_rank_xla(ws1, ws2, lmat_rep, h_rep, b,
+                                          group, v,
+                                          num_valid=num_valid)
+        else:
+            vals, idxs = fused_stein_rank(ws1, ws2, lmat, h_ext, b,
+                                          group, v,
+                                          windows=windows_local,
+                                          share_h=s,
+                                          num_valid=num_valid)
+        vals = vals.reshape(kb, s, windows_local)
+        glob = (idxs.reshape(kb, s, windows_local)
+                + ((w0 + jnp.arange(windows_local)) * v)[None, None, :])
+        vals = jnp.where((glob < total_lags) & (vals >= 0), vals, -1.0)
+        wbest = jnp.argmax(vals, axis=-1)
+        take_w = lambda a: jnp.take_along_axis(
+            a, wbest[..., None], axis=-1)[..., 0]
+        rowmax_loc = take_w(vals).T.reshape(k_pad)   # band-major bins
+        rowlag_loc = take_w(glob).T.reshape(k_pad)
+        rowmax_all = jax.lax.all_gather(rowmax_loc, AXIS_TIME)  # (T, K)
+        rowlag_all = jax.lax.all_gather(rowlag_loc, AXIS_TIME)
+        # Per-bin best shard, earliest (= earliest window) on ties —
+        # the flat single-chip argmax reproduced exactly.
+        tbest = jnp.argmax(rowmax_all, axis=0)
+        rowmax = jnp.take_along_axis(rowmax_all, tbest[None], axis=0)[0]
+        rowlag = jnp.take_along_axis(rowlag_all, tbest[None], axis=0)[0]
+        rowmax = jnp.where(rowmax < 0, -jnp.inf, rowmax)
+        rowmax = jnp.where(jnp.arange(k_pad) < num_bins, rowmax,
+                           -jnp.inf)
+        pk = _os_topk_refine(
+            n_re[None], n_im[None], h_re[None], h_im[None], freqs_pad,
+            rowmax[None], rowlag[None], sample_rate, v, backend,
+            total_lags, n, num_valid_bins=num_bins)
+        return CafPeak(pk.value[0], pk.freq_idx[0], pk.lag_idx[0])
+
+    # check_vma=False: pallas_call out_shapes carry no vma, and the
+    # all_gather + identical replicated reduction/refine is replicated
+    # by construction (see _os_sharded_peaks_jit).
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=CafPeak(P(), P(), P()),
+        check_vma=False,
+    )(n_re, n_im, h_re, h_im)
+
+
+def sharded_stein_os_peak(needle, haystack, freqs_hz, sample_rate,
+                          mesh: Mesh, num_lags: Optional[int] = None, *,
+                          block_len: int = 64,
+                          backend: Optional[str] = None
+                          ) -> Tuple[float, int, float]:
+    """(freq_hz, lag, value): the FUSED windowed long-capture engine
+    (``models/batched_stein.batched_stein_os_peak``) with its window
+    axis sharded over ``time`` — the fastest config-3 engine on the
+    mesh.
+
+    Windows are embarrassingly parallel given the replicated capture
+    (each reads its own guard-extended slice), so the only collective
+    is a (T, K)-float gather of coarse per-bin maxima; answers are
+    bit-identical to the single-chip engine across mesh shapes (pinned
+    in tests).  Uniform wide grids route banded exactly like the
+    single-chip engine.
+    """
+    from caf_cookoff_tpu.models.batched_stein import _pow2_block_len
+    from caf_cookoff_tpu.models.stein import _plan_bands
+    from caf_cookoff_tpu.errors import EligibilityError
+
+    backend = backend or default_backend()
+    needle = np.asarray(needle)
+    haystack = np.asarray(haystack)
+    n = needle.shape[-1]
+    if haystack.shape[-1] <= n:
+        raise ValueError("haystack must be longer than the needle")
+    n_re, n_im = _split_host(needle)
+    h_re, h_im = _split_host(haystack)
+    freqs = as_grid(freqs_hz, dtype=n_re.dtype)
+    from caf_cookoff_tpu.errors import SpanError
+
+    try:
+        d = _pow2_block_len(sample_rate, freqs, block_len)
+    except SpanError:
+        d = None
+    plan = _plan_bands(float(sample_rate), freqs)
+    use_banded = False
+    if plan is not None:
+        if d is None:
+            use_banded = True
+        else:
+            cost_plain = 1.0 + len(freqs) / d
+            cost_band = (plan["bands"]
+                         + plan["bands"] * plan["kb"] / plan["block_len"])
+            use_banded = cost_band < 0.9 * cost_plain
+    if d is None and not use_banded:
+        raise EligibilityError(
+            "grid neither fits the single-band envelope nor bands "
+            "cleanly; use sharded_overlap_save_peak for it")
+    if use_banded:
+        freqs_pad = np.asarray(plan["freqs_pad"])
+        centers = np.asarray(plan["centers"])
+        rel = np.asarray(plan["rel"])
+        d = plan["block_len"]
+    else:
+        freqs_pad = np.asarray(freqs)
+        centers = np.zeros(1, np.float32)
+        rel = np.asarray(freqs)
+    m = xcor_length(n)
+    total_lags = num_lags or haystack.shape[-1] - n + 1
+    t_shards = mesh.shape[AXIS_TIME]
+    windows = -(-total_lags // m)
+    windows_local = -(-windows // t_shards)
+    interpret = mesh.devices.flat[0].platform == "cpu"
+    peak = _sharded_stein_os_jit(
+        n_re, n_im, h_re, h_im, freqs_pad, np.asarray(centers),
+        np.asarray(rel), float(sample_rate), mesh, m, d, backend,
+        windows_local, total_lags, n, len(freqs), interpret)
+    return (float(freqs_pad[int(peak.freq_idx)]), int(peak.lag_idx),
+            float(peak.value))
+
+
 # ---------------------------------------------------------------------------
 # Time/doppler-sharded RATE engine (second-order search over the mesh)
 # ---------------------------------------------------------------------------
@@ -1087,31 +1274,38 @@ def _rate_os_sharded_peak_jit(n_re, n_im, h_re, h_im, freqs_padded, rates,
                               total_lags, backend):
     """Dechirp bank x time/doppler-sharded overlap-save argmax.
 
-    Per shard: ``lax.scan`` over trial rates, each pre-chirping the
-    (replicated) needle, building the local doppler shard's spectra
-    bank, and running the deferred-halo block scan; the per-shard
-    (rate, value, freq, lag) best reduces over ``(doppler, time)`` via
-    :func:`caf_cookoff_tpu.parallel.collectives.global_rate_peak`.
-    One halo ``ppermute`` serves ALL trial rates (the haystack does not
-    depend on the rate), so the collective cost matches the first-order
-    engine's.
+    Per shard: ``lax.scan`` over its LOCAL trial rates — the rate axis
+    shards over ``pair`` (round 5: rates are embarrassingly parallel
+    and the single-pair engine left that axis idle; the host pads the
+    grid by repeating the last rate, whose duplicate loses every
+    min-rate-idx tie-break) — each pre-chirping the (replicated)
+    needle, building the local doppler shard's spectra bank, and
+    running the deferred-halo block scan; the per-shard
+    (rate, value, freq, lag) best reduces over
+    ``(pair, doppler, time)`` via :func:`caf_cookoff_tpu.parallel.
+    collectives.global_rate_peak`.  One halo ``ppermute`` serves ALL
+    trial rates (the haystack does not depend on the rate), so the
+    collective cost matches the first-order engine's.
     """
     from caf_cookoff_tpu.parallel.collectives import global_rate_peak
 
     k_loc = freqs_padded.shape[0] // mesh.shape[AXIS_DOPPLER]
+    r_loc = rates.shape[0] // mesh.shape[AXIS_PAIR]
     m, _, _ = plan_blocks(needle_len, chunk)
     halo = needle_len - 1
     dtype = n_re.dtype
 
-    def body(n_re, n_im, h_re, h_im, freqs_loc):
+    def body(n_re, n_im, h_re, h_im, freqs_loc, rates_loc):
         h_halo = tuple(_right_halo(p, halo, AXIS_TIME)
                        for p in (h_re, h_im))
         offset = jax.lax.axis_index(AXIS_TIME) * chunk
+        r_base = jax.lax.axis_index(AXIS_PAIR) * r_loc
         fs = jnp.asarray(sample_rate, dtype)
         t = jnp.arange(needle_len, dtype=dtype) / fs
 
         def step(best, xr):
             r_idx, r = xr
+            r_idx = r_base + r_idx
             ph = jnp.pi * r * (t * t)
             c, s = jnp.cos(ph), jnp.sin(ph)
             nb = (n_re * c - n_im * s, n_re * s + n_im * c)
@@ -1130,33 +1324,37 @@ def _rate_os_sharded_peak_jit(n_re, n_im, h_re, h_im, freqs_padded, rates,
         # Init derived from the traced operands so the scan carry
         # inherits their varying-manual-axes under shard_map.
         zero = (jnp.sum(n_re[..., :1]) * 0 + jnp.sum(h_re[..., :1]) * 0
-                + jnp.sum(freqs_loc[..., :1]) * 0)
+                + jnp.sum(freqs_loc[..., :1]) * 0
+                + jnp.sum(rates_loc[..., :1]) * 0)
         init = (zero.astype(jnp.int32), zero - jnp.inf,
                 zero.astype(jnp.int32), zero.astype(jnp.int32))
         (r_b, v_b, f_b, l_b), _ = jax.lax.scan(
             step, init,
-            (jnp.arange(rates.shape[0], dtype=jnp.int32), rates))
+            (jnp.arange(rates_loc.shape[0], dtype=jnp.int32), rates_loc))
         f_g = f_b + jax.lax.axis_index(AXIS_DOPPLER) * k_loc
         return global_rate_peak(v_b, r_b, f_g, l_b,
-                                (AXIS_DOPPLER, AXIS_TIME))
+                                (AXIS_PAIR, AXIS_DOPPLER, AXIS_TIME))
 
     return shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(), P(AXIS_TIME), P(AXIS_TIME), P(AXIS_DOPPLER)),
+        in_specs=(P(), P(), P(AXIS_TIME), P(AXIS_TIME), P(AXIS_DOPPLER),
+                  P(AXIS_PAIR)),
         out_specs=(P(), P(), P(), P()),
-    )(n_re, n_im, h_re, h_im, freqs_padded)
+    )(n_re, n_im, h_re, h_im, freqs_padded, rates)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "needle_len", "chunk", "total_lags",
                      "backend", "num_peaks", "exclude_freq", "exclude_lag",
-                     "num_bins", "half_t_bins", "with_floor"))
+                     "num_bins", "half_t_bins", "num_real_rates",
+                     "with_floor"))
 def _rate_os_sharded_peaks_jit(n_re, n_im, h_re, h_im, freqs_padded,
                                rates, sample_rate, mesh, needle_len,
                                chunk, total_lags, backend, num_peaks,
                                exclude_freq, exclude_lag, num_bins,
-                               half_t_bins, with_floor=False):
+                               half_t_bins, num_real_rates,
+                               with_floor=False):
     """Sharded multi-emitter RATE lattice (top-``num_peaks``).
 
     Each shard's rate scan carries the cross-rate-merged lattice of
@@ -1169,22 +1367,30 @@ def _rate_os_sharded_peaks_jit(n_re, n_im, h_re, h_im, freqs_padded,
     is the host-derived center-key factor ``T / (2*df)`` — static so
     every shard agrees on it regardless of which grid rows (including
     pad duplicates) it owns.  Grid-padded doppler rows mask before the
-    local NMS exactly like the first-order lattice bodies.
+    local NMS exactly like the first-order lattice bodies.  The rate
+    axis shards over ``pair`` (see :func:`_rate_os_sharded_peak_jit`);
+    pad-duplicated rates produce identical candidates the rate-aware
+    NMS dedups, and their floor cells are masked so the global floor
+    counts each real cell exactly once (``num_rates`` is the REAL
+    count).
     """
     from caf_cookoff_tpu.models.rate import _merge_rate_lattice
     from caf_cookoff_tpu.parallel.collectives import global_rate_peaks
 
     k_loc = freqs_padded.shape[0] // mesh.shape[AXIS_DOPPLER]
+    r_loc = rates.shape[0] // mesh.shape[AXIS_PAIR]
+    num_rates = int(num_real_rates)
     m, _, _ = plan_blocks(needle_len, chunk)
     halo = needle_len - 1
     dtype = n_re.dtype
     p = num_peaks
     htb = jnp.asarray(half_t_bins, dtype)
 
-    def body(n_re, n_im, h_re, h_im, freqs_loc):
+    def body(n_re, n_im, h_re, h_im, freqs_loc, rates_loc, rates_full):
         h_halo = tuple(_right_halo(q, halo, AXIS_TIME)
                        for q in (h_re, h_im))
         offset = jax.lax.axis_index(AXIS_TIME) * chunk
+        r_base = jax.lax.axis_index(AXIS_PAIR) * r_loc
         rows_global = (jax.lax.axis_index(AXIS_DOPPLER) * k_loc
                        + jnp.arange(k_loc, dtype=jnp.int32))
         fs = jnp.asarray(sample_rate, dtype)
@@ -1194,6 +1400,8 @@ def _rate_os_sharded_peaks_jit(n_re, n_im, h_re, h_im, freqs_padded,
             lat, fsum, fcnt = carry
             vals, keys, lags_c, ridx_c, fws_c, rvl_c = lat
             r_idx, r = xr
+            r_idx = r_base + r_idx
+            real = r_idx < num_rates
             ph = jnp.pi * r * (t * t)
             c, s = jnp.cos(ph), jnp.sin(ph)
             nb = (n_re * c - n_im * s, n_re * s + n_im * c)
@@ -1207,8 +1415,9 @@ def _rate_os_sharded_peaks_jit(n_re, n_im, h_re, h_im, freqs_padded,
                 with_floor=with_floor)
             if with_floor:
                 pk, fsum_b, fcnt_b = out
-                fsum = fsum + fsum_b
-                fcnt = fcnt + fcnt_b
+                # Pad-duplicated rates must not double-count cells.
+                fsum = fsum + jnp.where(real, fsum_b, 0.0)
+                fcnt = fcnt + jnp.where(real, fcnt_b, 0.0)
             else:
                 pk = out
             if p == 1:
@@ -1228,22 +1437,26 @@ def _rate_os_sharded_peaks_jit(n_re, n_im, h_re, h_im, freqs_padded,
             return (merged, fsum, fcnt), None
 
         zero = (jnp.sum(n_re[..., :1]) * 0 + jnp.sum(h_re[..., :1]) * 0
-                + jnp.sum(freqs_loc[..., :1]) * 0)
+                + jnp.sum(freqs_loc[..., :1]) * 0
+                + jnp.sum(rates_loc[..., :1]) * 0)
         zeros_p = jnp.zeros((p,), dtype) + zero
         init_lat = (zeros_p - jnp.inf, zeros_p.astype(jnp.int32),
                     zeros_p.astype(jnp.int32), zeros_p.astype(jnp.int32),
                     zeros_p.astype(jnp.int32), zeros_p)
         (lat, fsum, fcnt), _ = jax.lax.scan(
             step, (init_lat, zero, zero),
-            (jnp.arange(rates.shape[0], dtype=jnp.int32), rates))
+            (jnp.arange(rates_loc.shape[0], dtype=jnp.int32), rates_loc))
         vals, keys, lags_c, ridx_c, fws_c, _ = lat
-        out = global_rate_peaks(vals, keys, lags_c, ridx_c, fws_c, rates,
-                                (AXIS_DOPPLER, AXIS_TIME), p,
+        out = global_rate_peaks(vals, keys, lags_c, ridx_c, fws_c,
+                                rates_full,
+                                (AXIS_PAIR, AXIS_DOPPLER, AXIS_TIME), p,
                                 exclude_freq, exclude_lag, htb)
         g_vals, g_keys, g_lags, g_ridx, g_fws, _ = out
         if with_floor:
-            fsum = jax.lax.psum(fsum, (AXIS_DOPPLER, AXIS_TIME))
-            fcnt = jax.lax.psum(fcnt, (AXIS_DOPPLER, AXIS_TIME))
+            fsum = jax.lax.psum(fsum,
+                                (AXIS_PAIR, AXIS_DOPPLER, AXIS_TIME))
+            fcnt = jax.lax.psum(fcnt,
+                                (AXIS_PAIR, AXIS_DOPPLER, AXIS_TIME))
             return (g_vals, g_lags, g_ridx, g_fws), fsum, fcnt
         return (g_vals, g_lags, g_ridx, g_fws)
 
@@ -1253,10 +1466,11 @@ def _rate_os_sharded_peaks_jit(n_re, n_im, h_re, h_im, freqs_padded,
     out_specs = (lat_spec, P(), P()) if with_floor else lat_spec
     return shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(), P(AXIS_TIME), P(AXIS_TIME), P(AXIS_DOPPLER)),
+        in_specs=(P(), P(), P(AXIS_TIME), P(AXIS_TIME), P(AXIS_DOPPLER),
+                  P(AXIS_PAIR), P()),
         out_specs=out_specs,
         check_vma=False,
-    )(n_re, n_im, h_re, h_im, freqs_padded)
+    )(n_re, n_im, h_re, h_im, freqs_padded, rates, rates)
 
 
 def sharded_rate_overlap_save_peak(needle, haystack, freqs_hz,
@@ -1292,10 +1506,14 @@ def sharded_rate_overlap_save_peak(needle, haystack, freqs_hz,
     freqs_p = pad_axis_to(as_grid(freqs_hz, dtype=n_re.dtype),
                           mesh.shape[AXIS_DOPPLER])
     rates = np.asarray(rates_hz_per_s, dtype=n_re.dtype).reshape(-1)
+    # Rates shard over the (otherwise idle) pair axis; pad duplicates
+    # of the LAST rate lose every min-rate-idx tie-break, so results
+    # are invariant to the padding.
+    rates_p = pad_axis_to(rates, mesh.shape[AXIS_PAIR])
     val, r_idx, f_idx, lag = _rate_os_sharded_peak_jit(
-        n_re, n_im, h_re, h_im, freqs_p, jnp.asarray(rates),
+        n_re, n_im, h_re, h_im, freqs_p, jnp.asarray(rates_p),
         float(sample_rate), mesh, n, chunk, total_lags, backend)
-    return (float(rates[int(r_idx)]), float(freqs_p[int(f_idx)]),
+    return (float(rates_p[int(r_idx)]), float(freqs_p[int(f_idx)]),
             int(lag), float(val))
 
 
@@ -1356,16 +1574,17 @@ def sharded_rate_overlap_save_peaks(needle, haystack, freqs_hz,
         needle, freqs_np, sample_rate, exclude_freq, exclude_lag)
     freqs_p = pad_axis_to(freqs_np, mesh.shape[AXIS_DOPPLER])
     rates = np.asarray(rates_hz_per_s, dtype=n_re.dtype).reshape(-1)
+    rates_p = pad_axis_to(rates, mesh.shape[AXIS_PAIR])
     htb = _rate_grid_half_t_bins(freqs_np, n, sample_rate)
     want_floor = with_snr or min_snr_db is not None
     out = _rate_os_sharded_peaks_jit(
-        n_re, n_im, h_re, h_im, freqs_p, jnp.asarray(rates),
+        n_re, n_im, h_re, h_im, freqs_p, jnp.asarray(rates_p),
         float(sample_rate), mesh, n, chunk, total_lags, backend,
         int(num_peaks), exclude_freq, exclude_lag, len(freqs_np), htb,
-        with_floor=want_floor)
+        len(rates), with_floor=want_floor)
     lat = out[0] if want_floor else out
     vals, lags, ridx, fws = (np.asarray(x) for x in lat)
-    out_rates = rates.astype(np.float64)[ridx]
+    out_rates = rates_p.astype(np.float64)[ridx]
     out_freqs = np.asarray(freqs_p, np.float64)[fws]
     if not want_floor:
         return out_rates, out_freqs, lags, vals

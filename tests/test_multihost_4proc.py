@@ -105,7 +105,34 @@ WORKER = textwrap.dedent("""
            if np.isfinite(float(v))][:3]
     want = [(f, lag) for f, lag, _ in truths]
     assert got == want, (pid, got, want)
-    print(f"RESULT {pid} single+lattice ok", flush=True)
+
+    # Lattice + DETECTION under real multi-controller semantics
+    # (round 5): the measured noise floor psums over the 4-process
+    # time axis; the three emitters clear a 25 dB threshold and the
+    # spare 4th slot (an emitter sidelobe at ~20 dB — the documented
+    # noise-relative-floor caveat) masks — identically on every
+    # process.
+    from caf_cookoff_tpu.models.overlap_save import mean_floor
+    from caf_cookoff_tpu.ops.peak import apply_detection_threshold
+
+    lat2, fsum, fcnt = _os_sharded_peaks_jit(
+        *g, fs, mesh, n, chunk, total_lags, "xla", 4, 2, 16,
+        len(freqs_p), with_floor=True)
+    assert np.allclose(np.asarray(lat2.value), np.asarray(lat.value)), \\
+        (pid, lat2.value, lat.value)
+    floor = mean_floor(np.asarray(fsum), np.asarray(fcnt))
+    vals, snr, thresh = apply_detection_threshold(
+        np.asarray(lat2.value), floor, total_lags * len(freqs), 25.0)
+    n_det = int(np.isfinite(vals).sum())
+    assert n_det == 3, (pid, vals, snr, thresh)
+    assert (snr[:3] > thresh).all(), (pid, snr, thresh)
+    assert not np.isfinite(vals[3]), (pid, vals)
+    # The auto (cell-count-derived) threshold also computes and keeps
+    # every real emitter.
+    vals_a, _, _ = apply_detection_threshold(
+        np.asarray(lat2.value), floor, total_lags * len(freqs), "auto")
+    assert np.isfinite(vals_a[:3]).all(), (pid, vals_a)
+    print(f"RESULT {pid} single+lattice+detection ok", flush=True)
 """)
 
 
@@ -127,4 +154,5 @@ def test_four_process_time_axis(tmp_path):
     outs = [p.communicate(timeout=420)[0].decode() for p in procs]
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
-        assert f"RESULT {i} single+lattice ok" in out, out[-3000:]
+        assert f"RESULT {i} single+lattice+detection ok" in out, \
+            out[-3000:]

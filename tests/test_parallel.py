@@ -506,3 +506,95 @@ def test_sharded_lattices_num_peaks_one():
     assert frb.shape == (2, 1)
     np.testing.assert_array_equal(frb[:, 0], fb)
     np.testing.assert_array_equal(lgb[:, 0], lb)
+
+
+def test_sharded_stein_os_matches_single_chip_bitwise():
+    """Round 5: the windowed FUSED OS engine with windows over time —
+    plain and banded grids, every mesh shape, bit-identical to the
+    single-chip engine (the coarse gather preserves window order, so
+    even tie-breaks match)."""
+    import jax
+
+    from caf_cookoff_tpu.models.batched_stein import batched_stein_os_peak
+    from caf_cookoff_tpu.parallel import sharded_stein_os_peak
+    from caf_cookoff_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(5)
+    n, total = 2048, 32768
+    nd = (rng.standard_normal(n)
+          + 1j * rng.standard_normal(n)).astype(np.complex64)
+    base = (1e-4 * (rng.standard_normal(total)
+                    + 1j * rng.standard_normal(total))
+            ).astype(np.complex64)
+    t = np.arange(n)
+    cases = [
+        (np.arange(-100, 100, 0.5, dtype=np.float32), -42.0, 9000),
+        (np.linspace(-500, 500, 256, endpoint=False).astype(np.float32),
+         None, 21000),                          # banded regime
+    ]
+    for freqs, f_inj, lag in cases:
+        if f_inj is None:
+            f_inj = float(freqs[181])
+        hay = base.copy()
+        hay[lag:lag + n] += (nd * np.exp(
+            2j * np.pi * f_inj * t / FS)).astype(np.complex64)
+        s = batched_stein_os_peak(nd[None], hay[None], freqs, FS)
+        single = (float(s[0][0]), int(s[1][0]), float(s[2][0]))
+        assert single[:2] == (f_inj, lag), single
+        for tsh in (2, 4):
+            mesh = make_mesh(time=tsh, devices=jax.devices()[:tsh])
+            got = sharded_stein_os_peak(nd, hay, freqs, FS, mesh)
+            assert got == single, (tsh, got, single)
+
+
+def test_sharded_rate_pair_axis_shards_rates():
+    """Round 5: the sharded rate engines put trial rates on the pair
+    axis — a pair>1 mesh (rates padded by repeating the last) returns
+    the same answers as pair=1 and as the single-chip engine."""
+    import jax
+
+    from caf_cookoff_tpu.models.rate import (
+        rate_overlap_save_peak,
+        rate_overlap_save_peaks,
+    )
+    from caf_cookoff_tpu.parallel import (
+        sharded_rate_overlap_save_peak,
+        sharded_rate_overlap_save_peaks,
+    )
+    from caf_cookoff_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(12)
+    n, total = 1024, 8192
+    nd = (rng.standard_normal(n)
+          + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = (1e-4 * (rng.standard_normal(total)
+                   + 1j * rng.standard_normal(total))
+           ).astype(np.complex64)
+    t = np.arange(n)
+    ph = (2 * np.pi * 40.0 * t / FS
+          + np.pi * 3000.0 * (t / FS) ** 2)
+    hay[5000:5000 + n] += (nd * np.exp(1j * ph)).astype(np.complex64)
+    freqs = np.arange(-100.0, 100.0, 25.0, dtype=np.float32)
+    rates = np.arange(-6000.0, 6001.0, 3000.0)   # R=5, pads to 6 at pair=2
+    want = rate_overlap_save_peak(nd, hay, freqs, rates, FS)
+    for shape in ({"pair": 2, "time": 2}, {"pair": 2, "doppler": 2},
+                  {"pair": 4}):
+        n_dev = int(np.prod(list(shape.values())))
+        mesh = make_mesh(devices=jax.devices()[:n_dev], **shape)
+        got = sharded_rate_overlap_save_peak(nd, hay, freqs, rates, FS,
+                                             mesh, backend="xla")
+        # (rate, freq, lag) exact; the value may differ by an f32 ulp
+        # under doppler sharding (per-shard DFT tiling reassociation).
+        assert got[:3] == want[:3], (shape, got, want)
+        np.testing.assert_allclose(got[3], want[3], rtol=1e-6)
+    # Lattice variant with detection: pad rates must not double-count
+    # floor cells (identical SNR across pair factorizations).
+    want_l = rate_overlap_save_peaks(nd, hay, freqs, rates, FS, 2,
+                                     backend="xla", with_snr=True)
+    mesh = make_mesh(pair=2, time=2, devices=jax.devices()[:4])
+    got_l = sharded_rate_overlap_save_peaks(nd, hay, freqs, rates, FS,
+                                            mesh, 2, backend="xla",
+                                            with_snr=True)
+    np.testing.assert_array_equal(got_l[0], want_l[0])
+    np.testing.assert_array_equal(got_l[2], want_l[2])
+    np.testing.assert_allclose(got_l[4], want_l[4], rtol=1e-6)

@@ -327,3 +327,101 @@ def test_cli_rate_grid_num_peaks_lattice(tmp_path, capsys):
             sorted(got), sorted(want)):
         assert lg_g == lg_w and r_g == r_w and abs(f_g - f_w) <= 1.0
     assert "(below detection threshold)" in rows[2]
+
+
+# ---------------------------------------------------------------------------
+# Segmented (de-serialized) rate engine — round 5
+# ---------------------------------------------------------------------------
+
+
+def _segmented_capture(f0, rate, lag, n=2048, total=16384, seed=8):
+    rng = np.random.default_rng(seed)
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = (1e-4 * (rng.standard_normal(total)
+                   + 1j * rng.standard_normal(total))
+           ).astype(np.complex64)
+    t = np.arange(n)
+    ph = 2 * np.pi * f0 * t / FS + np.pi * rate * (t / FS) ** 2
+    hay[lag:lag + n] += (needle * np.exp(1j * ph)).astype(np.complex64)
+    return needle, hay
+
+
+def test_stein_rate_plain_grid_matches_serial_engine():
+    """Plain grid: the segmented rate search (rates as synthesis rows)
+    matches the exact serial scan bit-for-bit, swept and unswept."""
+    from caf_cookoff_tpu.models.rate import (
+        rate_overlap_save_peak,
+        stein_rate_os_peak,
+    )
+
+    freqs = np.arange(-100, 100, 0.5, dtype=np.float32)
+    rates = np.arange(-240.0, 241.0, 60.0, dtype=np.float32)
+    needle, hay = _segmented_capture(25.0, 120.0, 9000)
+    exact = rate_overlap_save_peak(needle, hay, freqs, rates, FS)
+    fast = stein_rate_os_peak(needle, hay, freqs, rates, FS)
+    assert fast == exact
+    needle, hay0 = _segmented_capture(-40.0, 0.0, 5000, seed=9)
+    exact0 = rate_overlap_save_peak(needle, hay0, freqs, rates, FS)
+    fast0 = stein_rate_os_peak(needle, hay0, freqs, rates, FS)
+    assert fast0[:3] == exact0[:3] == (0.0, -40.0, 5000)
+
+
+def test_stein_rate_banded_grid_matches_serial_engine():
+    """Wide fine grid routes BANDED with the rate drift folded into the
+    band envelope; answers still match the exact serial scan."""
+    from caf_cookoff_tpu.models.rate import (
+        rate_overlap_save_peak,
+        stein_rate_os_peak,
+    )
+    from caf_cookoff_tpu.models.stein import _plan_bands
+
+    freqs = np.linspace(-500, 500, 400, endpoint=False).astype(np.float32)
+    rates = np.arange(-240.0, 241.0, 60.0, dtype=np.float32)
+    margin = 240.0 * (2048 / FS)
+    assert _plan_bands(FS, freqs, margin_hz=margin) is not None
+    needle, hay = _segmented_capture(float(freqs[317]), -180.0, 7000,
+                                      seed=2)
+    exact = rate_overlap_save_peak(needle, hay, freqs, rates, FS)
+    fast = stein_rate_os_peak(needle, hay, freqs, rates, FS)
+    assert fast[:3] == exact[:3]
+    np.testing.assert_allclose(fast[3], exact[3], rtol=2e-5)
+
+
+def test_stein_rate_respects_num_lags():
+    """An emitter past the requested lag bound must not be reported."""
+    from caf_cookoff_tpu.models.rate import (
+        rate_overlap_save_peak,
+        stein_rate_os_peak,
+    )
+
+    freqs = np.arange(-100, 100, 1.0, dtype=np.float32)
+    rates = np.arange(-120.0, 121.0, 60.0, dtype=np.float32)
+    needle, hay = _segmented_capture(30.0, 60.0, 12000, seed=4)
+    # Second, weaker emitter inside the bound.
+    t = np.arange(2048)
+    ph = 2 * np.pi * (-50.0) * t / FS + np.pi * (-60.0) * (t / FS) ** 2
+    hay[3000:3000 + 2048] += 0.5 * (needle * np.exp(1j * ph)
+                                    ).astype(np.complex64)
+    exact = rate_overlap_save_peak(needle, hay, freqs, rates, FS,
+                                   num_lags=8000)
+    fast = stein_rate_os_peak(needle, hay, freqs, rates, FS,
+                              num_lags=8000)
+    assert fast[:3] == exact[:3] == (-60.0, -50.0, 3000)
+
+
+def test_stein_rate_margin_shrinks_blocks():
+    """The rate-augmented envelope must bind: large rates shrink the
+    eligible block length (or raise), never silently overrun it."""
+    import pytest
+
+    from caf_cookoff_tpu.errors import SpanError
+    from caf_cookoff_tpu.models.rate import _rate_block_len
+
+    freqs = np.arange(-100, 100, 0.5, dtype=np.float32)
+    d_small = _rate_block_len(FS, freqs, np.asarray([0.0]), 4096, 128)
+    d_big = _rate_block_len(FS, freqs, np.asarray([4000.0]), 4096, 128)
+    assert d_big <= d_small
+    with pytest.raises(SpanError):
+        _rate_block_len(FS, np.asarray([23000.0], np.float32),
+                        np.asarray([0.0]), 4096, 128)
