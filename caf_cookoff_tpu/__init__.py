@@ -50,6 +50,7 @@ from caf_cookoff_tpu.models.rate import (
     rate_overlap_save_peak,
     rate_overlap_save_peaks,
     stein_rate_os_peak,
+    stein_rate_os_peaks,
 )
 from caf_cookoff_tpu.models.streaming import StreamingCAF
 from caf_cookoff_tpu.ops.peak import (
@@ -101,6 +102,7 @@ __all__ = [
     "rate_overlap_save_peak",
     "rate_overlap_save_peaks",
     "stein_rate_os_peak",
+    "stein_rate_os_peaks",
     "refine_peak",
     "refine_peak_rate",
     "refine_peaks",

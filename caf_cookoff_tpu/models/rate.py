@@ -644,3 +644,251 @@ def stein_rate_os_peak(needle, haystack, freqs_hz, rates_hz_per_s,
         guard, interpret)
     return (float(rates[int(r_idx)]), float(freqs_pad[int(f_idx)]),
             int(lag), float(value))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("total_lags", "needle_len", "block_len", "backend",
+                     "windows", "num_bins", "rate_chunk", "guard",
+                     "rescore_win", "num_peaks", "exclude_freq",
+                     "exclude_lag", "half_t_bins", "interpret"))
+def _stein_rate_os_peaks_jit(n_re, n_im, h_re, h_im, freqs_pad, centers,
+                             rel, rates, sample_rate, total_lags: int,
+                             needle_len: int, block_len: int, backend,
+                             windows: int, num_bins: int,
+                             rate_chunk: int, guard: int,
+                             rescore_win: int, num_peaks: int,
+                             exclude_freq: int, exclude_lag: int,
+                             half_t_bins, interpret: bool):
+    """Multi-emitter segmented rate search: per-rate NMS lattices from
+    the kernel's top-2 per-bin candidates, cross-rate-merged in
+    window-center frequency space (the rate-aware NMS of
+    :func:`_merge_rate_lattice`), each survivor re-scored EXACTLY with
+    its own pre-chirped needle on a guard-extended capture slice
+    (doubly cell-constrained like the first-order fused lattices)."""
+    from caf_cookoff_tpu.models.batched_stein import (
+        _coarse_rank_xla,
+        _entry_candidate_bins,
+        _lattice_from_bin_candidates,
+        _needle_operator,
+        _os_window_extensions,
+        _shift_to_centers,
+    )
+    from caf_cookoff_tpu.models.filterbank import _surface_rows_split
+    from caf_cookoff_tpu.ops.pallas_stein import (
+        fused_span,
+        fused_stein_rank,
+        stein_rate_synthesis_weights,
+    )
+    from caf_cookoff_tpu.ops.peak import CafPeak, find_peak_2d, merge_peaks
+
+    n = needle_len
+    dtype = n_re.dtype
+    s = centers.shape[0]
+    sr, si = _shift_to_centers(n_re[None], n_im[None], centers,
+                               sample_rate)
+    b = sr.shape[-1] // block_len
+    v = xcor_length(n)
+    lmat, group = _needle_operator(sr, si, block_len)
+    span = fused_span(b, group, v)
+    h_ext = _os_window_extensions(h_re[None], h_im[None], v, windows,
+                                  span)
+    per_w = np.clip(total_lags - np.arange(windows) * v, 0, v)
+    num_valid = jnp.asarray(np.tile(per_w, s), jnp.int32)
+    kb = rel.shape[0]
+    k = freqs_pad.shape[0]
+    num_rates = rates.shape[0]
+    p = num_peaks
+    htb = jnp.asarray(half_t_bins, dtype)
+    woff = jnp.arange(windows, dtype=jnp.int32) * v
+    offs = jnp.arange(s, dtype=jnp.int32) * kb
+    lat_parts, vslots_parts, lslots_parts = [], [], []
+    for c0 in range(0, num_rates, rate_chunk):
+        rc = min(rate_chunk, num_rates - c0)
+        ws1, ws2 = stein_rate_synthesis_weights(
+            rel, rates[c0:c0 + rc], sample_rate, b, block_len)
+        if interpret:
+            lmat_rep = jnp.repeat(lmat, windows, axis=0)
+            h_rep = jnp.tile(h_ext, (s, 1, 1))
+            v1, i1, v2, i2 = _coarse_rank_xla(
+                ws1, ws2, lmat_rep, h_rep, b, group, v,
+                num_valid=num_valid, want_top2=True, sep=exclude_lag)
+        else:
+            v1, i1, v2, i2 = fused_stein_rank(
+                ws1, ws2, lmat, h_ext, b, group, v, windows=windows,
+                share_h=s, num_valid=num_valid, want_top2=True,
+                sep=exclude_lag)
+        vals_j = jnp.stack([v1, v2], axis=-1).reshape(
+            rc, kb, s, windows, 2)
+        lags_j = (jnp.stack([i1, i2], axis=-1).reshape(
+            rc, kb, s, windows, 2) + woff[None, None, None, :, None])
+        vals_j = jnp.where(lags_j < total_lags, vals_j, -1.0)
+        # per-rate lattices: (band, window) NMS -> fold.
+        vr = vals_j.transpose(0, 2, 3, 1, 4)     # (rc, S, W, Kb, 2)
+        lr = lags_j.transpose(0, 2, 3, 1, 4)
+
+        def rate_lattice(vb, lb):                # (S, W, Kb, 2)
+            wl = jax.vmap(lambda vs, ls, off: jax.vmap(
+                lambda vj, lj: _lattice_from_bin_candidates(
+                    vj, lj, p, exclude_freq, exclude_lag,
+                    bin_offset=off, num_bins=num_bins))(vs, ls),
+            )(vb, lb, offs)                      # (S, W, p) fields
+            flat = CafPeak(*(f.reshape(-1) for f in wl))
+            return merge_peaks(flat, p, exclude_freq, exclude_lag)
+
+        lat_parts.append(jax.vmap(rate_lattice)(vr, lr))
+        # Candidate slots per rate on the global lattice: (rc, K, W*2).
+        vslots_parts.append(
+            vals_j.transpose(0, 2, 1, 3, 4).reshape(rc, s * kb, -1))
+        lslots_parts.append(
+            lags_j.transpose(0, 2, 1, 3, 4).reshape(rc, s * kb, -1))
+    rlat = CafPeak(*(jnp.concatenate([getattr(x, f) for x in lat_parts])
+                     for f in ("value", "freq_idx", "lag_idx")))
+    vslots = jnp.concatenate(vslots_parts)       # (R, K, J)
+    lslots = jnp.concatenate(lslots_parts)
+    rows = jnp.arange(k)
+    vslots = jnp.where(rows[None, :, None] < num_bins, vslots, -1.0)
+    # Cross-rate merge on window-center keys (coarse values rank only).
+    r_of = jnp.repeat(jnp.arange(num_rates, dtype=jnp.int32), p)
+    rv_of = jnp.repeat(rates.astype(dtype), p)
+    cv = rlat.value.reshape(-1)
+    cb = rlat.freq_idx.reshape(-1)
+    cl = rlat.lag_idx.reshape(-1)
+    keys = cb + jnp.round(rv_of * htb).astype(jnp.int32)
+    mv, mk, ml, mr, mf, mrv = _merge_rate_lattice(
+        cv, keys, cl, r_of, cb, rv_of, p, exclude_freq, exclude_lag,
+        htb)
+    # Exact per-entry re-score with the entry's own pre-chirped needle.
+    fs = jnp.asarray(sample_rate, dtype)
+    t = jnp.arange(n, dtype=dtype) / fs
+    wlen = n + 2 * guard
+    hay_len = h_re.shape[-1]
+
+    def rescore(ri, bin_e, lag_e, coarse_ok):
+        r = rates[ri]
+        ph = jnp.pi * r * (t * t)
+        c, sn = jnp.cos(ph), jnp.sin(ph)
+        nb = (n_re * c - n_im * sn, n_re * sn + n_im * c)
+        bins, bok = _entry_candidate_bins(
+            vslots[ri], lslots[ri], lag_e, bin_e, exclude_lag,
+            exclude_freq, k)
+        start = jnp.clip(lag_e - guard, 0, max(hay_len - wlen, 0))
+        wr = jax.lax.dynamic_slice(h_re, (start,), (wlen,))
+        wi = jax.lax.dynamic_slice(h_im, (start,), (wlen,))
+        exact = splitfft.mag2(_surface_rows_split(
+            nb, (wr, wi), freqs_pad[bins], sample_rate, v, backend))
+        d = jax.lax.broadcasted_iota(jnp.int32, exact.shape, 1)
+        keep = (bok[:, None] & (d <= 2 * guard)
+                & (start + d < total_lags)
+                & (jnp.abs(start + d - lag_e) <= rescore_win))
+        pk = find_peak_2d(jnp.where(keep, exact, -jnp.inf))
+        return (jnp.where(coarse_ok, pk.value, -jnp.inf),
+                bins[pk.freq_idx].astype(jnp.int32),
+                (start + pk.lag_idx).astype(jnp.int32))
+
+    ev, eb, el_ = jax.vmap(rescore)(mr, mf, ml,
+                                    jnp.isfinite(mv))
+    # Re-merge on exact values (rate-aware keys from the exact bins).
+    ekeys = eb + jnp.round(mrv * htb).astype(jnp.int32)
+    return _merge_rate_lattice(ev, ekeys, el_, mr, eb, mrv, p,
+                               exclude_freq, exclude_lag, htb)
+
+
+def stein_rate_os_peaks(needle, haystack, freqs_hz, rates_hz_per_s,
+                        sample_rate, num_peaks: int,
+                        num_lags: Optional[int] = None, *,
+                        block_len: int = 64,
+                        exclude_freq: Optional[int] = None,
+                        exclude_lag: Optional[int] = None,
+                        backend: Optional[str] = None,
+                        min_snr_db=None, with_snr: bool = False):
+    """Top-``num_peaks`` ACCELERATING emitters of a long capture at
+    segmented speed — the multi-emitter sibling of
+    :func:`stein_rate_os_peak`, with :func:`rate_overlap_save_peaks`'s
+    semantics (window-center-keyed cross-rate merge, rate-aware NMS,
+    window-start frequencies, absolute lags).
+
+    Returns ``(rates (P,), freqs (P,), lags (P,), values (P,)
+    [, snr_db])``, strongest first, empty/sub-threshold slots ``-inf``.
+    ``min_snr_db`` thresholds against the model floor
+    (``sum|n|^2 * mean|h|^2`` — the dechirp has unit magnitude, so one
+    floor serves every trial rate) over ``R*K*num_lags`` cells.
+    Same-bin exactness contract as the first-order fused lattices
+    (exact past ``2*exclude_lag`` same-bin separation).
+    """
+    from caf_cookoff_tpu.errors import SpanError
+    from caf_cookoff_tpu.models.batched_stein import (
+        _rescore_guards,
+        _stein_model_floor,
+    )
+    from caf_cookoff_tpu.models.stein import _plan_bands
+    from caf_cookoff_tpu.ops.peak import apply_detection_threshold
+
+    backend = backend or default_backend()
+    n_re, n_im = splitfft.split_array(needle)
+    h_re, h_im = splitfft.split_array(haystack)
+    n = n_re.shape[-1]
+    if h_re.shape[-1] < n:
+        raise ValueError(
+            f"haystack ({h_re.shape[-1]}) shorter than needle ({n})")
+    total_lags = num_lags or h_re.shape[-1] - n + 1
+    freqs = as_grid(freqs_hz, dtype=n_re.dtype)
+    rates = np.asarray(rates_hz_per_s, dtype=n_re.dtype).reshape(-1)
+    fs = float(sample_rate)
+    r_max = float(np.max(np.abs(rates))) if len(rates) else 0.0
+    margin = r_max * (n / fs)
+    d_quad = int(fs / np.sqrt(2.0 * r_max)) if r_max > 0 else None
+    try:
+        d = _rate_block_len(sample_rate, freqs, rates, n, block_len)
+    except SpanError:
+        d = None
+    plan = _plan_bands(fs, freqs, margin_hz=margin, d_cap=d_quad)
+    use_banded = False
+    if plan is not None:
+        if d is None:
+            use_banded = True
+        else:
+            cost_plain = 1.0 + len(freqs) / d
+            cost_band = (plan["bands"]
+                         + plan["bands"] * plan["kb"] / plan["block_len"])
+            use_banded = cost_band < 0.9 * cost_plain
+    if d is None and not use_banded:
+        _rate_block_len(sample_rate, freqs, rates, n, block_len)
+    if use_banded:
+        freqs_pad = np.asarray(plan["freqs_pad"])
+        centers = np.asarray(plan["centers"])
+        rel = np.asarray(plan["rel"])
+        d = plan["block_len"]
+    else:
+        freqs_pad = np.asarray(freqs)
+        centers = np.zeros(1, np.float32)
+        rel = np.asarray(freqs)
+    exclude_freq, exclude_lag = resolve_exclusions(
+        needle, freqs, sample_rate, exclude_freq, exclude_lag)
+    auto = resolve_exclusions(needle, freqs, sample_rate, None, None)
+    guard, rescore_win = _rescore_guards(n, auto[1], h_re.shape[-1])
+    m = xcor_length(n)
+    windows = -(-total_lags // m)
+    rate_chunk = max(1, _RATE_ROWS_BUDGET // max(len(rel), 1))
+    htb = _rate_grid_half_t_bins(freqs, n, sample_rate)
+    interpret = jax.default_backend() == "cpu"
+    vals, _k, lags, ridx, fws, _rv = _stein_rate_os_peaks_jit(
+        jnp.asarray(n_re), jnp.asarray(n_im), jnp.asarray(h_re),
+        jnp.asarray(h_im), jnp.asarray(freqs_pad), jnp.asarray(centers),
+        jnp.asarray(rel), jnp.asarray(rates), float(sample_rate),
+        total_lags, n, d, backend, windows, len(freqs), rate_chunk,
+        guard, rescore_win, int(num_peaks), exclude_freq, exclude_lag,
+        htb, interpret)
+    vals = np.asarray(vals)
+    out_rates = rates.astype(np.float64)[np.asarray(ridx)]
+    out_freqs = np.asarray(freqs_pad, np.float64)[np.asarray(fws)]
+    lags = np.asarray(lags)
+    if min_snr_db is None and not with_snr:
+        return out_rates, out_freqs, lags, vals
+    floor = float(_stein_model_floor(np.asarray(needle)[None],
+                                     np.asarray(haystack)[None])[0])
+    num_cells = len(rates) * len(freqs) * total_lags
+    vals, snr, _ = apply_detection_threshold(vals, floor, num_cells,
+                                             min_snr_db)
+    out = (out_rates, out_freqs, lags, vals)
+    return out + ((snr,) if with_snr else ())

@@ -44,6 +44,10 @@ import os
 # Experiment knob (timing only — output is garbage): skip the in-kernel
 # Hankel build to isolate its cost from the MXU dots.
 _SKIP_HANKEL = bool(os.environ.get("CAF_TPU_SKIP_HANKEL"))
+# Experiment knob (output identical): stage B as ONE concatenated
+# [ws1; ws2] @ gs dot per lag tile instead of two half-height dots —
+# fewer, taller MXU ops.  See ARCHITECTURE §10 for the measurement.
+_STAGEB_CAT = bool(os.environ.get("CAF_TPU_STAGEB_CAT"))
 
 import jax
 import jax.numpy as jnp
@@ -162,11 +166,20 @@ def _fused_stein_kernel(*refs, num_blocks: int,
     # tile, and any lag in an earlier tile precedes every lag in a
     # later one, so "min encoded lag among the maxima" is still the
     # global minimum lag.
+    wcat = (jnp.concatenate([ws1_ref[:], ws2_ref[:]], axis=0)
+            if _STAGEB_CAT else None)
     for c in range(num_chunks):
         coff = c * tile
         gs = g_ref[:, coff:coff + tile]
-        rr = jnp.dot(ws1_ref[:], gs, preferred_element_type=jnp.float32)
-        ri = jnp.dot(ws2_ref[:], gs, preferred_element_type=jnp.float32)
+        if _STAGEB_CAT:
+            z = jnp.dot(wcat, gs, preferred_element_type=jnp.float32)
+            half = z.shape[0] // 2
+            rr, ri = z[:half], z[half:]
+        else:
+            rr = jnp.dot(ws1_ref[:], gs,
+                         preferred_element_type=jnp.float32)
+            ri = jnp.dot(ws2_ref[:], gs,
+                         preferred_element_type=jnp.float32)
         mag2 = rr * rr + ri * ri
         kp = mag2.shape[0]
         if dyn_valid:

@@ -425,3 +425,61 @@ def test_stein_rate_margin_shrinks_blocks():
     with pytest.raises(SpanError):
         _rate_block_len(FS, np.asarray([23000.0], np.float32),
                         np.asarray([0.0]), 4096, 128)
+
+
+def test_stein_rate_lattice_matches_serial_on_emitters():
+    """Segmented multi-emitter rate search: both accelerating emitters
+    recovered with the exact serial lattice's (rate, freq, lag) rows;
+    detection SNR against the model floor."""
+    from caf_cookoff_tpu.models.rate import (
+        rate_overlap_save_peaks,
+        stein_rate_os_peaks,
+    )
+
+    rng = np.random.default_rng(8)
+    n, total = 2048, 16384
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = (1e-4 * (rng.standard_normal(total)
+                   + 1j * rng.standard_normal(total))
+           ).astype(np.complex64)
+    t = np.arange(n)
+    emitters = [(25.0, 120.0, 3000, 1.0), (-60.0, -120.0, 11000, 0.6)]
+    for f0, r, lag, amp in emitters:
+        ph = 2 * np.pi * f0 * t / FS + np.pi * r * (t / FS) ** 2
+        hay[lag:lag + n] += amp * (needle * np.exp(1j * ph)
+                                   ).astype(np.complex64)
+    freqs = np.arange(-100, 100, 0.5, dtype=np.float32)
+    rates = np.arange(-240.0, 241.0, 60.0, dtype=np.float32)
+
+    def rows(o):
+        return [(float(r), float(f), int(l))
+                for r, f, l, v in zip(o[0], o[1], o[2], o[3])
+                if np.isfinite(float(v))]
+
+    want = rows(rate_overlap_save_peaks(needle, hay, freqs, rates, FS,
+                                        3))
+    got = rows(stein_rate_os_peaks(needle, hay, freqs, rates, FS, 3))
+    truths = [(r, f, lag) for f, r, lag, _ in emitters]
+    assert got[:2] == want[:2] == truths
+    out = stein_rate_os_peaks(needle, hay, freqs, rates, FS, 3,
+                              min_snr_db="auto", with_snr=True)
+    snr = [float(s) for s in out[4] if np.isfinite(float(s))]
+    assert len(snr) >= 2 and min(snr[:2]) > 25
+
+
+def test_stein_rate_lattice_noise_only_zero_detections():
+    from caf_cookoff_tpu.models.rate import stein_rate_os_peaks
+
+    rng = np.random.default_rng(9)
+    n, total = 1024, 8192
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    noise = (1e-3 * (rng.standard_normal(total)
+                     + 1j * rng.standard_normal(total))
+             ).astype(np.complex64)
+    freqs = np.arange(-100, 100, 1.0, dtype=np.float32)
+    rates = np.arange(-120.0, 121.0, 60.0, dtype=np.float32)
+    out = stein_rate_os_peaks(needle, noise, freqs, rates, FS, 3,
+                              min_snr_db="auto")
+    assert not np.isfinite(out[3]).any()

@@ -473,3 +473,95 @@ def test_detection_threshold_on_chip():
            if np.isfinite(v)]
     assert len(det) == 2
     assert [lag for _, lag in det] == [800, 2500]
+
+
+def test_fused_multi_emitter_lattices_on_chip():
+    """Round-5 multi-emitter fused engines compiled on the chip: the
+    OS lattice (want_top2 kernel epilogue at windows>1) and the
+    equal-length lattice recover injected emitter sets exactly."""
+    from caf_cookoff_tpu.models.batched_stein import (
+        batched_stein_os_peaks,
+        batched_stein_peaks,
+    )
+
+    rng = np.random.default_rng(5)
+    n, total = 1024, 16384
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = (1e-4 * (rng.standard_normal(total)
+                   + 1j * rng.standard_normal(total))
+           ).astype(np.complex64)
+    t = np.arange(n)
+    truths = [(-30.0, 3000, 1.0), (45.0, 9000, 0.8), (10.0, 14000, 0.6)]
+    for f, lag, amp in truths:
+        hay[lag:lag + n] += (amp * needle * np.exp(
+            2j * np.pi * f * t / FS)).astype(np.complex64)
+    freqs = np.arange(-100, 100, 0.5, dtype=np.float32)
+    fr, lg, vv = batched_stein_os_peaks(needle[None], hay[None], freqs,
+                                        FS, 4)
+    got = [(float(f), int(l)) for f, l, v in zip(fr[0], lg[0], vv[0])
+           if np.isfinite(float(v))][:3]
+    assert got == [(f, lag) for f, lag, _ in truths], got
+
+    hay2 = (needle * np.exp(2j * np.pi * -20.0 * t / FS)
+            ).astype(np.complex64)
+    hay2 = hay2 + 0.7 * np.roll((needle * np.exp(
+        2j * np.pi * 35.0 * t / FS)).astype(np.complex64), 300)
+    hay2 = (hay2 + 1e-4 * (rng.standard_normal(n)
+                           + 1j * rng.standard_normal(n))
+            ).astype(np.complex64)
+    fr2, lg2, vv2 = batched_stein_peaks(needle[None], hay2[None],
+                                        freqs, FS, 2)
+    got2 = [(float(f), int(l))
+            for f, l, v in zip(fr2[0], lg2[0], vv2[0])
+            if np.isfinite(float(v))]
+    # Overlapping same-window emitters interfere: the surface peak can
+    # sit an adjacent bin off the injected frequency (a true near-tie,
+    # tier-dependent) — compare against the SAME-backend full-surface
+    # oracle, with the injected lags exact.
+    from caf_cookoff_tpu.models.filterbank import caf_surface
+    from caf_cookoff_tpu.ops.peak import find_peaks, resolve_exclusions
+
+    surf = np.asarray(caf_surface(needle, hay2, freqs, FS,
+                                  backend="matmul"))
+    ef, el = resolve_exclusions(needle, freqs, FS, None, None)
+    pk = find_peaks(surf, 2, ef, el)
+    want2 = [(float(freqs[int(f)]), int(l))
+             for f, l in zip(pk.freq_idx, pk.lag_idx)]
+    assert got2 == want2, (got2, want2)
+    assert [l for _, l in got2] == [0, 300], got2
+
+
+def test_segmented_rate_engines_on_chip():
+    """Round-5 segmented rate search on the chip: argmax and lattice
+    match the exact serial engine's answers (rank-then-score)."""
+    from caf_cookoff_tpu.models.rate import (
+        rate_overlap_save_peak,
+        stein_rate_os_peak,
+        stein_rate_os_peaks,
+    )
+
+    rng = np.random.default_rng(8)
+    n, total = 2048, 16384
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = (1e-4 * (rng.standard_normal(total)
+                   + 1j * rng.standard_normal(total))
+           ).astype(np.complex64)
+    t = np.arange(n)
+    emitters = [(25.0, 120.0, 3000, 1.0), (-60.0, -120.0, 11000, 0.6)]
+    for f0, r, lag, amp in emitters:
+        ph = 2 * np.pi * f0 * t / FS + np.pi * r * (t / FS) ** 2
+        hay[lag:lag + n] += amp * (needle * np.exp(1j * ph)
+                                   ).astype(np.complex64)
+    freqs = np.arange(-100, 100, 0.5, dtype=np.float32)
+    rates = np.arange(-240.0, 241.0, 60.0, dtype=np.float32)
+    want = rate_overlap_save_peak(needle, hay, freqs, rates, FS)
+    got = stein_rate_os_peak(needle, hay, freqs, rates, FS)
+    assert got[:3] == want[:3] == (120.0, 25.0, 3000), (got, want)
+    rr, ff, ll, vv = stein_rate_os_peaks(needle, hay, freqs, rates, FS,
+                                         3)
+    rows = [(float(r), float(f), int(l))
+            for r, f, l, v in zip(rr, ff, ll, vv)
+            if np.isfinite(float(v))][:2]
+    assert rows == [(120.0, 25.0, 3000), (-120.0, -60.0, 11000)], rows
