@@ -375,13 +375,28 @@ def cmd_run(args) -> int:
             # — a swept emitter is smeared there but coherent here.
             from caf_cookoff_tpu.models.rate import (
                 rate_overlap_save_peaks,
+                stein_rate_os_peaks,
             )
 
             min_snr = _parse_min_snr(args.min_snr_db)
-            rr, fr, lg, vv, snr = rate_overlap_save_peaks(
-                needle, haystack, freqs, rates, fs, args.num_peaks,
-                backend=_split_fft_tier(backend), min_snr_db=min_snr,
-                with_snr=True)
+            try:
+                # Segmented fast path (round 5): trial rates as
+                # synthesis rows; falls back to the exact serial scan
+                # outside the segmented envelope.  (SNR here is
+                # against the model floor — the serial engine measures
+                # it — same dB scale, documented in the engine.)
+                rr, fr, lg, vv, snr = stein_rate_os_peaks(
+                    needle, haystack, freqs, rates, fs, args.num_peaks,
+                    backend=_split_fft_tier(backend),
+                    min_snr_db=min_snr, with_snr=True)
+            except EngineError as exc:
+                print(f"note: rate grid outside the segmented "
+                      f"envelope ({exc}); using the serial scan",
+                      file=sys.stderr)
+                rr, fr, lg, vv, snr = rate_overlap_save_peaks(
+                    needle, haystack, freqs, rates, fs, args.num_peaks,
+                    backend=_split_fft_tier(backend),
+                    min_snr_db=min_snr, with_snr=True)
             if min_snr is not None:
                 n_det = int(np.sum(np.isfinite(vv)))
                 print(f"Detections: {n_det} of {args.num_peaks} "
@@ -414,11 +429,22 @@ def cmd_run(args) -> int:
             # accelerating emitter at ANY lag is found (the bank on a
             # needle-length prefix would miss everything past it).
             # Overlap-save lags are linear — no circular unwrap.
-            from caf_cookoff_tpu.models.rate import rate_overlap_save_peak
+            from caf_cookoff_tpu.models.rate import (
+                rate_overlap_save_peak,
+                stein_rate_os_peak,
+            )
 
-            r_c, f_c, lag_c, v_c = rate_overlap_save_peak(
-                needle, haystack, freqs, rates, fs,
-                backend=_split_fft_tier(backend))
+            try:
+                r_c, f_c, lag_c, v_c = stein_rate_os_peak(
+                    needle, haystack, freqs, rates, fs,
+                    backend=_split_fft_tier(backend))
+            except EngineError as exc:
+                print(f"note: rate grid outside the segmented "
+                      f"envelope ({exc}); using the serial scan",
+                      file=sys.stderr)
+                r_c, f_c, lag_c, v_c = rate_overlap_save_peak(
+                    needle, haystack, freqs, rates, fs,
+                    backend=_split_fft_tier(backend))
             lag_signed = int(lag_c)
         else:
             from caf_cookoff_tpu.models.rate import rate_caf_peak
@@ -727,15 +753,31 @@ def cmd_batch(args) -> int:
         min_snr = _parse_min_snr(args.min_snr_db)
         excl_f, excl_l = resolution_cell(needles[0], freqs, fs)
         if full:
-            # One vmapped lattice-scan program over the whole batch.
+            # The fused multi-emitter engine (round 5) when the shape
+            # fits its envelope; the XLA vmapped lattice scan otherwise.
+            from caf_cookoff_tpu.models.batched_stein import (
+                batched_stein_os_peaks,
+            )
             from caf_cookoff_tpu.models.overlap_save import (
                 batched_overlap_save_peaks_local,
             )
 
-            lf, ll, lv = batched_overlap_save_peaks_local(
-                np.stack(needles), np.stack(captures), freqs, fs,
-                args.num_peaks, exclude_freq=excl_f, exclude_lag=excl_l,
-                backend=_split_fft_tier(backend), min_snr_db=min_snr)
+            try:
+                lf, ll, lv = batched_stein_os_peaks(
+                    np.stack(needles), np.stack(captures), freqs, fs,
+                    args.num_peaks, exclude_freq=excl_f,
+                    exclude_lag=excl_l, backend=_split_fft_tier(backend),
+                    min_snr_db=min_snr)
+            except EngineError as exc:
+                print(f"note: lattice shape outside the fused engine's "
+                      f"envelope ({exc}); using the XLA lattice scan",
+                      file=sys.stderr)
+                lf, ll, lv = batched_overlap_save_peaks_local(
+                    np.stack(needles), np.stack(captures), freqs, fs,
+                    args.num_peaks, exclude_freq=excl_f,
+                    exclude_lag=excl_l,
+                    backend=_split_fft_tier(backend),
+                    min_snr_db=min_snr)
         else:
             from caf_cookoff_tpu.models.filterbank import caf_surface
 

@@ -326,7 +326,12 @@ def test_cli_rate_grid_num_peaks_lattice(tmp_path, capsys):
     for (lg_g, r_g, f_g), (lg_w, r_w, f_w) in zip(
             sorted(got), sorted(want)):
         assert lg_g == lg_w and r_g == r_w and abs(f_g - f_w) <= 1.0
-    assert "(below detection threshold)" in rows[2]
+    # Slot 3 is a NON-detection either way the engine says it: the
+    # serial scan keeps a sub-threshold sidelobe slot ("below detection
+    # threshold"), the round-5 segmented engine dedups it away entirely
+    # ("no further distinct peaks") — both prove the decision logic.
+    assert ("(below detection threshold)" in rows[2]
+            or "(no further distinct peaks)" in rows[2]), rows[2]
 
 
 # ---------------------------------------------------------------------------
