@@ -51,7 +51,15 @@ _PRECISION = jax.lax.Precision.HIGH
 
 
 def factor_two(n: int) -> Tuple[int, int]:
-    """n = n1 * n2, factors near sqrt(n); pow2 n gives (2^floor(b/2), ...)."""
+    """n = n1 * n2, factors near sqrt(n); pow2 n gives (2^floor(b/2), ...).
+
+    PRIME ``n`` factors as (1, n): the four-step DFT then degrades to
+    one dense O(n^2) matmul — correct, but the (n1+n2) MAC/point
+    economy is gone.  Unreachable from the engines (every
+    ``xcor_length`` is a power of two); direct ``fft_split`` callers
+    with awkward lengths should zero-pad to the next power of two
+    instead (warned at the call site).
+    """
     if is_pow2(n):
         half = n.bit_length() - 1
         n1 = 1 << (half // 2)
@@ -72,6 +80,14 @@ def _dft_constants_np(n: int, forward: bool, dtype_name: str):
     """
     rdtype = np.dtype(dtype_name)
     n1, n2 = factor_two(n)
+    if n > 64 and min(n1, n2) == 1:
+        import warnings
+
+        warnings.warn(
+            f"length {n} has no useful factorization — the four-step "
+            f"DFT degrades to one dense O(n^2) matmul (correct but "
+            f"slow); zero-pad to {1 << n.bit_length()} instead",
+            RuntimeWarning, stacklevel=3)
     sign = -2.0 if forward else 2.0
     k1 = np.arange(n1)
     k2 = np.arange(n2)

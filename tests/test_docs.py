@@ -38,3 +38,23 @@ def test_migration_doc_file_references_exist():
                     if not ref.startswith(("caf_cookoff_tpu/", "native/"))
                     else ref)
         assert p.exists(), f"MIGRATION.md references missing file {ref}"
+
+
+def test_grc_flowgraphs_parse():
+    """The companion GRC flowgraphs (round 5 — the reference ships
+    .grc files; ours must at least be structurally valid GRC YAML with
+    consistent connections, since no GNU Radio exists here to open
+    them)."""
+    import yaml
+
+    for name in ("generate_pulses.grc", "capture_sigmf.grc"):
+        d = yaml.safe_load((REPO / "grc" / name).read_text())
+        assert d["metadata"]["file_format"] == 1
+        names = {b["name"] for b in d["blocks"]}
+        assert len(names) == len(d["blocks"])    # unique block names
+        for src, _, dst, _ in d["connections"]:
+            assert src in names and dst in names, (name, src, dst)
+        # Every artifact the flowgraph writes is a format our loaders
+        # read (WAV via utils/pulses, SigMF via utils/sigmf).
+        text = (REPO / "grc" / name).read_text()
+        assert "sigmf_sink" in text
