@@ -26,8 +26,10 @@ from caf_cookoff_tpu.parallel.sharded import (
     batched_overlap_save_peaks,
     estimate_hbm_per_chip,
     sharded_batched_stein_peak,
+    sharded_batched_stein_os_peaks,
     sharded_batched_stein_peaks,
     sharded_stein_os_peak,
+    sharded_stein_os_peaks,
     sharded_caf_peak,
     sharded_caf_surface,
     sharded_overlap_save_peak,
@@ -52,8 +54,10 @@ __all__ = [
     "global_peaks_batched",
     "make_mesh",
     "sharded_batched_stein_peak",
+    "sharded_batched_stein_os_peaks",
     "sharded_batched_stein_peaks",
     "sharded_stein_os_peak",
+    "sharded_stein_os_peaks",
     "sharded_caf_peak",
     "sharded_caf_surface",
     "sharded_overlap_save_peak",

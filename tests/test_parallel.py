@@ -531,6 +531,11 @@ def test_sharded_stein_os_matches_single_chip_bitwise():
         (np.arange(-100, 100, 0.5, dtype=np.float32), -42.0, 9000),
         (np.linspace(-500, 500, 256, endpoint=False).astype(np.float32),
          None, 21000),                          # banded regime
+        # FINAL full-overlap lag: the last shard's window slices must
+        # not clamp and shift (round-5 regression — dynamic_slice
+        # clamps an out-of-range start silently).
+        (np.arange(-100, 100, 0.5, dtype=np.float32), 33.0,
+         total - 2048),
     ]
     for freqs, f_inj, lag in cases:
         if f_inj is None:
@@ -598,3 +603,64 @@ def test_sharded_rate_pair_axis_shards_rates():
     np.testing.assert_array_equal(got_l[0], want_l[0])
     np.testing.assert_array_equal(got_l[2], want_l[2])
     np.testing.assert_allclose(got_l[4], want_l[4], rtol=1e-6)
+
+
+def test_sharded_fused_lattice_engines_match_single_chip():
+    """Round 5: config-5 multi-emitter at fused speed on the mesh —
+    pair-sharded batched OS lattices (bitwise freq/lag vs single chip)
+    and time-sharded single-pair lattices (emitter rows match), plain
+    and banded grids."""
+    import jax
+
+    from caf_cookoff_tpu.models.batched_stein import batched_stein_os_peaks
+    from caf_cookoff_tpu.parallel import (
+        sharded_batched_stein_os_peaks,
+        sharded_stein_os_peaks,
+    )
+    from caf_cookoff_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(5)
+    n, total, batch = 1024, 16384, 4
+    t = np.arange(n)
+    nds, hays = [], []
+    for b in range(batch):
+        nd = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+        hay = (1e-4 * (rng.standard_normal(total)
+                       + 1j * rng.standard_normal(total))
+               ).astype(np.complex64)
+        for f, lag, amp in ((-30.0 + b, 3000 + 100 * b, 1.0),
+                            (45.0 - b, 9000 + 50 * b, 0.7)):
+            hay[lag:lag + n] += (amp * nd * np.exp(
+                2j * np.pi * f * t / FS)).astype(np.complex64)
+        nds.append(nd)
+        hays.append(hay)
+    nds, hays = np.stack(nds), np.stack(hays)
+    for freqs in (np.arange(-100, 100, 0.5, dtype=np.float32),
+                  np.linspace(-500, 500, 256,
+                              endpoint=False).astype(np.float32)):
+        single = batched_stein_os_peaks(nds, hays, freqs, FS, 3)
+        mesh = make_mesh(pair=2, devices=jax.devices()[:2])
+        shard = sharded_batched_stein_os_peaks(nds, hays, freqs, FS,
+                                               mesh, 3)
+        assert np.array_equal(np.asarray(single[0]),
+                              np.asarray(shard[0]))
+        assert np.array_equal(np.asarray(single[1]),
+                              np.asarray(shard[1]))
+        fin = np.isfinite(np.asarray(single[2]))
+        np.testing.assert_allclose(np.asarray(single[2])[fin],
+                                   np.asarray(shard[2])[fin],
+                                   rtol=1e-5)
+        # Time-sharded single-pair lattice: the emitter rows (distinct
+        # lags) match the single-chip engine across mesh shapes.
+        want = [(float(f), int(l))
+                for f, l, v in zip(single[0][0], single[1][0],
+                                   single[2][0])
+                if np.isfinite(float(v))][:2]
+        for tsh in (2, 4):
+            mesh_t = make_mesh(time=tsh, devices=jax.devices()[:tsh])
+            fr, lg, vv = sharded_stein_os_peaks(nds[0], hays[0], freqs,
+                                                FS, mesh_t, 3)
+            got = [(float(f), int(l)) for f, l, v in zip(fr, lg, vv)
+                   if np.isfinite(float(v))][:2]
+            assert got == want, (tsh, got, want)
