@@ -702,6 +702,7 @@ def cmd_batch(args) -> int:
     # --refine reads capture bytes past any engine truncation: keep the
     # originals, padded to one length (zeros past each capture's end).
     pad_all = max(c_lens)
+    cap_lens = [len(c) for c in captures]     # pre-padding real lengths
     captures_full = np.stack([np.pad(c, (0, pad_all - len(c)))
                               for c in captures])
     try:
@@ -763,11 +764,14 @@ def cmd_batch(args) -> int:
             )
 
             try:
+                # capture_lens: the per-pair REAL lengths, so zero
+                # padding to one batch length cannot bias the model
+                # floor low (and SNRs high) for shorter captures.
                 lf, ll, lv = batched_stein_os_peaks(
                     np.stack(needles), np.stack(captures), freqs, fs,
                     args.num_peaks, exclude_freq=excl_f,
                     exclude_lag=excl_l, backend=_split_fft_tier(backend),
-                    min_snr_db=min_snr)
+                    min_snr_db=min_snr, capture_lens=cap_lens)
             except EngineError as exc:
                 print(f"note: lattice shape outside the fused engine's "
                       f"envelope ({exc}); using the XLA lattice scan",

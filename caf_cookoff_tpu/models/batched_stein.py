@@ -541,7 +541,7 @@ def batched_stein_os_peak(needles, haystacks, freqs_hz, sample_rate, *,
     envelope cannot take at all and fine grids where banding lifts the
     block length toward 128 and slashes the dominant synthesis term.
     """
-    from caf_cookoff_tpu.models.stein import _plan_bands
+    from caf_cookoff_tpu.models.stein import _band_routing
 
     backend = backend or default_backend()
     needles = np.asarray(needles)
@@ -561,17 +561,9 @@ def batched_stein_os_peak(needles, haystacks, freqs_hz, sample_rate, *,
         d = _pow2_block_len(sample_rate, freqs, block_len)
     except SpanError:
         d = None                     # span needs banding (or raises below)
-    plan = _plan_bands(sample_rate, freqs)
-    use_banded = False
-    if plan is not None:
-        if d is None:
-            use_banded = True
-        else:
-            cost_plain = 1.0 + len(freqs) / d
-            cost_band = (plan["bands"]
-                         + plan["bands"] * plan["kb"] / plan["block_len"])
-            use_banded = cost_band < 0.9 * cost_plain
-    if d is None and not use_banded:
+    use_banded, d, freqs_pad, centers, rel = _band_routing(
+        sample_rate, freqs, d)
+    if d is None:
         _pow2_block_len(sample_rate, freqs, block_len)   # re-raise
     m = xcor_length(n)
     total_lags = num_lags or haystacks.shape[-1] - n + 1
@@ -580,11 +572,11 @@ def batched_stein_os_peak(needles, haystacks, freqs_hz, sample_rate, *,
     if use_banded:
         peak = _banded_stein_os_jit(
             jnp.asarray(ns_re), jnp.asarray(ns_im), jnp.asarray(hs_re),
-            jnp.asarray(hs_im), jnp.asarray(plan["freqs_pad"]),
-            jnp.asarray(plan["centers"]), jnp.asarray(plan["rel"]),
-            float(sample_rate), m, plan["block_len"], backend, windows,
+            jnp.asarray(hs_im), jnp.asarray(freqs_pad),
+            jnp.asarray(centers), jnp.asarray(rel),
+            float(sample_rate), m, d, backend, windows,
             total_lags, n, len(freqs), interpret)
-        return (plan["freqs_pad"][np.asarray(peak.freq_idx)],
+        return (freqs_pad[np.asarray(peak.freq_idx)],
                 np.asarray(peak.lag_idx), np.asarray(peak.value))
     pad = (-n) % SUPER
     if pad:
@@ -686,7 +678,8 @@ def batched_stein_peak(needles, haystacks, freqs_hz, sample_rate, *,
 def _lattice_from_bin_candidates(vals_j, lags_j, num_peaks: int,
                                  exclude_freq: int, exclude_lag: int,
                                  bin_offset=0,
-                                 num_bins: Optional[int] = None):
+                                 num_bins: Optional[int] = None,
+                                 lag_period: Optional[int] = None):
     """NMS lattice from per-bin candidate slots.
 
     ``vals_j``/``lags_j``: (K, J) per-bin candidates (J slots per bin —
@@ -705,12 +698,14 @@ def _lattice_from_bin_candidates(vals_j, lags_j, num_peaks: int,
         v = jnp.where(bins < num_bins, v, -jnp.inf)
     cands = CafPeak(v.reshape(-1), bins.reshape(-1),
                     lags_j.reshape(-1).astype(jnp.int32))
-    return merge_peaks(cands, num_peaks, exclude_freq, exclude_lag)
+    return merge_peaks(cands, num_peaks, exclude_freq, exclude_lag,
+                       lag_period=lag_period)
 
 
 def _entry_candidate_bins(vals_flat, lags_flat, lag_e, bin_e,
                           exclude_lag: int, exclude_freq: int,
-                          num_bins: int):
+                          num_bins: int,
+                          lag_period: Optional[int] = None):
     """Exact-re-score candidate bins for ONE lattice entry.
 
     ``vals_flat``/``lags_flat``: (K, J) coarse per-bin candidates with
@@ -728,7 +723,10 @@ def _entry_candidate_bins(vals_flat, lags_flat, lag_e, bin_e,
     """
     from caf_cookoff_tpu.models.stein import _REFINE_BINS
 
-    ok = (jnp.abs(lags_flat - lag_e) <= exclude_lag) & (vals_flat >= 0)
+    from caf_cookoff_tpu.ops.peak import _lag_distance
+
+    ok = ((_lag_distance(lags_flat, lag_e, lag_period) <= exclude_lag)
+          & (vals_flat >= 0))
     rank = jnp.max(jnp.where(ok, vals_flat, -jnp.inf), axis=-1)  # (K,)
     bins_all = jnp.arange(num_bins, dtype=jnp.int32)
     rank = jnp.where(jnp.abs(bins_all - bin_e) <= exclude_freq, rank,
@@ -783,7 +781,8 @@ def _rescore_entries_circular(ns, circ, freqs, vals_j, lags_j, lat,
 
     def one(lag_e, bin_e, coarse_ok):
         bins, bok = _entry_candidate_bins(vals_j, lags_j, lag_e, bin_e,
-                                          exclude_lag, exclude_freq, k)
+                                          exclude_lag, exclude_freq, k,
+                                          lag_period=m)
         start = jnp.mod(lag_e - guard, m)
         wr = jax.lax.dynamic_slice(circ[0], (start,), (wlen,))
         wi = jax.lax.dynamic_slice(circ[1], (start,), (wlen,))
@@ -876,7 +875,8 @@ def _batched_stein_peaks_core(ns_re, ns_im, hs_re, hs_im, freqs,
     vals_j = jnp.stack([v1, v2], axis=-1).transpose(1, 0, 2)
     lags_j = jnp.stack([i1, i2], axis=-1).transpose(1, 0, 2)
     lat = jax.vmap(lambda vj, lj: _lattice_from_bin_candidates(
-        vj, lj, num_peaks, exclude_freq, exclude_lag))(vals_j, lags_j)
+        vj, lj, num_peaks, exclude_freq, exclude_lag,
+        lag_period=xcor_len))(vals_j, lags_j)
     # Circular haystack extension for the re-score windows: period M
     # (the haystack zero-padded to the FFT length) tiled past the wrap.
     m = xcor_len
@@ -894,9 +894,11 @@ def _batched_stein_peaks_core(ns_re, ns_im, hs_re, hs_im, freqs,
             rescore_win, exclude_lag, exclude_freq, backend)
         # Two coarse cells can re-score onto the same exact peak (e.g.
         # a doppler sidelobe beyond the bin exclusion) — re-dedup and
-        # re-sort on the exact values.
+        # re-sort on the exact values, circularly (a wrap-around skirt
+        # collapses onto its mainlobe instead of claiming a slot).
         return merge_peaks(CafPeak(vals_e, bins_e, lags_e), num_peaks,
-                           exclude_freq, exclude_lag)
+                           exclude_freq, exclude_lag,
+                           lag_period=xcor_len)
 
     return jax.vmap(close)(ns_re, ns_im, circ, vals_j, lags_j, lat)
 
@@ -909,22 +911,31 @@ _batched_stein_peaks_jit = functools.partial(
 
 
 def _stein_model_floor(needles: np.ndarray, haystacks: np.ndarray,
-                       valid_len: Optional[int] = None) -> np.ndarray:
+                       valid_len=None) -> np.ndarray:
     """(P,) per-pair model noise floor: ``sum|n|^2 * mean|h|^2``.
 
     A noise-only xcor cell is a complex-Gaussian sum with that second
     moment (the same exponential-cell model as
     :meth:`caf_cookoff_tpu.models.streaming.StreamingCAF.noise_floor`)
     — the fused kernel reduces bins to (max, argmax), so there are no
-    cells to measure.  ``valid_len`` restricts the haystack mean to the
-    real capture samples (exclude any mesh padding).
+    cells to measure.  ``valid_len`` (scalar, or per-pair sequence for
+    batches padded to one length) restricts each haystack mean to the
+    REAL capture samples: averaging zero padding in would bias the
+    floor low and inflate every SNR by the padding ratio.
     """
     needles = np.asarray(needles)
     haystacks = np.asarray(haystacks)
-    if valid_len is not None:
-        haystacks = haystacks[..., :valid_len]
     n_energy = np.sum(np.abs(needles) ** 2, axis=-1, dtype=np.float64)
-    h_mean = np.mean(np.abs(haystacks) ** 2, axis=-1, dtype=np.float64)
+    if valid_len is None:
+        h_mean = np.mean(np.abs(haystacks) ** 2, axis=-1,
+                         dtype=np.float64)
+    else:
+        lens = np.broadcast_to(
+            np.asarray(valid_len, np.int64), (haystacks.shape[0],))
+        h_mean = np.array([
+            np.mean(np.abs(haystacks[i, :lens[i]]) ** 2,
+                    dtype=np.float64)
+            for i in range(haystacks.shape[0])])
     return n_energy * h_mean
 
 
@@ -976,7 +987,10 @@ def batched_stein_peaks(needles, haystacks, freqs_hz, sample_rate,
     auto = resolve_exclusions(needles[0], freqs, sample_rate, None, None)
     exclude_freq = auto[0] if exclude_freq is None else int(exclude_freq)
     exclude_lag = auto[1] if exclude_lag is None else int(exclude_lag)
-    guard, rescore_win = _rescore_guards(n, auto[1], n)
+    # The circular extension (period m) imposes no window-fit limit —
+    # pass m, not n, or the guard collapses to 1 and the re-score
+    # cannot correct a bf16 flat-top argmax more than 1 sample off.
+    guard, rescore_win = _rescore_guards(n, auto[1], m)
     interpret = jax.default_backend() == "cpu"
     pk = _batched_stein_peaks_jit(
         jnp.asarray(ns_re), jnp.asarray(ns_im), jnp.asarray(hs_re),
@@ -1176,7 +1190,8 @@ def batched_stein_os_peaks(needles, haystacks, freqs_hz, sample_rate,
                            exclude_freq: Optional[int] = None,
                            exclude_lag: Optional[int] = None,
                            backend: Optional[str] = None,
-                           min_snr_db=None, with_snr: bool = False):
+                           min_snr_db=None, with_snr: bool = False,
+                           capture_lens=None):
     """Top-``num_peaks`` emitters PER PAIR of long captures at fused
     speed — BASELINE config 4's "streaming multi-emitter" workload
     through :func:`caf_cookoff_tpu.ops.pallas_stein.fused_stein_rank`.
@@ -1198,7 +1213,7 @@ def batched_stein_os_peaks(needles, haystacks, freqs_hz, sample_rate,
     lattice engines.
     """
     from caf_cookoff_tpu.models.overlap_save import detection_rows
-    from caf_cookoff_tpu.models.stein import _plan_bands
+    from caf_cookoff_tpu.models.stein import _band_routing
     from caf_cookoff_tpu.ops.peak import resolve_exclusions
 
     backend = backend or default_backend()
@@ -1219,17 +1234,9 @@ def batched_stein_os_peaks(needles, haystacks, freqs_hz, sample_rate,
         d = _pow2_block_len(sample_rate, freqs, block_len)
     except SpanError:
         d = None
-    plan = _plan_bands(sample_rate, freqs)
-    use_banded = False
-    if plan is not None:
-        if d is None:
-            use_banded = True
-        else:
-            cost_plain = 1.0 + len(freqs) / d
-            cost_band = (plan["bands"]
-                         + plan["bands"] * plan["kb"] / plan["block_len"])
-            use_banded = cost_band < 0.9 * cost_plain
-    if d is None and not use_banded:
+    use_banded, d, freqs_pad_r, centers_r, rel_r = _band_routing(
+        sample_rate, freqs, d)
+    if d is None:
         try:
             _pow2_block_len(sample_rate, freqs, block_len)   # re-raise
         except SpanError as e:
@@ -1246,15 +1253,14 @@ def batched_stein_os_peaks(needles, haystacks, freqs_hz, sample_rate,
     guard, rescore_win = _rescore_guards(n, auto[1], haystacks.shape[-1])
     interpret = jax.default_backend() == "cpu"
     if use_banded:
-        freqs_pad = np.asarray(plan["freqs_pad"])
         pk = _banded_stein_os_peaks_jit(
             jnp.asarray(ns_re), jnp.asarray(ns_im), jnp.asarray(hs_re),
-            jnp.asarray(hs_im), jnp.asarray(freqs_pad),
-            jnp.asarray(plan["centers"]), jnp.asarray(plan["rel"]),
-            float(sample_rate), m, plan["block_len"], backend, windows,
+            jnp.asarray(hs_im), jnp.asarray(freqs_pad_r),
+            jnp.asarray(centers_r), jnp.asarray(rel_r),
+            float(sample_rate), m, d, backend, windows,
             total_lags, n, len(freqs), int(num_peaks), exclude_freq,
             exclude_lag, guard, rescore_win, interpret)
-        out_freqs = freqs_pad
+        out_freqs = freqs_pad_r
     else:
         pk = _batched_stein_os_peaks_jit(
             jnp.asarray(ns_re), jnp.asarray(ns_im), jnp.asarray(hs_re),
@@ -1265,6 +1271,7 @@ def batched_stein_os_peaks(needles, haystacks, freqs_hz, sample_rate,
     if min_snr_db is None and not with_snr:
         return (out_freqs[np.asarray(pk.freq_idx)],
                 np.asarray(pk.lag_idx), np.asarray(pk.value))
-    return detection_rows(out_freqs, pk,
-                          _stein_model_floor(needles, haystacks),
-                          len(freqs) * total_lags, min_snr_db, with_snr)
+    return detection_rows(
+        out_freqs, pk,
+        _stein_model_floor(needles, haystacks, valid_len=capture_lens),
+        len(freqs) * total_lags, min_snr_db, with_snr)

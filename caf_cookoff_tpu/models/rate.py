@@ -539,6 +539,11 @@ def _stein_rate_os_peak_jit(n_re, n_im, h_re, h_im, freqs_pad, centers,
                 + jnp.arange(num_rates, dtype=jnp.int32) * k)
     cand = jnp.concatenate([cand8.astype(jnp.int32),
                             cand_sep.astype(jnp.int32), per_rate])
+    # Mask candidates whose coarse entry is -inf (pad bins on banded
+    # grids with k % kb != 0, or fully-masked rows): their exact rows
+    # would otherwise be scored at frequencies OUTSIDE the requested
+    # grid and could win.
+    cand_ok = jnp.isfinite(rowmax.reshape(-1)[cand])
     lag_c = rowlag.reshape(-1)[cand]
     r_c = cand // k
     k_c = cand % k
@@ -564,6 +569,7 @@ def _stein_rate_os_peak_jit(n_re, n_im, h_re, h_im, freqs_pad, centers,
         return jnp.max(exact), start + jnp.argmax(exact).astype(jnp.int32)
 
     vals_e, lags_e = jax.vmap(rescore)(r_c, k_c, lag_c)
+    vals_e = jnp.where(cand_ok, vals_e, -jnp.inf)
     # Exact-value winner; ties break like the serial engine: earlier
     # rate strictly, then lowest (bin, lag).
     best = jnp.lexsort((lags_e, k_c, r_c, -vals_e))[0]
@@ -590,7 +596,7 @@ def stein_rate_os_peak(needle, haystack, freqs_hz, rates_hz_per_s,
     ``SpanError`` — fall back to the exact serial engine there.
     """
     from caf_cookoff_tpu.errors import SpanError
-    from caf_cookoff_tpu.models.stein import _plan_bands
+    from caf_cookoff_tpu.models.stein import _band_routing
 
     backend = backend or default_backend()
     n_re, n_im = splitfft.split_array(needle)
@@ -610,27 +616,10 @@ def stein_rate_os_peak(needle, haystack, freqs_hz, rates_hz_per_s,
         d = _rate_block_len(sample_rate, freqs, rates, n, block_len)
     except SpanError:
         d = None
-    plan = _plan_bands(fs, freqs, margin_hz=margin, d_cap=d_quad)
-    use_banded = False
-    if plan is not None:
-        if d is None:
-            use_banded = True
-        else:
-            cost_plain = 1.0 + len(freqs) / d
-            cost_band = (plan["bands"]
-                         + plan["bands"] * plan["kb"] / plan["block_len"])
-            use_banded = cost_band < 0.9 * cost_plain
-    if d is None and not use_banded:
+    _, d, freqs_pad, centers, rel = _band_routing(
+        fs, freqs, d, margin_hz=margin, d_cap=d_quad)
+    if d is None:
         _rate_block_len(sample_rate, freqs, rates, n, block_len)  # raise
-    if use_banded:
-        freqs_pad = np.asarray(plan["freqs_pad"])
-        centers = np.asarray(plan["centers"])
-        rel = np.asarray(plan["rel"])
-        d = plan["block_len"]
-    else:
-        freqs_pad = np.asarray(freqs)
-        centers = np.zeros(1, np.float32)
-        rel = np.asarray(freqs)
     m = xcor_length(n)
     windows = -(-total_lags // m)
     rate_chunk = max(1, _RATE_ROWS_BUDGET // max(len(rel), 1))
@@ -821,7 +810,7 @@ def stein_rate_os_peaks(needle, haystack, freqs_hz, rates_hz_per_s,
         _rescore_guards,
         _stein_model_floor,
     )
-    from caf_cookoff_tpu.models.stein import _plan_bands
+    from caf_cookoff_tpu.models.stein import _band_routing
     from caf_cookoff_tpu.ops.peak import apply_detection_threshold
 
     backend = backend or default_backend()
@@ -842,30 +831,13 @@ def stein_rate_os_peaks(needle, haystack, freqs_hz, rates_hz_per_s,
         d = _rate_block_len(sample_rate, freqs, rates, n, block_len)
     except SpanError:
         d = None
-    plan = _plan_bands(fs, freqs, margin_hz=margin, d_cap=d_quad)
-    use_banded = False
-    if plan is not None:
-        if d is None:
-            use_banded = True
-        else:
-            cost_plain = 1.0 + len(freqs) / d
-            cost_band = (plan["bands"]
-                         + plan["bands"] * plan["kb"] / plan["block_len"])
-            use_banded = cost_band < 0.9 * cost_plain
-    if d is None and not use_banded:
+    _, d, freqs_pad, centers, rel = _band_routing(
+        fs, freqs, d, margin_hz=margin, d_cap=d_quad)
+    if d is None:
         _rate_block_len(sample_rate, freqs, rates, n, block_len)
-    if use_banded:
-        freqs_pad = np.asarray(plan["freqs_pad"])
-        centers = np.asarray(plan["centers"])
-        rel = np.asarray(plan["rel"])
-        d = plan["block_len"]
-    else:
-        freqs_pad = np.asarray(freqs)
-        centers = np.zeros(1, np.float32)
-        rel = np.asarray(freqs)
-    exclude_freq, exclude_lag = resolve_exclusions(
-        needle, freqs, sample_rate, exclude_freq, exclude_lag)
     auto = resolve_exclusions(needle, freqs, sample_rate, None, None)
+    exclude_freq = auto[0] if exclude_freq is None else int(exclude_freq)
+    exclude_lag = auto[1] if exclude_lag is None else int(exclude_lag)
     guard, rescore_win = _rescore_guards(n, auto[1], h_re.shape[-1])
     m = xcor_length(n)
     windows = -(-total_lags // m)

@@ -305,6 +305,38 @@ def _plan_bands(sample_rate: float, freqs_hz: np.ndarray,
             "centers": centers, "rel": rel}
 
 
+def _band_routing(sample_rate, freqs_np, d: Optional[int], *,
+                  margin_hz: float = 0.0, d_cap: Optional[int] = None):
+    """Shared banded-vs-plain routing of every windowed/banded engine.
+
+    ``d`` is the plain-envelope block length (``None`` when the plain
+    path is ineligible).  Returns ``(use_banded, d_eff, freqs_pad,
+    centers, rel)`` — the one-band degenerate values (``centers=[0]``,
+    ``rel=freqs_pad=freqs``) for the plain route, the band plan's
+    arrays otherwise.  ``d_eff`` is ``None`` when NEITHER route is
+    eligible (callers raise their own engine-specific error).  The
+    banded route wins when the cost model (``s*(1 + kb/D)`` vs
+    ``1 + K/D`` MACs per lag column, in units of 4N — see
+    :func:`_plan_bands`) says it is at least ~10% cheaper.
+    """
+    plan = _plan_bands(float(sample_rate), freqs_np, margin_hz=margin_hz,
+                       d_cap=d_cap)
+    use_banded = False
+    if plan is not None:
+        if d is None:
+            use_banded = True
+        else:
+            cost_plain = 1.0 + len(freqs_np) / d
+            cost_band = (plan["bands"]
+                         + plan["bands"] * plan["kb"] / plan["block_len"])
+            use_banded = cost_band < 0.9 * cost_plain
+    if use_banded:
+        return (True, plan["block_len"], np.asarray(plan["freqs_pad"]),
+                np.asarray(plan["centers"]), np.asarray(plan["rel"]))
+    return (False, d, np.asarray(freqs_np), np.zeros(1, np.float32),
+            np.asarray(freqs_np))
+
+
 def _banded_stein_peak_jit(n_re, n_im, h_re, h_im, freqs_pad, centers,
                            rel, sample_rate, xcor_len, block_len,
                            backend, num_bins, interpret):

@@ -299,6 +299,14 @@ def _vmem_demand(b2: int, span: int, sup: int, sr: int, m_pad: int,
     # pre-accumulator shape fit under it) — they ride on top of it.
     limit = max(48 * 1024 * 1024 + acc, est + est // 5 + (8 << 20))
     if limit > 100 * 1024 * 1024:
+        # Borderline clamp: the spill model over-estimates some tall
+        # shapes (measured: kp=2048 want_top2, modeled ~112 MB, RAN
+        # under a 100 MB cap) — grant those the full 100 MB and let
+        # Mosaic allocate; only estimates far past the chip's budget
+        # fail here with the actionable message (kp=2754 single-max
+        # measured 148 MB actual — genuinely impossible).
+        if est <= 110 * 1024 * 1024:
+            return 100 * 1024 * 1024
         raise VmemBudgetError(
             f"fused Stein kernel needs ~{est / 2**20:.0f} MB of VMEM "
             f"(block_len={sup}, span={span}, {b2 // 2} blocks) — past "

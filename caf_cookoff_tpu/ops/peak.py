@@ -66,8 +66,19 @@ def grid_frequency(freq_idx: jax.Array, freqs_hz: jax.Array) -> jax.Array:
     return jnp.take(freqs_hz, freq_idx, axis=-1)
 
 
+def _lag_distance(a, b, lag_period: Optional[int]):
+    """|a - b|, circularly when ``lag_period`` is set (equal-length
+    engines: the lag axis is a CIRCULAR xcor index, so a peak near lag
+    0 and its own wrap-around mainlobe skirt near ``m - 1`` are one
+    resolution cell apart, not ``m - 1`` apart)."""
+    d = jnp.abs(a - b)
+    if lag_period is None:
+        return d
+    return jnp.minimum(d, lag_period - d)
+
+
 def find_peaks(surface, num_peaks: int, exclude_freq: int,
-               exclude_lag: int):
+               exclude_lag: int, lag_period: Optional[int] = None):
     """Top-``num_peaks`` surface peaks with non-maximum suppression.
 
     Multi-emitter extraction (a capability past the reference, which
@@ -81,6 +92,11 @@ def find_peaks(surface, num_peaks: int, exclude_freq: int,
     hardcoded default would be unrelated to your waveform).  Returns a
     :class:`CafPeak` whose fields are ``(num_peaks,)`` arrays,
     strongest first.  Jit-compatible (``num_peaks`` static).
+
+    ``lag_period``: set to the surface's lag-axis length for CIRCULAR
+    xcor surfaces (equal-length pairs) so a peak's wrap-around skirt
+    cannot claim a slot (see :func:`_lag_distance`); linear
+    (overlap-save) surfaces leave it ``None``.
     """
     surface = jnp.asarray(surface)
     k, m = surface.shape
@@ -90,7 +106,8 @@ def find_peaks(surface, num_peaks: int, exclude_freq: int,
     def step(surf, _):
         pk = find_peak_2d(surf)
         inside = ((jnp.abs(ki - pk.freq_idx) <= exclude_freq)
-                  & (jnp.abs(ti - pk.lag_idx) <= exclude_lag))
+                  & (_lag_distance(ti, pk.lag_idx, lag_period)
+                     <= exclude_lag))
         return jnp.where(inside, -jnp.inf, surf), pk
 
     _, peaks = jax.lax.scan(step, surface, None, length=num_peaks)
@@ -266,7 +283,8 @@ def as_lattice(pk: CafPeak) -> CafPeak:
 
 
 def merge_peaks(candidates: CafPeak, num_peaks: int, exclude_freq: int,
-                exclude_lag: int, return_indices: bool = False):
+                exclude_lag: int, return_indices: bool = False,
+                lag_period: Optional[int] = None):
     """Greedy NMS merge of ``C`` candidate triples → top-``num_peaks``.
 
     The jit-compatible reduction primitive behind every multi-emitter
@@ -283,6 +301,9 @@ def merge_peaks(candidates: CafPeak, num_peaks: int, exclude_freq: int,
     positions of the selected entries in the ORIGINAL candidate order
     (0 for unfilled slots) so callers can gather per-candidate payloads
     (e.g. the stein stream's carried re-score windows) alongside.
+
+    ``lag_period``: circular lag distance for equal-length (circular
+    xcor) lattices — see :func:`_lag_distance`.
     """
     v = jnp.asarray(candidates.value)
     f = candidates.freq_idx.astype(jnp.int32)
@@ -298,7 +319,8 @@ def merge_peaks(candidates: CafPeak, num_peaks: int, exclude_freq: int,
     v, f, lg = v[order], f[order], lg[order]
     valid = v > -jnp.inf
     close = ((jnp.abs(f[:, None] - f[None, :]) <= exclude_freq)
-             & (jnp.abs(lg[:, None] - lg[None, :]) <= exclude_lag))
+             & (_lag_distance(lg[:, None], lg[None, :], lag_period)
+                <= exclude_lag))
     pos = jnp.arange(c)
 
     def step(kept, i):

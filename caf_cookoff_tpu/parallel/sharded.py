@@ -557,7 +557,8 @@ def sharded_batched_stein_peaks(needles, haystacks, freqs_hz, sample_rate,
     auto = resolve_exclusions(needles[0], freqs, sample_rate, None, None)
     exclude_freq = auto[0] if exclude_freq is None else int(exclude_freq)
     exclude_lag = auto[1] if exclude_lag is None else int(exclude_lag)
-    guard, rescore_win = _rescore_guards(n, auto[1], n)
+    # Circular path: pass the period m, not n (see batched_stein_peaks).
+    guard, rescore_win = _rescore_guards(n, auto[1], xcor_length(n))
     interpret = mesh.devices.flat[0].platform == "cpu"
     pk = _sharded_batched_stein_peaks_jit(
         ns_re, ns_im, hs_re, hs_im, freqs, float(sample_rate), mesh,
@@ -1152,7 +1153,7 @@ def sharded_batched_stein_os_peaks(needles, haystacks, freqs_hz,
         _stein_model_floor,
     )
     from caf_cookoff_tpu.models.overlap_save import detection_rows
-    from caf_cookoff_tpu.models.stein import _plan_bands
+    from caf_cookoff_tpu.models.stein import _band_routing
     from caf_cookoff_tpu.ops.peak import resolve_exclusions
 
     backend = backend or default_backend()
@@ -1179,29 +1180,12 @@ def sharded_batched_stein_os_peaks(needles, haystacks, freqs_hz,
         d = _pow2_block_len(sample_rate, freqs, block_len)
     except SpanError:
         d = None
-    plan = _plan_bands(float(sample_rate), freqs)
-    use_banded = False
-    if plan is not None:
-        if d is None:
-            use_banded = True
-        else:
-            cost_plain = 1.0 + len(freqs) / d
-            cost_band = (plan["bands"]
-                         + plan["bands"] * plan["kb"] / plan["block_len"])
-            use_banded = cost_band < 0.9 * cost_plain
-    if d is None and not use_banded:
+    use_banded, d, freqs_pad, centers, rel = _band_routing(
+        sample_rate, freqs, d)
+    if d is None:
         raise EligibilityError(
             "grid neither fits the single-band envelope nor bands "
             "cleanly; use batched_overlap_save_peaks (XLA lattice)")
-    if use_banded:
-        freqs_pad = np.asarray(plan["freqs_pad"])
-        centers = np.asarray(plan["centers"])
-        rel = np.asarray(plan["rel"])
-        d = plan["block_len"]
-    else:
-        freqs_pad = np.asarray(freqs)
-        centers = np.zeros(1, np.float32)
-        rel = np.asarray(freqs)
     m = xcor_length(n)
     total_lags = num_lags or haystacks.shape[-1] - n + 1
     windows = -(-total_lags // m)
@@ -1361,7 +1345,7 @@ def sharded_stein_os_peak(needle, haystack, freqs_hz, sample_rate,
     single-chip engine.
     """
     from caf_cookoff_tpu.models.batched_stein import _pow2_block_len
-    from caf_cookoff_tpu.models.stein import _plan_bands
+    from caf_cookoff_tpu.models.stein import _band_routing
     from caf_cookoff_tpu.errors import EligibilityError
 
     backend = backend or default_backend()
@@ -1379,29 +1363,11 @@ def sharded_stein_os_peak(needle, haystack, freqs_hz, sample_rate,
         d = _pow2_block_len(sample_rate, freqs, block_len)
     except SpanError:
         d = None
-    plan = _plan_bands(float(sample_rate), freqs)
-    use_banded = False
-    if plan is not None:
-        if d is None:
-            use_banded = True
-        else:
-            cost_plain = 1.0 + len(freqs) / d
-            cost_band = (plan["bands"]
-                         + plan["bands"] * plan["kb"] / plan["block_len"])
-            use_banded = cost_band < 0.9 * cost_plain
-    if d is None and not use_banded:
+    _, d, freqs_pad, centers, rel = _band_routing(sample_rate, freqs, d)
+    if d is None:
         raise EligibilityError(
             "grid neither fits the single-band envelope nor bands "
             "cleanly; use sharded_overlap_save_peak for it")
-    if use_banded:
-        freqs_pad = np.asarray(plan["freqs_pad"])
-        centers = np.asarray(plan["centers"])
-        rel = np.asarray(plan["rel"])
-        d = plan["block_len"]
-    else:
-        freqs_pad = np.asarray(freqs)
-        centers = np.zeros(1, np.float32)
-        rel = np.asarray(freqs)
     m = xcor_length(n)
     total_lags = num_lags or haystack.shape[-1] - n + 1
     t_shards = mesh.shape[AXIS_TIME]
@@ -1574,7 +1540,7 @@ def sharded_stein_os_peaks(needle, haystack, freqs_hz, sample_rate,
         _stein_model_floor,
     )
     from caf_cookoff_tpu.models.overlap_save import detection_rows
-    from caf_cookoff_tpu.models.stein import _plan_bands
+    from caf_cookoff_tpu.models.stein import _band_routing
     from caf_cookoff_tpu.ops.peak import resolve_exclusions
 
     backend = backend or default_backend()
@@ -1590,29 +1556,11 @@ def sharded_stein_os_peaks(needle, haystack, freqs_hz, sample_rate,
         d = _pow2_block_len(sample_rate, freqs, block_len)
     except SpanError:
         d = None
-    plan = _plan_bands(float(sample_rate), freqs)
-    use_banded = False
-    if plan is not None:
-        if d is None:
-            use_banded = True
-        else:
-            cost_plain = 1.0 + len(freqs) / d
-            cost_band = (plan["bands"]
-                         + plan["bands"] * plan["kb"] / plan["block_len"])
-            use_banded = cost_band < 0.9 * cost_plain
-    if d is None and not use_banded:
+    _, d, freqs_pad, centers, rel = _band_routing(sample_rate, freqs, d)
+    if d is None:
         raise EligibilityError(
             "grid neither fits the single-band envelope nor bands "
             "cleanly; use sharded_overlap_save_peaks for it")
-    if use_banded:
-        freqs_pad = np.asarray(plan["freqs_pad"])
-        centers = np.asarray(plan["centers"])
-        rel = np.asarray(plan["rel"])
-        d = plan["block_len"]
-    else:
-        freqs_pad = np.asarray(freqs)
-        centers = np.zeros(1, np.float32)
-        rel = np.asarray(freqs)
     m = xcor_length(n)
     total_lags = num_lags or haystack.shape[-1] - n + 1
     t_shards = mesh.shape[AXIS_TIME]

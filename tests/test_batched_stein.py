@@ -717,3 +717,43 @@ def test_os_peaks_banded_grid_matches_xla():
     assert got[:3] == want[:3] == truths
     np.testing.assert_allclose(np.asarray(vv[0][:3]),
                                np.asarray(vv2[0][:3]), rtol=2e-5)
+
+
+def test_equal_length_wrap_skirt_cannot_displace_real_emitter(grid):
+    """Round-5 review fix: circular-lag NMS. An oversampled needle's
+    lag mainlobe wraps — a peak at lag 0 has a skirt at lag m-1 that
+    linear NMS would never suppress, letting it claim the slot of a
+    genuinely separated weaker emitter."""
+    from caf_cookoff_tpu.models.batched_stein import batched_stein_peaks
+    from scipy import signal as sp_signal
+
+    n = 2048
+    rng = np.random.default_rng(13)
+    # 8x-oversampled (band-limited) needle -> ~8-sample lag mainlobe.
+    taps = sp_signal.firwin(127, 1 / 8)
+    nd = sp_signal.filtfilt(
+        taps, [1.0], rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    ).astype(np.complex64)
+    t = np.arange(n)
+    hay = (nd * np.exp(2j * np.pi * 30.0 * t / FS)).astype(np.complex64)
+    hay = hay + 0.6 * np.roll(
+        (nd * np.exp(2j * np.pi * -55.0 * t / FS)).astype(np.complex64),
+        400)
+    hay = (hay + 1e-4 * (rng.standard_normal(n)
+                         + 1j * rng.standard_normal(n))
+           ).astype(np.complex64)
+    fr, lg, vv = batched_stein_peaks(nd[None], hay[None], grid, FS, 2)
+    rows = _rows(fr[0], lg[0], vv[0])
+    assert len(rows) == 2, rows
+    lags = sorted(l for _, l in rows)
+    assert lags == [0, 400], rows
+
+
+def test_rescore_guards_circular_path_not_collapsed():
+    """Round-5 review fix: the circular engines pass the period m (not
+    n) so the guard keeps its 64-sample default instead of collapsing
+    to 1 (which would defeat the bf16 flat-top re-score slack)."""
+    from caf_cookoff_tpu.models.batched_stein import _rescore_guards
+
+    assert _rescore_guards(1024, 6, 2048) == (64, 6)
+    assert _rescore_guards(1024, 6, 1024) == (1, 1)  # the old collapse

@@ -488,3 +488,35 @@ def test_stein_rate_lattice_noise_only_zero_detections():
     out = stein_rate_os_peaks(needle, noise, freqs, rates, FS, 3,
                               min_snr_db="auto")
     assert not np.isfinite(out[3]).any()
+
+
+def test_stein_rate_banded_pad_bins_stay_off_grid():
+    """Round-5 review fix: on banded grids with k % kb != 0 the pad
+    bins must not reach the exact re-score — the reported frequency
+    must be IN the requested grid, matching the serial engine."""
+    from caf_cookoff_tpu.models.rate import (
+        rate_overlap_save_peak,
+        stein_rate_os_peak,
+    )
+    from caf_cookoff_tpu.models.stein import _band_routing
+
+    freqs = np.arange(20000.0, 22001.0, 500.0, dtype=np.float32)  # 5 bins
+    rates = np.asarray([0.0], dtype=np.float32)
+    n, total = 2048, 8192
+    use_banded, d, freqs_pad, _, _ = _band_routing(FS, freqs, None)
+    assert use_banded and len(freqs_pad) > len(freqs)  # pad bins exist
+    rng = np.random.default_rng(3)
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    hay = (1e-4 * (rng.standard_normal(total)
+                   + 1j * rng.standard_normal(total))
+           ).astype(np.complex64)
+    t = np.arange(n)
+    # Emitter just PAST the grid edge — nearest pad bin would "win" if
+    # unmasked; the correct answer is the best in-grid bin.
+    hay[3000:3000 + n] += (needle * np.exp(
+        2j * np.pi * 22400.0 * t / FS)).astype(np.complex64)
+    want = rate_overlap_save_peak(needle, hay, freqs, rates, FS)
+    got = stein_rate_os_peak(needle, hay, freqs, rates, FS)
+    assert float(got[1]) in set(float(f) for f in freqs), got
+    assert got[:3] == want[:3], (got, want)
