@@ -489,22 +489,41 @@ def cmd_run(args) -> int:
         # samples), so mainlobe skirts don't re-detect on any grid.
         excl_f, excl_l = resolution_cell(needle, freqs, fs)
         if full:
-            # Lattice scan over the WHOLE capture — no surface ever
+            # Lattice over the WHOLE capture — no surface ever
             # materializes, so distant emitters are never windowed out.
+            # The fused multi-emitter engine (round 5) when the shape
+            # fits; the XLA lattice scan otherwise.
+            from caf_cookoff_tpu.models.batched_stein import (
+                batched_stein_os_peaks,
+            )
             from caf_cookoff_tpu.models.overlap_save import (
                 overlap_save_peaks,
             )
 
-            fr, lg, vv, snr = overlap_save_peaks(
-                needle, haystack, freqs, fs, args.num_peaks,
-                exclude_freq=excl_f, exclude_lag=excl_l,
-                backend=_split_fft_tier(backend),
-                min_snr_db=min_snr, with_snr=True)
+            try:
+                lf, ll, lv, lsnr = batched_stein_os_peaks(
+                    np.asarray(needle)[None], np.asarray(haystack)[None],
+                    freqs, fs, args.num_peaks, exclude_freq=excl_f,
+                    exclude_lag=excl_l, backend=_split_fft_tier(backend),
+                    min_snr_db=min_snr, with_snr=True)
+                fr, lg, vv, snr = lf[0], ll[0], lv[0], lsnr[0]
+            except EngineError as exc:
+                print(f"note: lattice shape outside the fused engine's "
+                      f"envelope ({exc}); using the XLA lattice scan",
+                      file=sys.stderr)
+                fr, lg, vv, snr = overlap_save_peaks(
+                    needle, haystack, freqs, fs, args.num_peaks,
+                    exclude_freq=excl_f, exclude_lag=excl_l,
+                    backend=_split_fft_tier(backend),
+                    min_snr_db=min_snr, with_snr=True)
             rows = list(zip(fr.tolist(), lg.tolist(), vv.tolist(),
                             snr.tolist()))
         else:
+            # Truncated haystack -> CIRCULAR xcor surface: pass the lag
+            # period so a peak's wrap-around skirt cannot take a slot.
             pks = find_peaks(surface, args.num_peaks,
-                             exclude_freq=excl_f, exclude_lag=excl_l)
+                             exclude_freq=excl_f, exclude_lag=excl_l,
+                             lag_period=surface.shape[-1])
             # Materialized surface: the floor is its mean directly.
             vals, snr, _ = apply_detection_threshold(
                 np.asarray(pks.value), float(surface.mean()),
@@ -789,7 +808,8 @@ def cmd_batch(args) -> int:
             for nd, cp in zip(needles, captures):
                 surf = np.asarray(caf_surface(nd, cp[:n], freqs, fs,
                                               backend=backend))
-                pks = find_peaks(surf, args.num_peaks, excl_f, excl_l)
+                pks = find_peaks(surf, args.num_peaks, excl_f, excl_l,
+                                 lag_period=surf.shape[-1])
                 vals, _, _ = apply_detection_threshold(
                     np.asarray(pks.value), float(surf.mean()),
                     surf.size, min_snr)

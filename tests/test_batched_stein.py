@@ -612,7 +612,7 @@ def test_equal_length_peaks_vs_surface_oracle(grid):
     fr, lg, vv = batched_stein_peaks(nd[None], hay[None], grid, FS, 2)
     surf = np.asarray(caf_surface(nd, hay, grid, FS))
     ef, el = resolve_exclusions(nd, grid, FS, None, None)
-    pk = find_peaks(surf, 2, ef, el)
+    pk = find_peaks(surf, 2, ef, el, lag_period=surf.shape[-1])
     want = [(float(grid[int(f)]), int(l))
             for f, l in zip(pk.freq_idx, pk.lag_idx)]
     assert _rows(fr[0], lg[0], vv[0]) == want

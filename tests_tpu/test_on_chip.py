@@ -525,7 +525,7 @@ def test_fused_multi_emitter_lattices_on_chip():
     surf = np.asarray(caf_surface(needle, hay2, freqs, FS,
                                   backend="matmul"))
     ef, el = resolve_exclusions(needle, freqs, FS, None, None)
-    pk = find_peaks(surf, 2, ef, el)
+    pk = find_peaks(surf, 2, ef, el, lag_period=surf.shape[-1])
     want2 = [(float(freqs[int(f)]), int(l))
              for f, l in zip(pk.freq_idx, pk.lag_idx)]
     assert got2 == want2, (got2, want2)
