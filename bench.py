@@ -169,19 +169,27 @@ def main() -> None:
         med = cand_ms[order[len(cand_ms) // 2]]
         return med, cand_ms[order[0]], cand_ms[order[-1]] - cand_ms[order[0]]
 
+    def is_quiet(ms, spread_ms):
+        # Quiet = tight cluster AND near the recorded quiet rate.  A
+        # tight cluster ALONE is not enough: sustained tunnel load
+        # measures stably slow (observed: spread 4% of median at 1.3x
+        # the quiet reference), so stability must be paired with the
+        # absolute check.
+        return (spread_ms <= QUIET_REL * ms
+                and ms <= QUIET_REF_MS * 1.15)
+
     run_batch()
     ms, best_ms, spread_ms = stats()
-    while (on_tpu and spread_ms > QUIET_REL * ms
+    while (on_tpu and not is_quiet(ms, spread_ms)
            and len(cand_ms) < MAX_CYCLES):
-        print(f"bench: spread {spread_ms:.4f} ms > {QUIET_REL:.0%} of "
-              f"median {ms:.4f} — tunnel looks loaded, extending "
+        print(f"bench: median {ms:.4f} ms / spread {spread_ms:.4f} not "
+              f"quiet-qualified (ref {QUIET_REF_MS}) — extending "
               f"({len(cand_ms)} cycles so far)", file=sys.stderr)
         run_batch()
         ms, best_ms, spread_ms = stats()
     cycles = len(cand_ms)
     load_ms = min(loads)                      # chain(1) = dispatch floor
-    quiet = (not on_tpu or spread_ms <= QUIET_REL * ms
-             or ms <= QUIET_REF_MS * 1.1)
+    quiet = not on_tpu or is_quiet(ms, spread_ms)
     quiet_est_ms = float(np.median(sorted(cand_ms)[:3]))
 
     # Sanity: the golden chirp_0 answer must hold on whatever chip ran.
