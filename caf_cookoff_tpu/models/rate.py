@@ -522,13 +522,32 @@ def _stein_rate_os_peak_jit(n_re, n_im, h_re, h_im, freqs_pad, centers,
             take_w(glob).transpose(0, 2, 1).reshape(rc, k))
     rowmax = jnp.concatenate(rowmax_parts)          # (R, K_pad)
     rowlag = jnp.concatenate(rowlag_parts)
+    return _rate_coarse_closer((n_re, n_im), (h_re, h_im), freqs_pad,
+                               rates, rowmax, rowlag, sample_rate, v, n,
+                               total_lags, guard, num_bins, backend)
+
+
+def _rate_coarse_closer(n_planes, h_planes, freqs_pad, rates, rowmax,
+                        rowlag, sample_rate, v: int, n: int,
+                        total_lags: int, guard: int, num_bins: int,
+                        backend):
+    """Traceable rank-then-score closer shared by the single-chip and
+    mesh segmented rate engines: pad-bin masking, the hybrid candidate
+    set (global top-8 over (rate, bin), mainlobe-separated top-4 within
+    the winning rate's row, every rate's own best), per-candidate exact
+    re-score with its OWN pre-chirped needle on a guard window, and the
+    serial engine's tie-break."""
+    from caf_cookoff_tpu.models.filterbank import _surface_rows_split
+    from caf_cookoff_tpu.ops.peak import doppler_cell_bins, topk_separated
+
+    n_re, n_im = n_planes
+    h_re, h_im = h_planes
+    dtype = n_re.dtype
+    k = freqs_pad.shape[0]
+    num_rates = rates.shape[0]
     rowmax = jnp.where(jnp.arange(k)[None, :] < num_bins, rowmax,
                        -jnp.inf)                    # pad bins out
     freqs = freqs_pad
-    # Candidates for the exact re-score: global top-8 over (rate, bin),
-    # mainlobe-separated top-4 within the winning rate's row (distant
-    # near-tie coverage, the stein-engine closer's contract), and every
-    # rate's own best (rate near-tie coverage — R is small).
     flat = rowmax.reshape(-1)
     _, cand8 = jax.lax.top_k(flat, min(8, flat.shape[0]))
     r0 = cand8[0] // k

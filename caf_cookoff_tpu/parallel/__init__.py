@@ -30,6 +30,7 @@ from caf_cookoff_tpu.parallel.sharded import (
     sharded_batched_stein_peaks,
     sharded_stein_os_peak,
     sharded_stein_os_peaks,
+    sharded_stein_rate_os_peak,
     sharded_caf_peak,
     sharded_caf_surface,
     sharded_overlap_save_peak,
@@ -58,6 +59,7 @@ __all__ = [
     "sharded_batched_stein_peaks",
     "sharded_stein_os_peak",
     "sharded_stein_os_peaks",
+    "sharded_stein_rate_os_peak",
     "sharded_caf_peak",
     "sharded_caf_surface",
     "sharded_overlap_save_peak",

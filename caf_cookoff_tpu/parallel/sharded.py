@@ -1585,6 +1585,188 @@ def sharded_stein_os_peaks(needle, haystack, freqs_hz, sample_rate,
         len(freqs) * total_lags, min_snr_db, with_snr)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "xcor_len", "block_len", "backend",
+                     "windows_local", "total_lags", "needle_len",
+                     "num_bins", "rate_chunk", "guard", "interpret"))
+def _sharded_stein_rate_os_jit(n_re, n_im, h_re, h_im, freqs_pad,
+                               centers, rel, rates, sample_rate, mesh,
+                               xcor_len, block_len, backend,
+                               windows_local: int, total_lags: int,
+                               needle_len: int, num_bins: int,
+                               rate_chunk: int, guard: int,
+                               interpret: bool):
+    """SEGMENTED rate search with the window axis over ``time``.
+
+    Each shard runs its overlap-save windows through the fused kernel
+    with (rate × relative-bin) synthesis rows (stage A shared by every
+    trial rate — the round-5 de-serialization) against the replicated
+    capture; per-(rate, bin) coarse maxima gather over ``time`` in
+    window order (exact flat argmax reproduction) and the pre-chirped
+    exact re-score runs replicated.  The fastest rate engine, on the
+    mesh.
+    """
+    from caf_cookoff_tpu.models.batched_stein import (
+        _coarse_rank_xla,
+        _needle_operator,
+        _os_window_extensions,
+        _shift_to_centers,
+    )
+    from caf_cookoff_tpu.models.rate import _rate_coarse_closer
+    from caf_cookoff_tpu.ops.pallas_stein import (
+        SUPER,
+        fused_span,
+        fused_stein_rank,
+        stein_rate_synthesis_weights,
+    )
+
+    n = needle_len
+    v = xcor_len
+    s = centers.shape[0]
+    kb = rel.shape[0]
+    k_pad = freqs_pad.shape[0]
+    num_rates = rates.shape[0]
+
+    def body(n_re, n_im, h_re, h_im):
+        t_idx = jax.lax.axis_index(AXIS_TIME)
+        w0 = t_idx * windows_local
+        sr, si = _shift_to_centers(n_re[None], n_im[None], centers,
+                                   sample_rate)
+        b = sr.shape[-1] // block_len
+        lmat, group = _needle_operator(sr, si, block_len)
+        span = fused_span(b, group, v)
+        win_len = span + SUPER - 1
+        t_total = mesh.shape[AXIS_TIME]
+        need = (t_total * windows_local - 1) * v + win_len
+        hp_re = jnp.pad(h_re, (0, max(0, need - h_re.shape[-1])))
+        hp_im = jnp.pad(h_im, (0, max(0, need - h_im.shape[-1])))
+        slices = [
+            jnp.stack([
+                jax.lax.dynamic_slice(hp_re, ((w0 + w) * v,),
+                                      (win_len,)),
+                jax.lax.dynamic_slice(hp_im, ((w0 + w) * v,),
+                                      (win_len,))], axis=0)
+            for w in range(windows_local)]
+        h_ext = jnp.stack(slices, axis=0)
+        per_w = jnp.clip(
+            total_lags - (w0 + jnp.arange(windows_local)) * v, 0, v)
+        num_valid = jnp.tile(per_w, s).astype(jnp.int32)
+        woff_g = (w0 + jnp.arange(windows_local, dtype=jnp.int32)) * v
+        rowmax_parts, rowlag_parts = [], []
+        for c0 in range(0, num_rates, rate_chunk):
+            rc = min(rate_chunk, num_rates - c0)
+            ws1, ws2 = stein_rate_synthesis_weights(
+                rel, rates[c0:c0 + rc], sample_rate, b, block_len)
+            if interpret:
+                lmat_rep = jnp.repeat(lmat, windows_local, axis=0)
+                h_rep = jnp.tile(h_ext, (s, 1, 1))
+                vals, idxs = _coarse_rank_xla(
+                    ws1, ws2, lmat_rep, h_rep, b, group, v,
+                    num_valid=num_valid)
+            else:
+                vals, idxs = fused_stein_rank(
+                    ws1, ws2, lmat, h_ext, b, group, v,
+                    windows=windows_local, share_h=s,
+                    num_valid=num_valid)
+            vals = vals.reshape(rc, kb, s, windows_local)
+            glob = (idxs.reshape(rc, kb, s, windows_local)
+                    + woff_g[None, None, None, :])
+            vals = jnp.where((glob < total_lags) & (vals >= 0), vals,
+                             -jnp.inf)
+            wbest = jnp.argmax(vals, axis=-1)
+            take_w = lambda a: jnp.take_along_axis(
+                a, wbest[..., None], axis=-1)[..., 0]
+            rowmax_parts.append(
+                take_w(vals).transpose(0, 2, 1).reshape(rc, k_pad))
+            rowlag_parts.append(
+                take_w(glob).transpose(0, 2, 1).reshape(rc, k_pad))
+        rowmax_loc = jnp.concatenate(rowmax_parts)   # (R, K_pad)
+        rowlag_loc = jnp.concatenate(rowlag_parts)
+        rowmax_all = jax.lax.all_gather(rowmax_loc, AXIS_TIME)
+        rowlag_all = jax.lax.all_gather(rowlag_loc, AXIS_TIME)
+        tbest = jnp.argmax(rowmax_all, axis=0)       # earliest window
+        rowmax = jnp.take_along_axis(rowmax_all, tbest[None],
+                                     axis=0)[0]
+        rowlag = jnp.take_along_axis(rowlag_all, tbest[None],
+                                     axis=0)[0]
+        return _rate_coarse_closer(
+            (n_re, n_im), (h_re, h_im), freqs_pad, rates, rowmax,
+            rowlag, sample_rate, v, n, total_lags, guard, num_bins,
+            backend)
+
+    # check_vma=False: pallas out_shapes + gather-then-identical-closer
+    # replication (see _os_sharded_peaks_jit).
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )(n_re, n_im, h_re, h_im)
+
+
+def sharded_stein_rate_os_peak(needle, haystack, freqs_hz,
+                               rates_hz_per_s, sample_rate, mesh: Mesh,
+                               num_lags: Optional[int] = None, *,
+                               block_len: int = 64,
+                               backend: Optional[str] = None
+                               ) -> Tuple[float, float, int, float]:
+    """(rate_hz_per_s, freq_hz, lag, value): the SEGMENTED rate search
+    (:func:`caf_cookoff_tpu.models.rate.stein_rate_os_peak` — trial
+    rates as synthesis rows, 56× the serial scan at the config-3
+    shape) with its window axis sharded over ``time``.
+
+    One (T, R, K)-float gather in window order keeps answers identical
+    to the single-chip segmented engine across mesh shapes; the serial
+    dechirp-bank mesh engine (:func:`sharded_rate_overlap_save_peak`)
+    remains for grids/rates outside the segmented envelope.
+    """
+    from caf_cookoff_tpu.errors import SpanError
+    from caf_cookoff_tpu.models.rate import (
+        _RATE_ROWS_BUDGET,
+        _rate_block_len,
+    )
+    from caf_cookoff_tpu.models.stein import _band_routing
+
+    backend = backend or default_backend()
+    needle = np.asarray(needle)
+    haystack = np.asarray(haystack)
+    n = needle.shape[-1]
+    if haystack.shape[-1] < n:
+        raise ValueError("haystack shorter than needle")
+    n_re, n_im = _split_host(needle)
+    h_re, h_im = _split_host(haystack)
+    freqs = as_grid(freqs_hz, dtype=n_re.dtype)
+    rates = np.asarray(rates_hz_per_s, dtype=n_re.dtype).reshape(-1)
+    fs = float(sample_rate)
+    r_max = float(np.max(np.abs(rates))) if len(rates) else 0.0
+    margin = r_max * (n / fs)
+    d_quad = int(fs / np.sqrt(2.0 * r_max)) if r_max > 0 else None
+    try:
+        d = _rate_block_len(sample_rate, freqs, rates, n, block_len)
+    except SpanError:
+        d = None
+    _, d, freqs_pad, centers, rel = _band_routing(
+        fs, freqs, d, margin_hz=margin, d_cap=d_quad)
+    if d is None:
+        _rate_block_len(sample_rate, freqs, rates, n, block_len)
+    total_lags = num_lags or haystack.shape[-1] - n + 1
+    m = xcor_length(n)
+    t_shards = mesh.shape[AXIS_TIME]
+    windows = -(-total_lags // m)
+    windows_local = -(-windows // t_shards)
+    rate_chunk = max(1, _RATE_ROWS_BUDGET // max(len(rel), 1))
+    guard = min(64, n // 4, max((haystack.shape[-1] - n) // 2, 1))
+    interpret = mesh.devices.flat[0].platform == "cpu"
+    r_idx, value, f_idx, lag = _sharded_stein_rate_os_jit(
+        n_re, n_im, h_re, h_im, np.asarray(freqs_pad),
+        np.asarray(centers), np.asarray(rel), jnp.asarray(rates),
+        float(sample_rate), mesh, m, d, backend, windows_local,
+        total_lags, n, len(freqs), rate_chunk, guard, interpret)
+    return (float(rates[int(r_idx)]), float(freqs_pad[int(f_idx)]),
+            int(lag), float(value))
+
+
 # ---------------------------------------------------------------------------
 # Time/doppler-sharded RATE engine (second-order search over the mesh)
 # ---------------------------------------------------------------------------

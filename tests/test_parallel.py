@@ -664,3 +664,49 @@ def test_sharded_fused_lattice_engines_match_single_chip():
             got = [(float(f), int(l)) for f, l, v in zip(fr, lg, vv)
                    if np.isfinite(float(v))][:2]
             assert got == want, (tsh, got, want)
+
+
+def test_sharded_segmented_rate_matches_single_chip():
+    """Round 5: the SEGMENTED rate engine with windows over time —
+    identical to the single-chip segmented engine across mesh shapes
+    (plain + banded grids, incl. a final-window-region emitter that
+    exercises the last shard's padding)."""
+    import jax
+
+    from caf_cookoff_tpu.models.rate import stein_rate_os_peak
+    from caf_cookoff_tpu.parallel import sharded_stein_rate_os_peak
+    from caf_cookoff_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(8)
+    n, total = 2048, 16384
+    needle = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+    t = np.arange(n)
+    rates = np.arange(-240.0, 241.0, 60.0, dtype=np.float32)
+
+    def mk(f0, r_true, lag, seed=1):
+        r2 = np.random.default_rng(seed)
+        hay = (1e-4 * (r2.standard_normal(total)
+                       + 1j * r2.standard_normal(total))
+               ).astype(np.complex64)
+        ph = 2 * np.pi * f0 * t / FS + np.pi * r_true * (t / FS) ** 2
+        hay[lag:lag + n] += (needle * np.exp(1j * ph)
+                             ).astype(np.complex64)
+        return hay
+
+    freqs = np.arange(-100, 100, 0.5, dtype=np.float32)
+    hay = mk(25.0, 120.0, total - n)      # final-window-region lag
+    single = stein_rate_os_peak(needle, hay, freqs, rates, FS)
+    for tsh in (2, 4):
+        mesh = make_mesh(time=tsh, devices=jax.devices()[:tsh])
+        got = sharded_stein_rate_os_peak(needle, hay, freqs, rates, FS,
+                                         mesh)
+        assert got == single, (tsh, got, single)
+    freqs_w = np.linspace(-500, 500, 400,
+                          endpoint=False).astype(np.float32)
+    hay2 = mk(float(freqs_w[317]), -180.0, 7000, seed=2)
+    sb = stein_rate_os_peak(needle, hay2, freqs_w, rates, FS)
+    mesh = make_mesh(time=4, devices=jax.devices()[:4])
+    gb = sharded_stein_rate_os_peak(needle, hay2, freqs_w, rates, FS,
+                                    mesh)
+    assert gb == sb, (gb, sb)
