@@ -501,6 +501,10 @@ def cmd_run(args) -> int:
             )
 
             try:
+                # SNR here is against the engine's MODEL floor
+                # (sum|n|^2 * mean|h|^2); the XLA fallback MEASURES its
+                # floor — same dB scale, near-threshold slots can flip
+                # between the two engines (documented in the engine).
                 lf, ll, lv, lsnr = batched_stein_os_peaks(
                     np.asarray(needle)[None], np.asarray(haystack)[None],
                     freqs, fs, args.num_peaks, exclude_freq=excl_f,

@@ -467,16 +467,13 @@ def _stein_rate_os_peak_jit(n_re, n_im, h_re, h_im, freqs_pad, centers,
         _os_window_extensions,
         _shift_to_centers,
     )
-    from caf_cookoff_tpu.models.filterbank import _surface_rows_split
     from caf_cookoff_tpu.ops.pallas_stein import (
         fused_span,
         fused_stein_rank,
         stein_rate_synthesis_weights,
     )
-    from caf_cookoff_tpu.ops.peak import doppler_cell_bins, topk_separated
 
     n = needle_len
-    dtype = n_re.dtype
     s = centers.shape[0]
     sr, si = _shift_to_centers(n_re[None], n_im[None], centers,
                                sample_rate)          # (S, n_pad)
@@ -595,6 +592,36 @@ def _rate_coarse_closer(n_planes, h_planes, freqs_pad, rates, rowmax,
     return (r_c[best], vals_e[best], k_c[best], lags_e[best])
 
 
+def _rate_routing(sample_rate, freqs, rates, needle_len: int,
+                  block_len: int, hay_len: int):
+    """Shared rate-envelope preamble of the segmented rate engines
+    (single-chip argmax/lattice and the mesh wrapper): the rate-drift
+    margin + quadratic cap, plain-vs-banded routing, the re-raise on
+    full ineligibility, and the row-chunk/guard sizing.  One copy so
+    the mesh wrapper's bitwise single-chip-parity contract cannot
+    drift.  Returns ``(d, freqs_pad, centers, rel, rate_chunk,
+    guard)``."""
+    from caf_cookoff_tpu.errors import SpanError
+    from caf_cookoff_tpu.models.stein import _band_routing
+
+    fs = float(sample_rate)
+    n = needle_len
+    r_max = float(np.max(np.abs(rates))) if len(rates) else 0.0
+    margin = r_max * (n / fs)
+    d_quad = int(fs / np.sqrt(2.0 * r_max)) if r_max > 0 else None
+    try:
+        d = _rate_block_len(sample_rate, freqs, rates, n, block_len)
+    except SpanError:
+        d = None
+    _, d, freqs_pad, centers, rel = _band_routing(
+        fs, freqs, d, margin_hz=margin, d_cap=d_quad)
+    if d is None:
+        _rate_block_len(sample_rate, freqs, rates, n, block_len)  # raise
+    rate_chunk = max(1, _RATE_ROWS_BUDGET // max(len(rel), 1))
+    guard = min(64, n // 4, max((hay_len - n) // 2, 1))
+    return d, freqs_pad, centers, rel, rate_chunk, guard
+
+
 def stein_rate_os_peak(needle, haystack, freqs_hz, rates_hz_per_s,
                        sample_rate, num_lags: Optional[int] = None, *,
                        block_len: int = 64,
@@ -614,9 +641,6 @@ def stein_rate_os_peak(needle, haystack, freqs_hz, rates_hz_per_s,
     envelope); grids/rates outside every segmented envelope raise
     ``SpanError`` — fall back to the exact serial engine there.
     """
-    from caf_cookoff_tpu.errors import SpanError
-    from caf_cookoff_tpu.models.stein import _band_routing
-
     backend = backend or default_backend()
     n_re, n_im = splitfft.split_array(needle)
     h_re, h_im = splitfft.split_array(haystack)
@@ -627,22 +651,10 @@ def stein_rate_os_peak(needle, haystack, freqs_hz, rates_hz_per_s,
     total_lags = num_lags or h_re.shape[-1] - n + 1
     freqs = as_grid(freqs_hz, dtype=n_re.dtype)
     rates = np.asarray(rates_hz_per_s, dtype=n_re.dtype).reshape(-1)
-    fs = float(sample_rate)
-    r_max = float(np.max(np.abs(rates))) if len(rates) else 0.0
-    margin = r_max * (n / fs)
-    d_quad = int(fs / np.sqrt(2.0 * r_max)) if r_max > 0 else None
-    try:
-        d = _rate_block_len(sample_rate, freqs, rates, n, block_len)
-    except SpanError:
-        d = None
-    _, d, freqs_pad, centers, rel = _band_routing(
-        fs, freqs, d, margin_hz=margin, d_cap=d_quad)
-    if d is None:
-        _rate_block_len(sample_rate, freqs, rates, n, block_len)  # raise
+    d, freqs_pad, centers, rel, rate_chunk, guard = _rate_routing(
+        sample_rate, freqs, rates, n, block_len, h_re.shape[-1])
     m = xcor_length(n)
     windows = -(-total_lags // m)
-    rate_chunk = max(1, _RATE_ROWS_BUDGET // max(len(rel), 1))
-    guard = min(64, n // 4, max((h_re.shape[-1] - n) // 2, 1))
     interpret = jax.default_backend() == "cpu"
     r_idx, value, f_idx, lag = _stein_rate_os_peak_jit(
         jnp.asarray(n_re), jnp.asarray(n_im), jnp.asarray(h_re),
@@ -824,12 +836,10 @@ def stein_rate_os_peaks(needle, haystack, freqs_hz, rates_hz_per_s,
     Same-bin exactness contract as the first-order fused lattices
     (exact past ``2*exclude_lag`` same-bin separation).
     """
-    from caf_cookoff_tpu.errors import SpanError
     from caf_cookoff_tpu.models.batched_stein import (
         _rescore_guards,
         _stein_model_floor,
     )
-    from caf_cookoff_tpu.models.stein import _band_routing
     from caf_cookoff_tpu.ops.peak import apply_detection_threshold
 
     backend = backend or default_backend()
@@ -842,25 +852,14 @@ def stein_rate_os_peaks(needle, haystack, freqs_hz, rates_hz_per_s,
     total_lags = num_lags or h_re.shape[-1] - n + 1
     freqs = as_grid(freqs_hz, dtype=n_re.dtype)
     rates = np.asarray(rates_hz_per_s, dtype=n_re.dtype).reshape(-1)
-    fs = float(sample_rate)
-    r_max = float(np.max(np.abs(rates))) if len(rates) else 0.0
-    margin = r_max * (n / fs)
-    d_quad = int(fs / np.sqrt(2.0 * r_max)) if r_max > 0 else None
-    try:
-        d = _rate_block_len(sample_rate, freqs, rates, n, block_len)
-    except SpanError:
-        d = None
-    _, d, freqs_pad, centers, rel = _band_routing(
-        fs, freqs, d, margin_hz=margin, d_cap=d_quad)
-    if d is None:
-        _rate_block_len(sample_rate, freqs, rates, n, block_len)
+    d, freqs_pad, centers, rel, rate_chunk, _guard = _rate_routing(
+        sample_rate, freqs, rates, n, block_len, h_re.shape[-1])
     auto = resolve_exclusions(needle, freqs, sample_rate, None, None)
     exclude_freq = auto[0] if exclude_freq is None else int(exclude_freq)
     exclude_lag = auto[1] if exclude_lag is None else int(exclude_lag)
     guard, rescore_win = _rescore_guards(n, auto[1], h_re.shape[-1])
     m = xcor_length(n)
     windows = -(-total_lags // m)
-    rate_chunk = max(1, _RATE_ROWS_BUDGET // max(len(rel), 1))
     htb = _rate_grid_half_t_bins(freqs, n, sample_rate)
     interpret = jax.default_backend() == "cpu"
     vals, _k, lags, ridx, fws, _rv = _stein_rate_os_peaks_jit(

@@ -1610,7 +1610,6 @@ def _sharded_stein_rate_os_jit(n_re, n_im, h_re, h_im, freqs_pad,
     from caf_cookoff_tpu.models.batched_stein import (
         _coarse_rank_xla,
         _needle_operator,
-        _os_window_extensions,
         _shift_to_centers,
     )
     from caf_cookoff_tpu.models.rate import _rate_coarse_closer
@@ -1721,12 +1720,7 @@ def sharded_stein_rate_os_peak(needle, haystack, freqs_hz,
     dechirp-bank mesh engine (:func:`sharded_rate_overlap_save_peak`)
     remains for grids/rates outside the segmented envelope.
     """
-    from caf_cookoff_tpu.errors import SpanError
-    from caf_cookoff_tpu.models.rate import (
-        _RATE_ROWS_BUDGET,
-        _rate_block_len,
-    )
-    from caf_cookoff_tpu.models.stein import _band_routing
+    from caf_cookoff_tpu.models.rate import _rate_routing
 
     backend = backend or default_backend()
     needle = np.asarray(needle)
@@ -1738,25 +1732,13 @@ def sharded_stein_rate_os_peak(needle, haystack, freqs_hz,
     h_re, h_im = _split_host(haystack)
     freqs = as_grid(freqs_hz, dtype=n_re.dtype)
     rates = np.asarray(rates_hz_per_s, dtype=n_re.dtype).reshape(-1)
-    fs = float(sample_rate)
-    r_max = float(np.max(np.abs(rates))) if len(rates) else 0.0
-    margin = r_max * (n / fs)
-    d_quad = int(fs / np.sqrt(2.0 * r_max)) if r_max > 0 else None
-    try:
-        d = _rate_block_len(sample_rate, freqs, rates, n, block_len)
-    except SpanError:
-        d = None
-    _, d, freqs_pad, centers, rel = _band_routing(
-        fs, freqs, d, margin_hz=margin, d_cap=d_quad)
-    if d is None:
-        _rate_block_len(sample_rate, freqs, rates, n, block_len)
+    d, freqs_pad, centers, rel, rate_chunk, guard = _rate_routing(
+        sample_rate, freqs, rates, n, block_len, haystack.shape[-1])
     total_lags = num_lags or haystack.shape[-1] - n + 1
     m = xcor_length(n)
     t_shards = mesh.shape[AXIS_TIME]
     windows = -(-total_lags // m)
     windows_local = -(-windows // t_shards)
-    rate_chunk = max(1, _RATE_ROWS_BUDGET // max(len(rel), 1))
-    guard = min(64, n // 4, max((haystack.shape[-1] - n) // 2, 1))
     interpret = mesh.devices.flat[0].platform == "cpu"
     r_idx, value, f_idx, lag = _sharded_stein_rate_os_jit(
         n_re, n_im, h_re, h_im, np.asarray(freqs_pad),
