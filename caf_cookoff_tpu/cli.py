@@ -806,22 +806,41 @@ def cmd_batch(args) -> int:
                     backend=_split_fft_tier(backend),
                     min_snr_db=min_snr)
         else:
+            # Equal-length pairs: the fused multi-emitter batch engine
+            # (circular lags, model floor) when eligible; the per-pair
+            # materialized-surface scan otherwise.
+            from caf_cookoff_tpu.models.batched_stein import (
+                batched_stein_peaks,
+            )
             from caf_cookoff_tpu.models.filterbank import caf_surface
 
-            rows_f, rows_l, rows_v = [], [], []
-            for nd, cp in zip(needles, captures):
-                surf = np.asarray(caf_surface(nd, cp[:n], freqs, fs,
-                                              backend=backend))
-                pks = find_peaks(surf, args.num_peaks, excl_f, excl_l,
-                                 lag_period=surf.shape[-1])
-                vals, _, _ = apply_detection_threshold(
-                    np.asarray(pks.value), float(surf.mean()),
-                    surf.size, min_snr)
-                rows_f.append(freqs[np.asarray(pks.freq_idx)])
-                rows_l.append(np.asarray(pks.lag_idx))
-                rows_v.append(vals)
-            lf, ll, lv = (np.stack(rows_f), np.stack(rows_l),
-                          np.stack(rows_v))
+            try:
+                lf, ll, lv = batched_stein_peaks(
+                    np.stack(needles),
+                    np.stack([c[:n] for c in captures]), freqs, fs,
+                    args.num_peaks, exclude_freq=excl_f,
+                    exclude_lag=excl_l,
+                    backend=_split_fft_tier(backend),
+                    min_snr_db=min_snr)
+            except EngineError as exc:
+                print(f"note: lattice shape outside the fused engine's "
+                      f"envelope ({exc}); using per-pair surfaces",
+                      file=sys.stderr)
+                rows_f, rows_l, rows_v = [], [], []
+                for nd, cp in zip(needles, captures):
+                    surf = np.asarray(caf_surface(
+                        nd, cp[:n], freqs, fs, backend=backend))
+                    pks = find_peaks(surf, args.num_peaks, excl_f,
+                                     excl_l,
+                                     lag_period=surf.shape[-1])
+                    vals, _, _ = apply_detection_threshold(
+                        np.asarray(pks.value), float(surf.mean()),
+                        surf.size, min_snr)
+                    rows_f.append(freqs[np.asarray(pks.freq_idx)])
+                    rows_l.append(np.asarray(pks.lag_idx))
+                    rows_v.append(vals)
+                lf, ll, lv = (np.stack(rows_f), np.stack(rows_l),
+                              np.stack(rows_v))
         lattices = [
             [(float(lf[i, p]), int(ll[i, p]), float(lv[i, p]))
              for p in range(args.num_peaks)
